@@ -1,0 +1,77 @@
+"""Named-dataset catalog over directories of Parquet tables.
+
+The reference hard-codes an HDFS path convention per Medallion layer
+(``jobs/common.py:11-19``). This generalizes that into a tiny catalog:
+a directory of ``<table>.parquet`` datasets loadable as DataFrames and
+registrable as temp views, so every operator addresses tables by name
+rather than by path.
+
+Scans stay ``spark.read.parquet`` so Catalyst gets column pruning and
+predicate pushdown for free (reference behavior per SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver testdata provides (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Lazy loader for the parquet tables under one scale-factor dir."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            self._cache[name] = self._normalize(name, df)
+        return self._cache[name]
+
+    @staticmethod
+    def _normalize(name: str, df: DataFrame) -> DataFrame:
+        """Repair columns Spark cannot represent natively.
+
+        ``events.ts`` is parquet TIMESTAMP(NANOS); with
+        ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long.
+        Truncate (not round) to microseconds — DuckDB's TIMESTAMP_NS →
+        TIMESTAMP cast truncates too, keeping oracle parity. Integer
+        ``div`` avoids double-precision loss on 1e18-scale epochs.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, tables: tuple[str, ...] = TABLES) -> None:
+        """Expose each table as a temp view for the SQL front-end."""
+        for name in tables:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)

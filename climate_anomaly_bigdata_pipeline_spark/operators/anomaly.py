@@ -1,0 +1,124 @@
+"""Z-score anomaly detection — the reference's core analytic, generalized.
+
+The reference computes per-station mean/stddev with an unbounded
+partition window, standardizes each value with a divide-by-zero guard,
+and filters |z| >= threshold into a classified extremes table
+(``jobs/03_silver_to_gold.py:113-153``, SURVEY.md §2.5 W1/W2 + §2.2 P9).
+
+Here that becomes three composable operators, each a pure DataFrame →
+DataFrame function:
+
+* :func:`with_partition_stats` — W1: attach whole-partition mean/std.
+* :func:`with_zscore` — W2: guarded standardization.
+* :func:`classify_extremes` — P9 + the when/otherwise classification
+  (``jobs/03_silver_to_gold.py:148-153``).
+
+Scale notes: a single ``Window.partitionBy`` over the group keys is one
+hash shuffle; both ``avg`` and ``stddev`` share the same window, so
+Catalyst evaluates them in one Window node with no second exchange. The
+filter on |z| is applied after the window (it must see every row of a
+partition), but any *pre*-filter on other columns should be applied
+before calling these so it pushes to the scan. Skewed partition keys are
+handled by AQE; for a known-hot key, salt upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_partition_stats(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    mean_name: str = "mean_value",
+    std_name: str = "std_value",
+) -> DataFrame:
+    """Attach whole-partition mean and sample stddev to every row.
+
+    Mirrors ``jobs/03_silver_to_gold.py:113-115`` (no orderBy ⇒ the frame
+    is the entire partition). Spark's ``stddev`` is the sample stddev
+    (``stddev_samp``) — oracle SQL must match.
+    """
+    w = Window.partitionBy(*partition_cols)
+    return df.withColumn(mean_name, F.avg(value_col).over(w)).withColumn(
+        std_name, F.stddev(value_col).over(w)
+    )
+
+
+def with_zscore(
+    df: DataFrame,
+    value_col: str,
+    mean_col: str = "mean_value",
+    std_col: str = "std_value",
+    z_name: str = "z_score",
+    scale: int = 4,
+) -> DataFrame:
+    """Guarded standardization: z = (x - mean) / std, 0.0 when std is 0/null.
+
+    The zero-std guard replicates ``jobs/03_silver_to_gold.py:118-121``
+    (a constant partition must yield z = 0.0, not null/inf). ``stddev``
+    is null for 1-row partitions — guard that identically.
+    """
+    z = F.when(
+        F.col(std_col).isNull() | (F.col(std_col) == 0), F.lit(0.0)
+    ).otherwise(F.round((F.col(value_col) - F.col(mean_col)) / F.col(std_col), scale))
+    return df.withColumn(z_name, z)
+
+
+def zscore(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    z_name: str = "z_score",
+    keep_stats: bool = False,
+    scale: int = 4,
+) -> DataFrame:
+    """One-shot per-group z-score (W1 + W2 composed)."""
+    out = with_zscore(
+        with_partition_stats(df, value_col, partition_cols),
+        value_col,
+        z_name=z_name,
+        scale=scale,
+    )
+    if not keep_stats:
+        out = out.drop("mean_value", "std_value")
+    return out
+
+
+def classify_extremes(
+    df: DataFrame,
+    z_col: str = "z_score",
+    threshold: float = 2.5,
+    high_label: str = "EXTREME_HIGH",
+    low_label: str = "EXTREME_LOW",
+    label_name: str = "event_type",
+) -> DataFrame:
+    """Filter |z| >= threshold and classify sign.
+
+    Generalizes ``jobs/03_silver_to_gold.py:148-153`` (SQL-string
+    predicate ``abs(z_score) >= 2.5`` + when/otherwise HEAT/COLD labels).
+    """
+    return df.filter(F.abs(F.col(z_col)) >= F.lit(threshold)).withColumn(
+        label_name,
+        F.when(F.col(z_col) > 0, F.lit(high_label)).otherwise(F.lit(low_label)),
+    )
+
+
+def anomaly_pipeline(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    threshold: float = 2.5,
+    label_name: str = "event_type",
+) -> DataFrame:
+    """The reference's full Gold analytic as one operator: per-group
+    stats → guarded z-score → thresholded, classified extremes."""
+    return classify_extremes(
+        zscore(df, value_col, partition_cols),
+        threshold=threshold,
+        label_name=label_name,
+    )
