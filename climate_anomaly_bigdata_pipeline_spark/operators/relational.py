@@ -1,0 +1,185 @@
+"""Relational core operators (SURVEY.md §2.2-2.4, §2.6 + engine additions).
+
+Each is a pure DataFrame function generalizing a reference pattern:
+projections/renames (P7), range & SQL-string predicates (P8/P9), null
+validation (P5), equi/semi/anti/cross joins (J1-J3), multi-aggregate
+group-bys (A1), pivot (A6), null profiling (A7), histogram (A8),
+group percentiles (A9), ordered limit / top-k (O1/W4), exact dedup
+(north-star §2.10).
+
+Scale notes inline per operator; the common rules: project before
+shuffling, broadcast dimension tables explicitly, aggregate with
+built-ins only (partial aggregation map-side), never collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """Rename-projection (P7, ``jobs/03_silver_to_gold.py:55-62``)."""
+    return df.select([F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def validate_required(df: DataFrame, required: Sequence[str]) -> DataFrame:
+    """Null-validation filter (P5, ``jobs/02_bronze_to_silver.py:28,63``)."""
+    return df.dropna(subset=list(required))
+
+
+def rejected_counts(df: DataFrame, required: Sequence[str]) -> DataFrame:
+    """Rejected-row accounting (P6) in ONE aggregation pass.
+
+    The reference runs two ``count()`` actions and recomputes the DAG
+    (``jobs/02_bronze_to_silver.py:29-32``); here a single agg computes
+    total and per-column null counts map-side.
+    """
+    aggs = [F.count(F.lit(1)).alias("total_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in required
+    ]
+    return df.agg(*aggs)
+
+
+def equi_join(
+    df: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi join (J2/J3) with an explicit broadcast hint for dims.
+
+    At 100 TB the choice of broadcast vs shuffle is the whole game:
+    pass ``broadcast_right=True`` for bounded dimension tables so the
+    big side never shuffles.
+    """
+    right = F.broadcast(other) if broadcast_right else other
+    return df.join(right, on=on, how=how)
+
+
+def bounded_cross_join(
+    df: DataFrame, other: DataFrame, limit: int | None = None, order_by: str | None = None
+) -> DataFrame:
+    """Cross join with a bounded, *ordered* small side (J1 + O1).
+
+    The reference bounds with a bare ``limit(50)`` (nondeterministic
+    which 50 — ``jobs/03_silver_to_gold.py:77``); we order first so the
+    result is reproducible, then broadcast the bounded side so the plan
+    is BroadcastNestedLoopJoin with no shuffle of the big side.
+    """
+    small = df
+    if order_by is not None:
+        small = small.orderBy(order_by)
+    if limit is not None:
+        small = small.limit(limit)
+    return F.broadcast(small).crossJoin(other)
+
+
+def multi_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """Hash group-by with multiple aggregates (A1)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def pivot_count(
+    df: DataFrame, row_key: Column | str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Pivot/crosstab (A6, notebook cell 16): counts per row-key × value.
+
+    ``values`` is explicit — an open pivot triggers a distinct-value
+    job (an extra pass over the data) and risks column drift between
+    runs; at scale always pin the pivot domain.
+    """
+    return df.groupBy(row_key).pivot(pivot_col, list(values)).count().na.fill(0)
+
+
+def null_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column null counts in one pass (A7, notebook cell 21)."""
+    cols = list(cols or df.columns)
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in cols]
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-range histogram (A8, notebook cells 6/13).
+
+    Bucket index is a pure expression — ``floor((x-lo)/width)`` clamped
+    to [0, nbins-1] — so it runs inside whole-stage codegen and the
+    whole histogram is one partial-aggregated groupBy (one shuffle of
+    at most ``nbins`` rows per task). Portable to ANSI SQL verbatim.
+    """
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    scale: int = 4,
+) -> DataFrame:
+    """Exact interpolated per-group quantiles (A9, notebook cell 7).
+
+    Uses ``percentile`` (exact, linear interpolation — matches DuckDB
+    ``quantile_cont``) rather than ``percentile_approx``: approx
+    sketches differ across engines and aren't oracle-checkable. At
+    true 100 TB scale swap in ``percentile_approx`` and accept the
+    sketch error — exposed via the ``exact`` flag upstream if needed.
+    """
+    aggs = [
+        F.round(F.expr(f"percentile({col}, {q})"), scale).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def topk(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k (W4): orderBy + limit ⇒ Spark plans TakeOrderedAndProject
+    (per-partition heap + single merge, no full sort)."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, rank_name: str = "rn"
+) -> DataFrame:
+    """Top-k per group via row_number over a partitioned window."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column] | None = None
+) -> DataFrame:
+    """Exact deduplication (north-star §2.10).
+
+    With ``order``: deterministic keep-first via row_number (one
+    shuffle by ``keys``). Without: ``dropDuplicates`` (nondeterministic
+    representative — fine when rows are identical duplicates).
+    """
+    if order is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,441 @@
+"""Relational-core queries (SURVEY.md §2.2-2.4, §2.6) on the driver corpus.
+
+Each generalizes a reference operator to the TPC-H-ish tables with a
+DuckDB oracle. Aggregate columns are rounded where floating-point
+accumulation order could differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+# --- A1: hash group-by, multi-aggregate (the reference's yearly KPIs,
+#     jobs/03_silver_to_gold.py:33-43, on lineitem) -------------------------
+
+_GROUPBY_KPIS_ORACLE = """
+SELECT
+    l_returnflag, l_linestatus,
+    round(avg(l_quantity), 4)          AS avg_qty,
+    round(max(l_quantity), 4)          AS max_qty,
+    round(min(l_quantity), 4)          AS min_qty,
+    round(stddev_samp(l_quantity), 4)  AS std_qty,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    count(*)                           AS n_rows,
+    count(DISTINCT l_suppkey)          AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("groupby_kpis", oracle=_GROUPBY_KPIS_ORACLE)
+def groupby_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg KPI rollup per (returnflag, linestatus): avg/max/min/
+    stddev_samp (jobs/03_silver_to_gold.py:33-38) + revenue, counts,
+    and the scalar station-count analog as count distinct (A2)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return R.multi_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+            F.round(F.min("l_quantity"), 4).alias("min_qty"),
+            F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        ],
+    )
+
+
+# --- J2: multi-way equi join (notebook cell 18 generalized) ----------------
+
+_JOIN_REVENUE_ORACLE = """
+SELECT
+    n.n_name                                   AS nation,
+    year(o.o_orderdate)                        AS order_year,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    count(*)                                   AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("join_revenue_by_nation_year", oracle=_JOIN_REVENUE_ORACLE)
+def join_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders⋈customer⋈nation revenue rollup.
+
+    Join strategy for 100 TB: nation (25 rows) and customer (bounded
+    dim) are broadcast so the only shuffle of the fact table is the
+    lineitem⋈orders equi join + the final partial-aggregated groupBy.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    od = c.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    cu = c.customer.select("c_custkey", "c_nationkey")
+    na = c.nation.select("n_nationkey", "n_name")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- J3: left outer join (notebook cell 19 generalized) --------------------
+
+_LEFT_JOIN_ORACLE = """
+SELECT
+    c.c_custkey,
+    c.c_name,
+    count(o.o_orderkey)                          AS n_open_orders,
+    round(coalesce(sum(o.o_totalprice), 0), 2)   AS open_total
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+       ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@query("left_join_order_counts", oracle=_LEFT_JOIN_ORACLE)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer left-join open orders; customers with none keep a zero
+    row (count over the null-extended right side)."""
+    c = Catalog(spark, sf_dir)
+    open_orders = c.orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cu = c.customer.select("c_custkey", "c_name")
+    return (
+        R.equi_join(cu, open_orders, on=cu.c_custkey == open_orders.o_custkey, how="left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_open_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "open_total"
+            ),
+        )
+    )
+
+
+# --- Semi / anti joins (engine additions per SURVEY §2.3) ------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+)
+"""
+
+
+@query("semi_join_big_spenders", oracle=_SEMI_ORACLE)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one >450k order. The
+    right side is projected to the join key only before the semi join."""
+    c = Catalog(spark, sf_dir)
+    big = c.orders.filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    return c.customer.select("c_custkey", "c_name", "c_acctbal").join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+"""
+
+
+@query("anti_join_inactive_customers", oracle=_ANTI_ORACLE)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no open ('O') orders."""
+    c = Catalog(spark, sf_dir)
+    open_orders = c.orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return c.customer.select("c_custkey", "c_name").join(
+        open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+
+
+# --- J1 + O1: bounded, ordered cross join ----------------------------------
+
+_CROSS_ORACLE = """
+SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 10) n
+CROSS JOIN region r
+"""
+
+
+@query("cross_join_limited", oracle=_CROSS_ORACLE)
+def cross_join_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join with a bounded small side (jobs/03_silver_to_gold.py:
+    77-85). Deviation from reference: the limited side is ordered first
+    so the result is deterministic (SURVEY §2.6 O1)."""
+    c = Catalog(spark, sf_dir)
+    return R.bounded_cross_join(
+        c.nation.select("n_nationkey", "n_name"),
+        c.region.select("r_regionkey", "r_name"),
+        limit=10,
+        order_by="n_nationkey",
+    )
+
+
+# --- A6: pivot / crosstab ---------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = """
+SELECT
+    CAST(ts AS DATE) AS event_date,
+    count(*) FILTER (WHERE event_type = 'click')    AS click,
+    count(*) FILTER (WHERE event_type = 'error')    AS error,
+    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+    count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+    count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query("pivot_events_daily", oracle=_PIVOT_ORACLE)
+def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-day × event-type crosstab (notebook cell 16). The
+    pivot domain is pinned (no distinct-value pre-pass at scale)."""
+    ev = Catalog(spark, sf_dir).events
+    return R.pivot_count(
+        ev, F.to_date("ts").alias("event_date"), "event_type", _EVENT_TYPES
+    )
+
+
+# --- A7: null profile --------------------------------------------------------
+
+_NULL_PROFILE_ORACLE = """
+SELECT
+    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)     AS null_c_custkey,
+    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)    AS null_o_orderkey,
+    sum(CASE WHEN o.o_totalprice IS NULL THEN 1 ELSE 0 END)  AS null_o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+       ON c.c_custkey = o.o_custkey
+"""
+
+
+@query("null_profile", oracle=_NULL_PROFILE_ORACLE)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column null counts (notebook cell 21) over a
+    null-producing left join."""
+    c = Catalog(spark, sf_dir)
+    open_orders = c.orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    joined = c.customer.select("c_custkey").join(
+        open_orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return R.null_profile(joined, ["c_custkey", "o_orderkey", "o_totalprice"])
+
+
+# --- A8: histogram -----------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT
+    CAST(least(greatest(floor((value - 0.0) / 20.0), 0), 24) AS INT) AS bucket,
+    count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("histogram_event_values", oracle=_HISTOGRAM_ORACLE)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25-bin fixed-range histogram over events.value (notebook cells
+    6/13): pure-expression bucketing, one partial-aggregated shuffle."""
+    ev = Catalog(spark, sf_dir).events
+    return R.histogram(ev, "value", lo=0.0, hi=500.0, nbins=25)
+
+
+# --- A9: per-group exact percentiles ----------------------------------------
+
+_PERCENTILES_ORACLE = """
+SELECT
+    l_returnflag,
+    round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+    round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+    round(quantile_cont(l_quantity, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentiles_by_returnflag", oracle=_PERCENTILES_ORACLE)
+def percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles per group (notebook cell 7 boxplot stats): exact
+    interpolated percentile matching DuckDB quantile_cont."""
+    li = Catalog(spark, sf_dir).lineitem
+    return R.group_percentiles(li, ["l_returnflag"], "l_quantity")
+
+
+# --- W4 + O-ops: top-k, per-group top-k --------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("topk_orders", oracle=_TOPK_ORACLE)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price (notebook cell 15 top-extremes).
+    orderBy+limit plans as TakeOrderedAndProject — per-partition heaps,
+    no full sort, no single-node shuffle of the whole table."""
+    od = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return R.topk(od, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn
+FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+           ) AS rn
+    FROM customer
+)
+WHERE rn <= 3
+"""
+
+
+@query("topk_customers_per_nation", oracle=_TOPK_PER_GROUP_ORACLE)
+def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation: row_number window with a
+    deterministic tiebreak (one shuffle by nation key)."""
+    cu = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return R.topk_per_group(
+        cu,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=3,
+    )
+
+
+# --- Rollup (engine addition per SURVEY §2.4) --------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+    l_returnflag, l_linestatus,
+    round(sum(l_quantity), 2) AS sum_qty,
+    count(*)                  AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_lineitem", oracle=_ROLLUP_ORACLE)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP: (flag, status), (flag), ()."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- Set ops (engine addition per SURVEY §2.6) -------------------------------
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("except_high_balance_no_f", oracle=_EXCEPT_ORACLE)
+def except_high_balance_no_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) set difference: high-balance customers minus
+    those with finished orders."""
+    c = Catalog(spark, sf_dir)
+    left = c.customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    right = (
+        c.orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return left.exceptAll(right.distinct()).distinct()
+
+
+# --- Exact dedup (north-star §2.10) ------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM (
+    SELECT event_id, user_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("dedup_first_event", oracle=_DEDUP_ORACLE)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup: earliest event per (user, type),
+    event_id tiebreak. The oracle casts ts to microseconds so both
+    engines order on identical precision."""
+    ev = Catalog(spark, sf_dir).events
+    return R.dedup_exact(
+        ev, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# --- JSON extraction (north-star text ops; events.props) ---------------------
+
+_JSON_ORACLE = """
+SELECT
+    event_type,
+    round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+    max(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_extract_props", oracle=_JSON_ORACLE)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON path extraction from the props column + aggregate."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
