@@ -1,0 +1,138 @@
+"""Time-series operators (SURVEY.md §2.5 W3, §2.8 batch windows, §7 step 5).
+
+Covers the reference notebook's rolling-mean trend analysis
+(``notebooks/climate_analysis.ipynb`` cell 11) and generalizes the
+`events` table's temporal analytics: tumbling/sliding time windows and
+gap-based sessionization — all as batch DataFrame ops with exact ANSI
+equivalents (streaming variants live in ``streaming/``).
+
+Scale notes: rolling/lag over an *unpartitioned* order column puts all
+rows in one window partition — only do that after a grain-reducing
+pre-aggregation (e.g. daily rollup first, then a 12-row window over
+days). Partitioned variants (per user/station) shuffle once by the
+partition key and scale linearly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_mean(
+    df: DataFrame,
+    order_col: str | Column,
+    value_col: str,
+    window: int,
+    partition_cols: Sequence[str] = (),
+    min_periods: int | None = None,
+    out_name: str = "rolling_mean",
+    scale: int = 4,
+) -> DataFrame:
+    """Trailing k-row rolling mean with pandas ``rolling(k)`` semantics.
+
+    Replicates notebook cell 11 (``rolling(window=12).mean()``): rows
+    before ``min_periods`` (default = window) observations yield null —
+    a count guard over the same frame, not a second window.
+    """
+    min_periods = window if min_periods is None else min_periods
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    mean = F.when(
+        F.count(value_col).over(w) >= min_periods,
+        F.round(F.avg(value_col).over(w), scale),
+    )
+    return df.withColumn(out_name, mean)
+
+
+def lag_delta(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    partition_cols: Sequence[str] = (),
+    out_name: str = "delta",
+    scale: int = 4,
+) -> DataFrame:
+    """Period-over-period delta: value − lag(value) (null for the first
+    row of each partition). The engine-added trend operator (SURVEY
+    §2.5 'not present: lag/lead')."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(
+        out_name, F.round(F.col(value_col) - F.lag(value_col).over(w), scale)
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Epoch-aligned tumbling time-window aggregation (batch form of
+    the streaming groupBy-window; SURVEY §2.8).
+
+    Emits ``window_start``/``window_end`` columns. One shuffle on
+    (window, extra_keys); the window expression is pure (no UDF), so
+    partial aggregation happens map-side.
+    """
+    win = F.window(ts_col, duration)
+    return (
+        df.groupBy(win.alias("w"), *extra_keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding (hopping) time-window aggregation: each row contributes
+    to duration/slide overlapping windows."""
+    win = F.window(ts_col, duration, slide)
+    return (
+        df.groupBy(win.alias("w"), *extra_keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap
+    since the user's previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum window composition (one shuffle by
+    user). Adds ``session_id`` (1-based per user, deterministic given
+    a tiebreak column for equal timestamps).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w_order = Window.partitionBy(user_col).orderBy(*order)
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    prev_ts = F.lag(ts_col).over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_running = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("session_id", F.sum(is_new).over(w_running))

@@ -37,3 +37,4 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Import side effects populate the registry.
 from climate_anomaly_bigdata_pipeline_spark.queries import anomaly  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import relational  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import timeseries  # noqa: E402,F401

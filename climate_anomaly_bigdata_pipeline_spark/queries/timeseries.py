@@ -1,0 +1,185 @@
+"""Time-series queries over events/orders (SURVEY §2.5 W3, §2.8, §7 step 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+# --- W3: trailing rolling mean over a pre-aggregated daily series -----------
+
+_ROLLING_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS event_date, avg(value) AS daily_avg
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+)
+SELECT
+    event_date,
+    round(daily_avg, 4) AS daily_avg,
+    CASE WHEN count(*) OVER w >= 7
+         THEN round(avg(daily_avg) OVER w, 4)
+    END AS rolling_avg_7d
+FROM daily
+WINDOW w AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_daily_mean", oracle=_ROLLING_ORACLE)
+def rolling_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing mean of the daily value series with pandas
+    ``rolling(7)`` null semantics (notebook cell 11's 12-month rolling
+    mean, re-grained to this corpus's one-month event span).
+
+    The global (unpartitioned) window is safe because the daily
+    pre-aggregation reduces the data to |days| rows first — the shuffle
+    moves day-grain aggregates, never raw events.
+    """
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.avg("value").alias("daily_avg")
+    )
+    out = TS.rolling_mean(
+        daily, "event_date", "daily_avg", window=7, out_name="rolling_avg_7d"
+    )
+    return out.select(
+        "event_date", F.round("daily_avg", 4).alias("daily_avg"), "rolling_avg_7d"
+    )
+
+
+# --- Engine-added lag/delta trend (SURVEY §2.5 extension) -------------------
+
+_LAG_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           sum(o_totalprice) AS revenue
+    FROM orders
+    GROUP BY 1
+)
+SELECT
+    order_month,
+    round(revenue, 2) AS revenue,
+    round(revenue - lag(revenue) OVER (ORDER BY order_month), 2) AS delta
+FROM monthly
+"""
+
+
+@query("monthly_revenue_delta", oracle=_LAG_ORACLE)
+def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta via lag (first month null)."""
+    od = Catalog(spark, sf_dir).orders
+    monthly = od.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    out = TS.lag_delta(monthly, ["order_month"], "revenue", out_name="delta", scale=2)
+    return out.select(
+        "order_month", F.round("revenue", 2).alias("revenue"), "delta"
+    )
+
+
+# --- Batch tumbling / sliding time windows (SURVEY §2.8) --------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+    count(*)             AS n_events,
+    round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("tumbling_hourly_events", oracle=_TUMBLING_ORACLE)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 1-hour tumbling window counts/sums over events —
+    the batch equivalent of the streaming groupBy-window."""
+    ev = Catalog(spark, sf_dir).events
+    out = TS.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select("window_start", "n_events", "sum_value")
+
+
+_SLIDING_ORACLE = """
+WITH bucketed AS (
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b, value
+    FROM events
+), expanded AS (
+    SELECT b AS window_start, value FROM bucketed
+    UNION ALL
+    SELECT b - INTERVAL '1 hour' AS window_start, value FROM bucketed
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM expanded
+GROUP BY window_start
+"""
+
+
+@query("sliding_2h_events", oracle=_SLIDING_ORACLE)
+def sliding_2h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: every event lands in exactly
+    two overlapping windows (the oracle expands each hourly bucket into
+    its two covering window starts)."""
+    ev = Catalog(spark, sf_dir).events
+    out = TS.sliding_window_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select("window_start", "n_events", "sum_value")
+
+
+# --- Sessionization (engine addition; 'Common OLAP patterns') ---------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT
+        user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us,
+        CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessions AS (
+    SELECT user_id, event_id, ts_us,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM flagged
+)
+SELECT
+    user_id, session_id,
+    count(*) AS n_events,
+    epoch_us(max(ts_us)) - epoch_us(min(ts_us)) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_events", oracle=_SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) per user: lag + running
+    sum, then per-session stats. One shuffle by user_id shared by both
+    windows and the final aggregation."""
+    ev = Catalog(spark, sf_dir).events
+    sess = TS.sessionize(ev, "ts", "user_id", gap_minutes=30, tiebreak_col="event_id")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
