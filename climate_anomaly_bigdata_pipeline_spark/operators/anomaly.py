@@ -89,6 +89,42 @@ def zscore(
     return out
 
 
+def zscore_exact(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    z_name: str = "z_score",
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group z-score with *order-independent* moment sums.
+
+    ``avg``/``stddev`` over doubles accumulate in shuffle order, so two
+    engines (or two runs with different partitioning) can disagree in
+    the last bits — visible after rounding when a value sits near a
+    boundary. This variant sums x and x² in exact DECIMAL (associative,
+    commutative), then derives mean/std in double with a fixed operation
+    order, making z bit-identical across engines for identical input.
+
+    Trade-off: the textbook E[x²]−E[x]² form loses precision when
+    std ≪ mean (guarded to 0 via ``greatest``); acceptable for analytic
+    z-scores, not for high-precision statistics.
+    """
+    from climate_anomaly_bigdata_pipeline_spark.functions import dec_m
+
+    w = Window.partitionBy(*partition_cols)
+    x = F.col(value_col)
+    s1 = F.sum(dec_m(x)).over(w).cast("double")
+    s2 = F.sum(dec_m(x) * dec_m(x)).over(w).cast("double")
+    n = F.count(x).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when((n < 2) | (std == 0), F.lit(0.0)).otherwise(
+        F.round((x - mean) / std, scale)
+    )
+    return df.withColumn(z_name, z)
+
+
 def classify_extremes(
     df: DataFrame,
     z_col: str = "z_score",

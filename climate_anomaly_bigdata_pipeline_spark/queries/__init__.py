@@ -38,3 +38,5 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from climate_anomaly_bigdata_pipeline_spark.queries import anomaly  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import relational  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import timeseries  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import gold  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import parsing  # noqa: E402,F401

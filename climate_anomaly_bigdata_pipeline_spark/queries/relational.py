@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from climate_anomaly_bigdata_pipeline_spark import functions as FN
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
 from climate_anomaly_bigdata_pipeline_spark.queries import query
@@ -24,7 +25,8 @@ SELECT
     round(max(l_quantity), 4)          AS max_qty,
     round(min(l_quantity), 4)          AS min_qty,
     round(stddev_samp(l_quantity), 4)  AS std_qty,
-    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
     count(*)                           AS n_rows,
     count(DISTINCT l_suppkey)          AS n_suppliers
 FROM lineitem
@@ -46,9 +48,7 @@ def groupby_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_quantity"), 4).alias("max_qty"),
             F.round(F.min("l_quantity"), 4).alias("min_qty"),
             F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         ],
@@ -61,7 +61,8 @@ _JOIN_REVENUE_ORACLE = """
 SELECT
     n.n_name                                   AS nation,
     year(o.o_orderdate)                        AS order_year,
-    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
     count(*)                                   AS n_items
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -93,9 +94,7 @@ def join_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").alias("order_year"),
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -107,7 +106,7 @@ SELECT
     c.c_custkey,
     c.c_name,
     count(o.o_orderkey)                          AS n_open_orders,
-    round(coalesce(sum(o.o_totalprice), 0), 2)   AS open_total
+    CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS open_total
 FROM customer c
 LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
        ON c.c_custkey = o.o_custkey
@@ -129,9 +128,9 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_open_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "open_total"
-            ),
+            F.round(F.coalesce(F.sum(FN.dec("o_totalprice")), F.lit(0.0)), 2)
+            .cast("double")
+            .alias("open_total"),
         )
     )
 

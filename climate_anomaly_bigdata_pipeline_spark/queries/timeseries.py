@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from climate_anomaly_bigdata_pipeline_spark import functions as FN
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
 from climate_anomaly_bigdata_pipeline_spark.queries import query
@@ -55,13 +56,13 @@ def rolling_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAG_ORACLE = """
 WITH monthly AS (
     SELECT date_trunc('month', o_orderdate) AS order_month,
-           sum(o_totalprice) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1
 )
 SELECT
     order_month,
-    round(revenue, 2) AS revenue,
+    revenue,
     round(revenue - lag(revenue) OVER (ORDER BY order_month), 2) AS delta
 FROM monthly
 """
@@ -73,11 +74,9 @@ def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = Catalog(spark, sf_dir).orders
     monthly = od.groupBy(
         F.date_trunc("month", "o_orderdate").alias("order_month")
-    ).agg(F.sum("o_totalprice").alias("revenue"))
+    ).agg(FN.dec_sum("o_totalprice", 2, "revenue"))
     out = TS.lag_delta(monthly, ["order_month"], "revenue", out_name="delta", scale=2)
-    return out.select(
-        "order_month", F.round("revenue", 2).alias("revenue"), "delta"
-    )
+    return out.select("order_month", "revenue", "delta")
 
 
 # --- Batch tumbling / sliding time windows (SURVEY §2.8) --------------------
@@ -86,7 +85,7 @@ _TUMBLING_ORACLE = """
 SELECT
     time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
     count(*)             AS n_events,
-    round(sum(value), 4) AS sum_value
+    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1
 """
@@ -103,7 +102,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 hour",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            FN.dec_sum("value", 4, "sum_value"),
         ],
     )
     return out.select("window_start", "n_events", "sum_value")
@@ -118,7 +117,7 @@ WITH bucketed AS (
     UNION ALL
     SELECT b - INTERVAL '1 hour' AS window_start, value FROM bucketed
 )
-SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+SELECT window_start, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM expanded
 GROUP BY window_start
 """
@@ -137,7 +136,7 @@ def sliding_2h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 hour",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            FN.dec_sum("value", 4, "sum_value"),
         ],
     )
     return out.select("window_start", "n_events", "sum_value")

@@ -37,6 +37,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # The reference runs Spark 3.5 (ANSI off): a failed cast yields
+        # null, which its parsers rely on (SURVEY §2.2 P3). Spark 4
+        # defaults ANSI on; pin it off to preserve those semantics
+        # (equivalently: try_cast everywhere).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
