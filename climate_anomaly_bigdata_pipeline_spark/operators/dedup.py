@@ -1,0 +1,270 @@
+"""Near-duplicate detection for training-data pipelines (SURVEY §2.10).
+
+Four standard recipes, all engine-portable (md5-derived hashes, never
+Spark's Murmur3 ``hash`` — SURVEY §2.7 portability note):
+
+* :func:`jaccard_pairs` — exact word-n-gram Jaccard similarity join.
+* :func:`minhash_signatures` + :func:`lsh_candidates` — MinHash + LSH
+  banding: the scale path. k md5-derived hash functions per shingle,
+  per-document min, band signatures, bucket self-join.
+* :func:`simhash` — 16-bit SimHash per document (sign-aggregated token
+  hash bits); equal values are near-dup candidates.
+* :func:`embedding_neardup_pairs` — cosine-threshold self-join over an
+  embedding column (brute force; LSH-bucketed variant in similarity.py).
+
+Scale notes: the exact Jaccard join explodes on shingles — its self-join
+is quadratic in documents-per-shingle, so at 100 TB drop "stop
+shingles" (appearing in more than ``max_doc_freq`` docs) first; that's
+both a correctness improvement (boilerplate shingles carry no signal)
+and the only way the join stays bounded. MinHash-LSH replaces the
+quadratic join with a per-band bucket join — candidates only — which is
+the recipe that actually scales; tune (k, bands) for the target
+similarity threshold via the standard S-curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators.text import tokens_expr
+
+
+def md5_hash32(col: Column, seed: int) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5(seed:value).
+    Identical in any engine with md5 + hex parsing (DuckDB:
+    ``CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (empty array when
+    the document has fewer than n tokens)."""
+    toks = tokens_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (id1 < id2) with
+    |S1∩S2| / |S1∪S2| >= threshold.
+
+    ``max_doc_freq`` drops shingles shared by more than that many
+    documents before the pair join — the stop-shingle guard that keeps
+    the join from going quadratic on boilerplate at scale.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(F.col(id_col).alias("id1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+    )
+
+
+#: Prime just above 2^32 for the affine MinHash permutation family.
+MINHASH_PRIME = 4_294_967_311
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine coefficients derived driver-side via
+    hashlib md5 — reproducible in any engine as plain literals.
+    a < 2^30 keeps a*h < 2^62: no BIGINT overflow in either engine."""
+    import hashlib
+
+    params = []
+    for i in range(k):
+        ha = hashlib.md5(f"{seed}:a:{i}".encode()).hexdigest()
+        hb = hashlib.md5(f"{seed}:b:{i}".encode()).hexdigest()
+        a = (int(ha[:8], 16) % ((1 << 30) - 1)) + 1
+        b = int(hb[:8], 16)
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    One md5 per shingle (the expensive part), then k cheap affine
+    permutations ``(a_i·h + b_i) mod P`` — the classic universal-hash
+    family — instead of k md5 evaluations (~k× less hashing in the hot
+    path). One explode + one grouped aggregation: the k min-aggs share
+    a single shuffle and combine map-side.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    h0 = md5_hash32(F.col("shingle"), 0)
+    aggs = [
+        F.min((F.lit(a) * h0 + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding over MinHash signatures: documents sharing any band
+    (r = k/bands consecutive signature values) are candidate pairs.
+
+    The band value is md5 of the comma-joined row — a string key that
+    buckets identically in any engine. Output: distinct (id1 < id2).
+    """
+    r = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(F.col(id_col), F.col("bv.band_idx"), F.col("bv.band_val"))
+    a = stacked.select(
+        F.col(id_col).alias("id1"), "band_idx", "band_val"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("id2"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash per document: for each bit position j, sum ±1 over the
+    document's tokens according to bit j of the token's 32-bit md5
+    hash; bit j of the result is set when the sum is positive.
+
+    Token multiplicity is kept (standard SimHash term weighting).
+    Near-duplicates land on equal (or small-Hamming-distance) values.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    th = md5_hash32(F.col("tok"), 0)
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(th, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over array<double> — bit-identical
+    to DuckDB's list_dot_product (verified empirically)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Brute-force cosine self-join: pairs (id1 < id2) with cosine >=
+    threshold. Quadratic — the correctness baseline; use the LSH-bucketed
+    variant (similarity module) as the scale path.
+
+    Norms are computed once per vector *before* the join (linear work)
+    so each of the O(n²) pairs evaluates a single dot-product fold
+    instead of three — the folds are interpreted (not codegen'd), so
+    this is a 3× cut of the dominant cost. cosine = dot/(norm1·norm2)
+    is the same expression tree, so oracle values are unchanged.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
+    b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (SURVEY §2.10).
+
+* :func:`cosine_topk` — brute-force cosine top-k against a query
+  vector: the correctness baseline. One broadcast of the query row, a
+  pure-expression fold per candidate, TakeOrdered for the top-k — no
+  shuffle of the embedding table at all.
+* :func:`with_lsh_bucket` + :func:`lsh_bucket_topk` — the scale path:
+  sign-of-random-projection LSH. Hyperplane weights are ±1 vectors
+  derived from md5 in *Python* (deterministic, engine-independent) and
+  embedded as literals, so an external oracle can reproduce bucketing
+  bit-for-bit. Candidates are restricted to the query's bucket —
+  at 100 TB this turns a full-corpus scan into one bucket's partition
+  (bucket by this key on write for partition pruning), trading recall
+  for a ~2^planes fan-in reduction; increase recall with multi-probe
+  (visit buckets at Hamming distance 1) or several independent tables.
+
+The in-row dot product (``zip_with`` + sequential ``aggregate`` fold)
+is bit-identical to DuckDB's ``list_dot_product`` (verified), keeping
+cosine scores oracle-checkable without rounding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators.dedup import cosine_expr, dot_expr
+
+__all__ = [
+    "hyperplane_weights",
+    "cosine_topk",
+    "with_lsh_bucket",
+    "lsh_bucket_topk",
+    "dot_expr",
+    "cosine_expr",
+]
+
+
+def hyperplane_weights(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1.0 hyperplane weights from md5(seed:plane:dim).
+
+    Computed driver-side with hashlib — no engine hash involved — so the
+    same literals can be pasted into any oracle SQL.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _lit_vec(weights: list[float]) -> Column:
+    return F.array(*[F.lit(w) for w in weights])
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit h set iff dot(vec, plane_h) > 0."""
+    out = None
+    for h, w in enumerate(planes):
+        bit = F.when(dot_expr(vec, _lit_vec(w)) > 0, F.lit(1 << h)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+    out: str = "bucket",
+) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(df.select(vec_col).first()[0])
+    planes = planes or hyperplane_weights(n_planes, dim)
+    return df.withColumn(out, bucket_expr(v, planes))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k nearest neighbors (cosine) of one corpus vector."""
+    # Norms hoisted out of the per-pair expression (the folds are
+    # interpreted, so one fold per candidate instead of three).
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    q = e.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """IVF/LSH-style ANN: score only vectors in the query's bucket.
+
+    Same output shape as :func:`cosine_topk`; recall < 1 by design —
+    the oracle checks the bucketing + scoring logic, the quality
+    trade-off is the operator's documented contract.
+    """
+    bucketed = with_lsh_bucket(df, vec_col, planes, n_planes)
+    e = bucketed.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    q = e.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "bucket", "cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.10).
+
+Tokenization, term statistics, language-ID heuristics, quality scoring,
+and document fingerprinting over a long-text column — all pure column
+expressions (no UDFs): they run inside whole-stage codegen and scale
+with the scan. Every recipe here is portable to ANSI-ish SQL so the
+DuckDB oracle can mirror it exactly (md5 for fingerprints — not
+Spark's Murmur3 ``hash``, which is engine-specific; SURVEY §2.7).
+
+Scale notes: term-frequency explodes tokens (row count × avg tokens);
+at 100 TB push any per-document filter before the explode, and cap
+top-k with a deterministic tiebreak rather than collecting counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small default stopword list present in the synthetic corpus and in
+#: real English text alike.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_expr(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens of lower-cased, trimmed text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_expr(text_col))
+
+
+def term_frequency(
+    df: DataFrame, text_col: str = "text", term_name: str = "term"
+) -> DataFrame:
+    """Corpus-wide term frequency: tokenize → explode → count."""
+    return (
+        df.select(F.explode(tokens_expr(text_col)).alias(term_name))
+        .groupBy(term_name)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", scale: int = 4
+) -> DataFrame:
+    """Per-document token statistics: counts, average token length, a
+    BPE-ish subword estimate (ceil(len/4) per token, the common
+    ~4-chars-per-token heuristic), and stopword ratio.
+
+    Implemented as explode → grouped conditional aggregation → join
+    back, NOT per-row array folds: Spark's higher-order functions
+    (``aggregate``/``filter`` lambdas) run interpreted outside
+    whole-stage codegen and re-evaluate the tokenizer per expression —
+    ~20× slower at corpus scale. The explode route is one shuffle of
+    (id, token) pairs, fully codegen'd, and partially aggregated
+    map-side. All arithmetic is integer until the final ratios, so the
+    results are exact and engine-portable.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok"))
+    tl = F.length("__tok")
+    stats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.ceil(tl / 4).cast("int")).cast("int").alias("bpe_token_est"),
+        F.sum(tl).alias("__char_sum"),
+        F.sum(F.col("__tok").isin(*EN_STOPWORDS).cast("int")).alias("__stop_hits"),
+    )
+    out = df.join(stats, id_col)
+    return out.withColumns(
+        {
+            "avg_token_len": F.round(
+                F.col("__char_sum").cast("double") / F.col("n_tokens").cast("double"),
+                scale,
+            ),
+            "stopword_ratio": F.round(
+                F.col("__stop_hits").cast("double") / F.col("n_tokens").cast("double"),
+                scale,
+            ),
+        }
+    ).drop("__char_sum", "__stop_hits")
+
+
+def quality_score(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    stopword_ratio_col: str = "stopword_ratio",
+    avg_token_len_col: str = "avg_token_len",
+    out: str = "quality",
+) -> DataFrame:
+    """Three-way quality classification (the reference's when/otherwise
+    chain idiom, ``jobs/03_silver_to_gold.py:101-105``): short or
+    stopword-free documents are LOW, long natural-looking ones HIGH."""
+    return df.withColumn(
+        out,
+        F.when(
+            (F.col(n_tokens_col) < 10) | (F.col(stopword_ratio_col) <= 0), "LOW"
+        )
+        .when(
+            (F.col(n_tokens_col) >= 40)
+            & (F.col(stopword_ratio_col) >= 0.05)
+            & (F.col(avg_token_len_col) <= 8),
+            "HIGH",
+        )
+        .otherwise("MEDIUM"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = EN_STOPWORDS,
+    threshold: float = 0.03,
+    out: str = "lang_pred",
+    scale: int = 4,
+) -> DataFrame:
+    """Stopword-ratio language heuristic: predict ``en`` when the
+    English stopword ratio clears the threshold, else ``unknown``.
+    (A real system scores several languages' stopword sets the same
+    way and argmaxes — one column per language, same expressions.)"""
+    toks = tokens_expr(text_col)
+    ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double")
+        / F.size(toks).cast("double"),
+        scale,
+    )
+    return df.withColumn("en_score", ratio).withColumn(
+        out, F.when(F.col("en_score") >= threshold, "en").otherwise("unknown")
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic, engine-portable document fingerprint:
+    md5 of whitespace-normalized, lower-cased text."""
+    norm = F.array_join(tokens_expr(text_col), " ")
+    return df.withColumn(out, F.md5(norm))

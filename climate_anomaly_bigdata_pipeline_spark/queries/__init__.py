@@ -40,3 +40,7 @@ from climate_anomaly_bigdata_pipeline_spark.queries import relational  # noqa: E
 from climate_anomaly_bigdata_pipeline_spark.queries import timeseries  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import gold  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import parsing  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import textops  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import dedupq  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import similarityq  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import multimodalq  # noqa: E402,F401

@@ -1,0 +1,218 @@
+"""Near-duplicate detection queries (SURVEY §2.10): exact Jaccard join,
+MinHash+LSH candidates, SimHash signatures, embedding cosine near-dups.
+
+Each runs on a corpus with *injected* near-duplicates (a deterministic
+mutated copy of every 7th document / 4th vector) so results are
+non-degenerate and oracle-checkable. SQL oracles are generated from the
+same (k, bands, bits) parameters as the Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+# ---- shared corpus construction --------------------------------------------
+
+_CORPUS_CTE = r"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           regexp_replace(text, '\s+\S+$', '') AS text
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a near-dup mutant (last word dropped) of every 7th doc."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return docs.unionByName(mutants)
+
+
+# ---- exact n-gram Jaccard join ----------------------------------------------
+
+# 5-gram shingles: the synthetic corpus has a ~30-word vocabulary, so
+# trigrams are shared by hundreds of documents ("stop shingles") and a
+# shingle-join goes quadratic; 5-grams are effectively document-unique
+# while a last-word mutant still shares all but ~5 of them.
+_SHINGLE_N = 5
+
+_SHINGLE_CTE = rf"""
+toks AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t FROM corpus
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(0, len(t) - {_SHINGLE_N - 1}),
+                                 i -> array_to_string(t[i+1:i+{_SHINGLE_N}], ' ')))
+               AS shingle
+    FROM toks
+)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id1, id2, shared, s1.n AS n1, s2.n AS n2,
+       CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs (threshold 0.8) — each
+    (long-enough) injected mutant pairs with its source document."""
+    return DD.jaccard_pairs(
+        _doc_corpus(spark, sf_dir), n=_SHINGLE_N, threshold=0.8
+    )
+
+
+# ---- MinHash + LSH ----------------------------------------------------------
+
+_K, _BANDS = 16, 4
+_R = _K // _BANDS
+
+
+def _minhash_oracle() -> str:
+    params = DD.minhash_params(_K)
+    h0 = "CAST(concat('0x', substr(md5(concat('0:', shingle)), 1, 8)) AS BIGINT)"
+    mins = ",\n        ".join(
+        f"min(({a} * {h0} + {b}) % {DD.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = ",\n        ".join(
+        "md5(concat_ws(','"
+        + "".join(f", mh_{b * _R + j}" for j in range(_R))
+        + f")) AS band_{b}"
+        for b in range(_BANDS)
+    )
+    stacked = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM banded"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+        {mins}
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id,
+        {bands}
+    FROM sig
+),
+stacked AS (
+{stacked}
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM stacked a
+JOIN stacked b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@query("minhash_lsh_candidates", oracle=_minhash_oracle())
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=16) + LSH banding (4 bands × 4 rows) candidate pairs —
+    the scalable near-dup path: no quadratic join, only band-bucket
+    collisions. md5-derived hashes keep it engine-portable."""
+    corpus = _doc_corpus(spark, sf_dir)
+    sig = DD.minhash_signatures(corpus, k=_K, n=_SHINGLE_N)
+    return DD.lsh_candidates(sig, k=_K, bands=_BANDS)
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n        ".join(
+        f"sum(((th >> {j}) & 1) * 2 - 1) AS s_{j}" for j in range(_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_BITS)
+    )
+    return rf"""
+WITH {_CORPUS_CTE},
+toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM corpus
+),
+h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 8)) AS BIGINT) AS th
+    FROM toks
+),
+sums AS (
+    SELECT doc_id,
+        {sums}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, {recombine} AS simhash
+FROM sums
+"""
+
+
+@query("simhash_signatures", oracle=_simhash_oracle())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per corpus document (sign-aggregated md5 token
+    bits, term multiplicity kept); equal/near values are candidates."""
+    return DD.simhash(_doc_corpus(spark, sf_dir), bits=_BITS)
+
+
+# ---- Embedding cosine near-dup ----------------------------------------------
+
+_EMB_NEARDUP_ORACLE = """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cosine
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+"""
+
+
+@query("embedding_neardup_pairs", oracle=_EMB_NEARDUP_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs (≥0.99) over a corpus where
+    every 4th embedding is duplicated under a new id — each copy must
+    pair with its source. Scores are bit-exact across engines (shared
+    sequential-fold dot product), so no rounding is applied."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    corpus = emb.unionByName(copies).select("vec_id", "embedding")
+    return DD.embedding_neardup_pairs(corpus, threshold=0.99)

@@ -1,0 +1,90 @@
+"""Similarity-search queries (SURVEY §2.10): brute-force cosine top-k
+and the LSH-bucketed ANN variant, both oracle-checked (shared
+deterministic hyperplane literals)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+_QUERY_ID = 7
+_K = 10
+_DIM = 64
+_N_PLANES = 4
+_PLANES = SIM.hyperplane_weights(_N_PLANES, _DIM)
+
+_COSINE_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_TOPK_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = {_QUERY_ID})
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       {_COSINE_SQL.format(a="e.v", b="q.qv")} AS cosine
+FROM e, q
+WHERE e.vec_id != {_QUERY_ID}
+ORDER BY cosine DESC, neighbor_id
+LIMIT {_K}
+"""
+
+
+@query("cosine_topk", oracle=_TOPK_ORACLE)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of vector 7: broadcast query
+    row, in-row fold per candidate (bit-exact across engines),
+    TakeOrdered top-k — the embedding table itself never shuffles."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.cosine_topk(emb, query_id=_QUERY_ID, k=_K)
+
+
+def _sql_vec(w: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_sql_vec(w)}) > 0 THEN {1 << h} ELSE 0 END)"
+        for h, w in enumerate(_PLANES)
+    ]
+    return " + ".join(terms)
+
+
+_LSH_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+    FROM b WHERE vec_id = {_QUERY_ID}
+)
+SELECT q.query_id, b.vec_id AS neighbor_id, b.bucket,
+       {_COSINE_SQL.format(a="b.v", b="q.qv")} AS cosine
+FROM b, q
+WHERE b.vec_id != {_QUERY_ID} AND b.bucket = q.qbucket
+ORDER BY cosine DESC, neighbor_id
+LIMIT {_K}
+"""
+
+
+@query("lsh_ann_topk", oracle=_LSH_ORACLE)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-of-projection LSH (4 deterministic ±1
+    hyperplanes, literals shared with the oracle): candidates restricted
+    to the query's bucket — the 100 TB path (bucket ≈ partition key),
+    trading recall for a 2^4 candidate reduction."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.lsh_bucket_topk(
+        emb, query_id=_QUERY_ID, k=_K, planes=_PLANES, n_planes=_N_PLANES
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis queries over the documents table (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.operators import text as TX
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+_TF_ORACLE = r"""
+WITH toks AS (
+    SELECT unnest(str_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents
+), counts AS (
+    SELECT term, count(*) AS n FROM toks GROUP BY term
+)
+SELECT term, n FROM counts
+ORDER BY n DESC, term
+LIMIT 50
+"""
+
+
+@query("term_frequency_top50", oracle=_TF_ORACLE)
+def term_frequency_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top 50 with deterministic tiebreak
+    (tokenize → explode → count → ordered limit)."""
+    docs = Catalog(spark, sf_dir).documents
+    tf = TX.term_frequency(docs)
+    return R.topk(tf, [F.col("n").desc(), F.col("term")], 50)
+
+
+_STOPWORD_LIST_SQL = "('" + "', '".join(TX.EN_STOPWORDS) + "')"
+
+_QUALITY_ORACLE = rf"""
+WITH stats AS (
+    SELECT
+        doc_id, lang, n_chars,
+        str_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM documents
+), scored AS (
+    SELECT
+        doc_id, lang, n_chars,
+        len(toks) AS n_tokens,
+        list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4) AS INT)))
+            AS bpe_token_est,
+        round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+        round(CAST(len(list_filter(toks, t -> t IN {_STOPWORD_LIST_SQL})) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio
+    FROM stats
+)
+SELECT *,
+    CASE WHEN n_tokens < 10 OR stopword_ratio <= 0 THEN 'LOW'
+         WHEN n_tokens >= 40 AND stopword_ratio >= 0.05 AND avg_token_len <= 8
+              THEN 'HIGH'
+         ELSE 'MEDIUM'
+    END AS quality
+FROM scored
+"""
+
+
+@query("doc_quality_scores", oracle=_QUALITY_ORACLE)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token stats + three-way quality classification —
+    pure expressions, no UDFs, portable integer/double arithmetic."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars", "text")
+    out = TX.quality_score(TX.token_stats(docs))
+    return out.drop("text")
+
+
+_LANG_ORACLE = rf"""
+WITH stats AS (
+    SELECT
+        doc_id, lang,
+        str_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+        round(CAST(len(list_filter(toks, t -> t IN {_STOPWORD_LIST_SQL})) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE), 4) AS en_score
+    FROM stats
+)
+SELECT doc_id, lang, en_score,
+       CASE WHEN en_score >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM scored
+"""
+
+
+@query("lang_id_heuristic", oracle=_LANG_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language identification (n-gram-heuristic class);
+    compare ``lang_pred`` against the table's labeled ``lang``."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "text")
+    return TX.lang_id(docs).drop("text")
+
+
+_FINGERPRINT_ORACLE = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), fp AS (
+    SELECT doc_id,
+           md5(array_to_string(str_split_regex(lower(trim(text)), '\s+'), ' '))
+               AS fingerprint
+    FROM corpus
+)
+SELECT fingerprint, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
+
+
+@query("fingerprint_duplicates", oracle=_FINGERPRINT_ORACLE)
+def fingerprint_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection via md5 fingerprints on a corpus with
+    injected duplicates (every 5th doc re-appears under a new id); the
+    canonical representative is the min doc_id — deterministic."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dupes)
+    fp = TX.fingerprint(corpus)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1,0 +1,81 @@
+"""Streaming time-window aggregation (SURVEY §2.8).
+
+The reference is batch-only; the engine's batch tumbling/sliding
+windows (operators/timeseries.py) have these Structured Streaming
+twins: same ``F.window`` expressions, plus watermarking for late data
+and state cleanup. For local verification, a parquet-backed stream is
+driven to completion synchronously and compared against the batch
+operator (tests/test_streaming.py) — on a cluster, swap the source for
+Kafka and the sink for a real table; the query graph is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-backed events stream with the same nanos→micros repair
+    as the batch Catalog (catalog.Catalog._normalize)."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # The streaming file source wants a directory; select just the
+    # events file from the scale-factor dir via pathGlobFilter.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over a stream.
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted — the knob that keeps state
+    size constant on an unbounded stream.
+    """
+    win = (
+        F.window("ts", duration) if slide is None else F.window("ts", duration, slide)
+    )
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("n_events")]
+    out = events.withWatermark("ts", watermark).groupBy(win.alias("w")).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        *[F.col(c) for c in out.columns if c != "w"],
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a (bounded) stream to completion into an in-memory table
+    and return it as a batch DataFrame — the local smoke harness."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

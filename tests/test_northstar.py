@@ -1,0 +1,120 @@
+"""Tests for the training-data-pipeline extensions: text analysis,
+dedup (Jaccard / MinHash-LSH / SimHash / embedding), similarity search,
+multimodal plumbing (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+from climate_anomaly_bigdata_pipeline_spark.operators import multimodal as MM
+from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+from climate_anomaly_bigdata_pipeline_spark.operators import text as TX
+from tests.oracle_utils import run_check
+
+NORTHSTAR_QUERIES = [
+    "term_frequency_top50",
+    "doc_quality_scores",
+    "lang_id_heuristic",
+    "fingerprint_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "multimodal_binary_profile",
+]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id int, text string")
+    [row] = df.select(DD.shingles_expr("text", 3).alias("sh")).collect()
+    assert row["sh"] == []
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id int, text string",
+    )
+    rows = DD.jaccard_pairs(df, threshold=0.9).collect()
+    assert [(r["id1"], r["id2"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "p q r s t u v w")],
+        "doc_id int, text string",
+    )
+    sig = DD.minhash_signatures(df, k=8)
+    pairs = {(r["id1"], r["id2"]) for r in DD.lsh_candidates(sig, k=8, bands=2).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
+
+
+def test_cosine_topk_finds_duplicate_vector(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = SIM.cosine_topk(df, query_id=0, k=2).collect()
+    assert top[0]["neighbor_id"] == 1 and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["neighbor_id"] == 3
+
+
+def test_lsh_bucket_contains_identical(spark):
+    rows = [(i, [float(i % 3 == j) for j in range(6)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bucketed = SIM.with_lsh_bucket(df, n_planes=3)
+    b = {r["vec_id"]: r["bucket"] for r in bucketed.collect()}
+    assert b[0] == b[3] == b[6]  # identical vectors share a bucket
+
+
+def test_multimodal_batched_matches_expressions(spark):
+    """The mapInPandas decode plumbing must reproduce the expression
+    path bit-for-bit (same schema, same digests)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark graft"), (3, "")],
+        "doc_id long, text string",
+    )
+    with_bin = MM.attach_binary(docs)
+    expr_path = {r["doc_id"]: r for r in MM.binary_features(with_bin).collect()}
+    udf_path = {r["doc_id"]: r for r in MM.extract_features_batched(with_bin).collect()}
+    assert expr_path.keys() == udf_path.keys()
+    for k in expr_path:
+        assert expr_path[k]["digest"] == udf_path[k]["digest"]
+        assert expr_path[k]["n_bytes"] == udf_path[k]["n_bytes"]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError, match="STUB"):
+        MM.decode_image(MM.attach_binary(docs))
+
+
+def test_quality_score_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "tiny doc"),  # < 10 tokens -> LOW
+            (2, " ".join(["the word grid"] * 20)),  # long + stopwords -> HIGH
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["quality"] for r in TX.quality_score(TX.token_stats(df)).collect()}
+    assert out == {1: "LOW", 2: "HIGH"}
+
+
+@pytest.mark.parametrize("name", NORTHSTAR_QUERIES)
+def test_oracle_northstar(spark, sf_dir, name):
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, msg
