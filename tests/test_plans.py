@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: the properties that make these queries
+survive a 100× scale-up must be visible in the executed plan —
+broadcast joins for dims, pushed filters, TakeOrdered for top-k, a
+single exchange for window analytics. A regression here is a perf bug
+even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_join_revenue_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["join_revenue_by_nation_year"](spark, sf_dir))
+    # customer + nation arrive via broadcast: no shuffle of the fact side
+    # for those joins.
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # partial (map-side) aggregation before the final exchange
+    assert "partial_sum" in plan or "Partial" in plan, plan
+
+
+def test_semi_join_filter_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["semi_join_big_spenders"](spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice,450000" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zscore_single_window_exchange(spark, sf_dir):
+    """Both window stats (avg, stddev) must share one Window node and
+    one hash exchange — not one shuffle per aggregate."""
+    import re
+
+    plan = plan_of(QUERIES["zscore_events"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """The flagship reads 4 of events' 6 columns — ReadSchema must show
+    the pruned projection, not the full row."""
+    plan = plan_of(QUERIES["zscore_anomaly"](spark, sf_dir))
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read and "props" not in read[0] and "ts" not in read[0], plan
+
+
+def test_cross_join_broadcasts_small_side(spark, sf_dir):
+    plan = plan_of(QUERIES["cross_join_limited"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["deterministic_sample", "cube_lineitem", "union_multi_source"]
+)
+def test_oracle_coverage(spark, sf_dir, name):
+    from tests.oracle_utils import run_check
+
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, msg
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.1 * r["exact_users"]
+        )
