@@ -60,6 +60,37 @@ def equi_join(
     return df.join(right, on=on, how=how)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi join: spread each hot key of the big side
+    over ``salt`` sub-keys and replicate the small side across them.
+
+    When one join key holds a disproportionate share of rows, a plain
+    shuffle join lands that key on a single task (the straggler that
+    dominates the stage at 100 TB). Salting rewrites the join to
+    ``(key, salt)`` so the hot key fans out over ``salt`` tasks; the
+    small side is exploded ×salt, which is only viable when it is
+    small — for two big skewed sides, prefer AQE's skew-join split
+    (enabled in this engine's session) or isolate the hot keys.
+
+    The salt is derived from xxhash64 of the big side's row (any value
+    works — correctness does not depend on it) so plans stay
+    deterministic.
+    """
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt))
+    )
+    small_replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return big_salted.join(small_replicated, [on, "__salt"], how).drop("__salt")
+
+
 def bounded_cross_join(
     df: DataFrame, other: DataFrame, limit: int | None = None, order_by: str | None = None
 ) -> DataFrame:

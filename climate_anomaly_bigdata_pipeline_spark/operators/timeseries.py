@@ -111,6 +111,62 @@ def sliding_window_agg(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``by`` keys.
+
+    Spark has no native ASOF JOIN; the naive inequality join is
+    O(left×right) per key. This is the scalable composition instead:
+    tag + union both sides, then one window pass per key carrying the
+    last-seen right payload forward — O((L+R) log(L+R)) with a single
+    hash shuffle on ``by``, the plan that survives 100 TB.
+
+    Right rows sort before left rows at equal timestamps, so an exact
+    tie matches (<= semantics, like DuckDB ``ASOF JOIN``). Inner
+    semantics: left rows with no prior right row are dropped. Output:
+    all left columns + right's non-key columns (name collisions must be
+    resolved by the caller beforehand).
+    """
+    by = list(by)
+    right_payload = [c for c in right.columns if c not in by]
+    lk = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    rk = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
+    )
+    u = lk.unionByName(rk, allowMissingColumns=True)
+    order = [F.col("__ts"), F.col("__is_left")]
+    if right_tiebreak is not None:
+        order.append(F.col("__r").getField(right_tiebreak))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter((F.col("__is_left") == 1) & F.col("__m").isNotNull())
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(c) for c in right_payload
+    ]
+    return matched.select(*out_cols)
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -85,6 +85,27 @@ def union_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERSECT_ORACLE = """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("intersect_customers", oracle=_INTERSECT_ORACLE)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers holding both finished and open
+    orders — completes the set-operation trio with union/except."""
+    od = Catalog(spark, sf_dir).orders
+    f = od.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o = od.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return f.intersect(o)
+
+
 @query("approx_distinct_users")  # no oracle: HLL sketches are engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event type (rows-only check: the HLL

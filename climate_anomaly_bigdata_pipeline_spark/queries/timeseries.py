@@ -142,6 +142,48 @@ def sliding_2h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "n_events", "sum_value")
 
 
+# --- As-of join (engine addition; SURVEY §2.3 'not present: as-of') ---------
+
+_ASOF_ORACLE = """
+WITH c AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS purchase_ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, p.value, c.click_ts,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+"""
+
+
+@query("asof_click_before_purchase", oracle=_ASOF_ORACLE)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (DuckDB's native ASOF JOIN is the oracle).
+    Implemented as tag+union+window — one shuffle by user, no
+    inequality join."""
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = TS.asof_join(
+        purchases, clicks, by=["user_id"], left_ts="purchase_ts", right_ts="click_ts"
+    )
+    return joined.withColumn(
+        "gap_us", F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    )
+
+
 # --- Sessionization (engine addition; 'Common OLAP patterns') ---------------
 
 _SESSION_ORACLE = """

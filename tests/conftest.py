@@ -15,10 +15,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_spark(
         "climate-anomaly-bigdata-pipeline-spark-tests",
         master="local[8]",
         shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-")
+        },
     )
     yield s
 

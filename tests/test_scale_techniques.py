@@ -1,0 +1,118 @@
+"""Scale-technique verification: salted joins (skew), bucketed tables
+(co-located shuffle-free joins), and the as-of join operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting redistributes work but must not change the result."""
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], "k int, v int"
+    )  # key 0/1/2, deliberately skewed shape
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, tag string")
+    plain = {(r["k"], r["v"], r["tag"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["tag"])
+        for r in R.salted_join(big, small, "k", salt=4).collect()
+    }
+    assert salted == plain and len(salted) == 1000
+
+
+def test_salted_join_fans_out_hot_key(spark):
+    """The salted plan joins on (key, salt): the hot key's rows spread
+    over `salt` distinct join keys."""
+    big = spark.createDataFrame([(0, i) for i in range(100)], "k int, v int")
+    small = spark.createDataFrame([(0, "hot")], "k int, tag string")
+    salted = R.salted_join(big, small, "k", salt=4)
+    n_salts = (
+        big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(4)))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1  # skew actually fans out
+    assert salted.count() == 100
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key co-locate: the sort-merge
+    join needs no Exchange on either side — the bucketing layout IS the
+    shuffle, paid once at write time (the 100 TB recipe for repeated
+    joins on the same key)."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    c = Catalog(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS od_bucketed")
+    (
+        c.lineitem.select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        c.orders.select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("od_bucketed")
+    )
+    li = spark.table("li_bucketed")
+    od = spark.table("od_bucketed")
+    joined = li.join(od, li.l_orderkey == od.o_orderkey)
+    plan = plan_of(joined)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE od_bucketed")
+
+
+def test_asof_join_semantics(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    quotes = spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(5), 11.0), (2, t(3), 99.0)],
+        "sym int, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, t(4), "A"), (1, t(5), "B"), (1, t(6), "C"), (2, t(0), "D")],
+        "sym int, tts timestamp, tid string",
+    )
+    out = TS.asof_join(trades, quotes, ["sym"], "tts", "qts")
+    got = {r["tid"]: r["px"] for r in out.collect()}
+    # A(0:04)->10.0; B(0:05)->11.0 (tie is inclusive); C(0:06)->11.0;
+    # D(0:00, sym 2) has no quote at-or-before -> dropped (inner).
+    assert got == {"A": 10.0, "B": 11.0, "C": 11.0}
+
+
+def test_asof_oracle(spark, sf_dir):
+    from tests.oracle_utils import run_check
+
+    ok, msg = run_check(spark, "asof_click_before_purchase", sf_dir)
+    assert ok, msg
+
+
+def test_intersect_oracle(spark, sf_dir):
+    from tests.oracle_utils import run_check
+
+    ok, msg = run_check(spark, "intersect_customers", sf_dir)
+    assert ok, msg
