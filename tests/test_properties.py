@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for operator invariants that unit
+fixtures can't sweep: the z-score guard under arbitrary groups, parser
+null-semantics under arbitrary malformed lines, rolling-mean parity
+with pandas, dedup idempotence."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
+from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+from climate_anomaly_bigdata_pipeline_spark.sources import text_formats as TF
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(
+    groups=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=2),
+        st.lists(finite, min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_zscore_always_finite_and_guarded(spark, groups):
+    """For ANY group contents, z is finite; constant or single-row
+    groups yield exactly 0.0 (the divide-by-zero guard)."""
+    rows = [(k, float(v)) for k, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = A.zscore(df, "v", ["k"]).collect()
+    assert len(out) == len(rows)
+    by_key: dict[str, list] = {}
+    for r in out:
+        assert r["z_score"] is not None and math.isfinite(r["z_score"])
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in groups.items():
+        if len(set(vs)) <= 1:  # constant or singleton group
+            assert all(r["z_score"] == 0.0 for r in by_key[k])
+
+
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=126, blacklist_characters="\n"
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_parser_never_throws_nulls_on_garbage(spark, lines):
+    """ANY input line parses without error; non-numeric or missing
+    ordinals become null (the reference's cast semantics)."""
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    parsed = TF.parse_delimited(
+        TF.filter_comments(df), TF.BERKELEY_DAILY_SPEC
+    ).collect()
+    kept = [ln for ln in lines if not ln.startswith("%")]
+    assert len(parsed) == len(kept)
+    for row in parsed:
+        for field in ("year", "month", "day"):
+            v = row[field]
+            assert v is None or isinstance(v, int)
+
+
+@given(values=st.lists(finite, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_rolling_mean_matches_pandas(spark, values):
+    window = 5
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "t int, v double"
+    )
+    got = {
+        r["t"]: r["rolling_mean"]
+        for r in TS.rolling_mean(df, "t", "v", window=window, scale=9).collect()
+    }
+    expected = pd.Series(values).rolling(window).mean()
+    for i, e in expected.items():
+        if pd.isna(e):
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(e, rel=1e-6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_idempotent_and_minimal(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k int, ord int")
+    once = R.dedup_exact(df, ["k"], [F.col("ord"), F.col("k")])
+    twice = R.dedup_exact(once, ["k"], [F.col("ord"), F.col("k")])
+    got = sorted((r["k"], r["ord"]) for r in twice.collect())
+    # exactly one row per key: the minimum (ord) — deterministic keep-first
+    expected = sorted(
+        (k, min(o for kk, o in rows if kk == k)) for k in {k for k, _ in rows}
+    )
+    assert got == expected
