@@ -97,7 +97,8 @@ def test_rolling_mean_matches_pandas(spark, values):
         if pd.isna(e):
             assert got[i] is None
         else:
-            assert got[i] == pytest.approx(e, rel=1e-6)
+            # the operator rounds to 9 decimals -> abs tolerance to match
+            assert got[i] == pytest.approx(e, rel=1e-6, abs=1e-9)
 
 
 @given(
