@@ -4,6 +4,12 @@ Re-targets the Gold-layer pipeline (``jobs/03_silver_to_gold.py:113-153``)
 at the driver corpus: per-(user, event-type) standardization of event
 values and per-supplier standardization of lineitem prices.
 
+All three use :func:`operators.anomaly.zscore_exact` — moment sums in
+exact DECIMAL so the z-scores are bit-identical across engines AND
+across Spark parallelism levels (a plain windowed avg/stddev
+accumulates doubles in shuffle order, which changes with the partition
+count; rounding can then flip on boundary values).
+
 Threshold notes: events.value has heavy tails (max |z| ≈ 4), so the
 reference's 2.5 threshold is kept there; l_extendedprice is uniform-ish
 within supplier (max |z| < 2), so the lineitem variant uses 1.5 to stay
@@ -18,19 +24,50 @@ from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
 from climate_anomaly_bigdata_pipeline_spark.queries import query
 
-_ZSCORE_ANOMALY_ORACLE = """
-WITH stats AS (
-    SELECT
-        event_id, user_id, event_type, value,
-        avg(value) OVER (PARTITION BY user_id, event_type) AS mean_value,
-        stddev_samp(value) OVER (PARTITION BY user_id, event_type) AS std_value
-    FROM events
-), scored AS (
-    SELECT
-        event_id, user_id, event_type, value,
-        CASE WHEN std_value IS NULL OR std_value = 0 THEN 0.0
-             ELSE round((value - mean_value) / std_value, 4)
-        END AS z_score
+
+def _moment_zscore_sql(
+    table: str,
+    keys: list[str],
+    value: str,
+    out_cols: list[str],
+    scale: int = 4,
+) -> tuple[str, str]:
+    """(stats-CTE, z-expression) mirroring anomaly.zscore_exact:
+    s1 = Σ dec(x), s2 = Σ dec(x)² over the partition, then fixed-order
+    double math. DECIMAL(19,4) forces DuckDB onto INT128 (exact) while
+    Spark uses DECIMAL(15,4) — both land on the same scale-4/scale-8
+    exact values."""
+    d = f"CAST({value} AS DECIMAL(19,4))"
+    part = ", ".join(keys)
+    cols = ", ".join(out_cols)
+    cte = f"""
+stats AS (
+    SELECT {cols},
+        CAST(sum({d}) OVER w AS DOUBLE) AS s1,
+        CAST(sum({d} * {d}) OVER w AS DOUBLE) AS s2,
+        CAST(count({value}) OVER w AS DOUBLE) AS n
+    FROM {table}
+    WINDOW w AS (PARTITION BY {part})
+)"""
+    std = "sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0))"
+    z = (
+        f"CASE WHEN n < 2 OR {std} = 0 THEN 0.0 "
+        f"ELSE round(({value} - s1 / n) / {std}, {scale}) END"
+    )
+    return cte, z
+
+
+_EV_CTE, _EV_Z = _moment_zscore_sql(
+    "events",
+    ["user_id", "event_type"],
+    "value",
+    ["event_id", "user_id", "event_type", "value"],
+)
+
+_ZSCORE_ANOMALY_ORACLE = f"""
+WITH {_EV_CTE},
+scored AS (
+    SELECT event_id, user_id, event_type, value, {_EV_Z} AS z_score
     FROM stats
 )
 SELECT
@@ -54,28 +91,13 @@ def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events.select(
         "event_id", "user_id", "event_type", "value"
     )
-    return A.anomaly_pipeline(
-        ev,
-        "value",
-        ["user_id", "event_type"],
-        threshold=2.5,
-        label_name="anomaly_class",
-    )
+    scored = A.zscore_exact(ev, "value", ["user_id", "event_type"])
+    return A.classify_extremes(scored, threshold=2.5, label_name="anomaly_class")
 
 
-_ZSCORE_EVENTS_ORACLE = """
-WITH stats AS (
-    SELECT
-        event_id, user_id, event_type, value,
-        avg(value) OVER (PARTITION BY user_id, event_type) AS mean_value,
-        stddev_samp(value) OVER (PARTITION BY user_id, event_type) AS std_value
-    FROM events
-)
-SELECT
-    event_id, user_id, event_type, value,
-    CASE WHEN std_value IS NULL OR std_value = 0 THEN 0.0
-         ELSE round((value - mean_value) / std_value, 4)
-    END AS z_score
+_ZSCORE_EVENTS_ORACLE = f"""
+WITH {_EV_CTE}
+SELECT event_id, user_id, event_type, value, {_EV_Z} AS z_score
 FROM stats
 """
 
@@ -85,28 +107,27 @@ def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Guarded z-score over a composite partition key (user_id, event_type).
 
     Exercises the zero/null-stddev guard (``jobs/03_silver_to_gold.py:
-    118-121``) on real data: single-row (user, type) groups have null
+    118-121``) on real data: single-row (user, type) groups have no
     sample stddev and must standardize to exactly 0.0.
     """
     ev = Catalog(spark, sf_dir).events.select(
         "event_id", "user_id", "event_type", "value"
     )
-    return A.zscore(ev, "value", ["user_id", "event_type"])
+    return A.zscore_exact(ev, "value", ["user_id", "event_type"])
 
 
-_ZSCORE_LINEITEM_ORACLE = """
-WITH stats AS (
-    SELECT
-        l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
-        avg(l_extendedprice) OVER (PARTITION BY l_suppkey) AS mean_value,
-        stddev_samp(l_extendedprice) OVER (PARTITION BY l_suppkey) AS std_value
-    FROM lineitem
-), scored AS (
-    SELECT
-        l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
-        CASE WHEN std_value IS NULL OR std_value = 0 THEN 0.0
-             ELSE round((l_extendedprice - mean_value) / std_value, 4)
-        END AS z_score
+_LI_CTE, _LI_Z = _moment_zscore_sql(
+    "lineitem",
+    ["l_suppkey"],
+    "l_extendedprice",
+    ["l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"],
+)
+
+_ZSCORE_LINEITEM_ORACLE = f"""
+WITH {_LI_CTE},
+scored AS (
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+           {_LI_Z} AS z_score
     FROM stats
 )
 SELECT
@@ -124,6 +145,5 @@ def zscore_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem.select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
     )
-    return A.anomaly_pipeline(
-        li, "l_extendedprice", ["l_suppkey"], threshold=1.5, label_name="anomaly_class"
-    )
+    scored = A.zscore_exact(li, "l_extendedprice", ["l_suppkey"])
+    return A.classify_extremes(scored, threshold=1.5, label_name="anomaly_class")

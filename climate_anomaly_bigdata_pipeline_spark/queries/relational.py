@@ -18,40 +18,73 @@ from climate_anomaly_bigdata_pipeline_spark.queries import query
 # --- A1: hash group-by, multi-aggregate (the reference's yearly KPIs,
 #     jobs/03_silver_to_gold.py:33-43, on lineitem) -------------------------
 
+# l_quantity is integer-valued, so Σx and Σx² are exact in double
+# (< 2^53): mean/stddev derived from them with a fixed op order are
+# identical across engines and parallelism — unlike streaming
+# avg/stddev_samp, which accumulate in shuffle order.
 _GROUPBY_KPIS_ORACLE = """
+WITH g AS (
+    SELECT
+        l_returnflag, l_linestatus,
+        sum(l_quantity)                AS s1,
+        sum(l_quantity * l_quantity)   AS s2,
+        CAST(count(l_quantity) AS DOUBLE) AS n,
+        round(max(l_quantity), 4)      AS max_qty,
+        round(min(l_quantity), 4)      AS min_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+                                       AS revenue,
+        count(*)                       AS n_rows,
+        count(DISTINCT l_suppkey)      AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+)
 SELECT
     l_returnflag, l_linestatus,
-    round(avg(l_quantity), 4)          AS avg_qty,
-    round(max(l_quantity), 4)          AS max_qty,
-    round(min(l_quantity), 4)          AS min_qty,
-    round(stddev_samp(l_quantity), 4)  AS std_qty,
-    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                   * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
-    count(*)                           AS n_rows,
-    count(DISTINCT l_suppkey)          AS n_suppliers
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
+    round(s1 / n, 4) AS avg_qty,
+    max_qty, min_qty,
+    CASE WHEN n < 2 THEN NULL
+         ELSE round(sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0)), 4)
+    END AS std_qty,
+    revenue, n_rows, n_suppliers
+FROM g
 """
 
 
 @query("groupby_kpis", oracle=_GROUPBY_KPIS_ORACLE)
 def groupby_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-agg KPI rollup per (returnflag, linestatus): avg/max/min/
-    stddev_samp (jobs/03_silver_to_gold.py:33-38) + revenue, counts,
-    and the scalar station-count analog as count distinct (A2)."""
+    sample-stddev (jobs/03_silver_to_gold.py:33-38) + revenue, counts,
+    and the scalar station-count analog as count distinct (A2).
+    Moments from exact sums; money in exact decimal."""
     li = Catalog(spark, sf_dir).lineitem
-    return R.multi_agg(
+    q = F.col("l_quantity")
+    g = R.multi_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         [
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.max("l_quantity"), 4).alias("max_qty"),
-            F.round(F.min("l_quantity"), 4).alias("min_qty"),
-            F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+            F.count(q).cast("double").alias("n"),
+            F.round(F.max(q), 4).alias("max_qty"),
+            F.round(F.min(q), 4).alias("min_qty"),
             F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         ],
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n")
+    std = F.sqrt(F.greatest((s2 - (s1 * s1) / n) / (n - 1), F.lit(0.0)))
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(s1 / n, 4).alias("avg_qty"),
+        "max_qty",
+        "min_qty",
+        F.when(n < 2, None).otherwise(F.round(std, 4)).alias("std_qty"),
+        "revenue",
+        "n_rows",
+        "n_suppliers",
     )
 
 

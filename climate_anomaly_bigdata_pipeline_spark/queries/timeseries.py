@@ -12,15 +12,23 @@ from climate_anomaly_bigdata_pipeline_spark.queries import query
 
 # --- W3: trailing rolling mean over a pre-aggregated daily series -----------
 
+# The daily pre-agg is an UNORDERED groupBy -> exact decimal sum so the
+# daily means are identical doubles in both engines regardless of
+# accumulation order. The rolling mean runs over an ORDERED frame
+# (accumulation order defined), so a plain windowed avg + round(4) is
+# stable; casting the full-precision daily mean back to decimal would
+# reintroduce the string-vs-binary rounding tie.
 _ROLLING_ORACLE = """
 WITH daily AS (
-    SELECT CAST(ts AS DATE) AS event_date, avg(value) AS daily_avg
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) / count(value)
+               AS daily_avg
     FROM events
     GROUP BY CAST(ts AS DATE)
 )
 SELECT
     event_date,
-    round(daily_avg, 4) AS daily_avg,
+    daily_avg,
     CASE WHEN count(*) OVER w >= 7
          THEN round(avg(daily_avg) OVER w, 4)
     END AS rolling_avg_7d
@@ -39,15 +47,22 @@ def rolling_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation reduces the data to |days| rows first — the shuffle
     moves day-grain aggregates, never raw events.
     """
+    from pyspark.sql import Window
+
     ev = Catalog(spark, sf_dir).events
     daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
-        F.avg("value").alias("daily_avg")
+        (
+            F.sum(F.col("value").cast("decimal(15,4)")).cast("double")
+            / F.count("value")
+        ).alias("daily_avg")
     )
-    out = TS.rolling_mean(
-        daily, "event_date", "daily_avg", window=7, out_name="rolling_avg_7d"
+    w = Window.orderBy("event_date").rowsBetween(-6, 0)
+    rolling = F.when(
+        F.count("daily_avg").over(w) >= 7,
+        F.round(F.avg("daily_avg").over(w), 4),
     )
-    return out.select(
-        "event_date", F.round("daily_avg", 4).alias("daily_avg"), "rolling_avg_7d"
+    return daily.select(
+        "event_date", "daily_avg", rolling.alias("rolling_avg_7d")
     )
 
 
