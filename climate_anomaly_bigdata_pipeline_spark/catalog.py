@@ -31,10 +31,40 @@ TABLES = (
 )
 
 
+#: Session confs the engine's semantics depend on. All are
+#: runtime-settable, so they can be pinned even on a session the
+#: engine didn't build (e.g. the verification driver's):
+#: - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unreadable by
+#:   Spark 4 otherwise;
+#: - ansi off: the reference's cast-to-null parse semantics (Spark 3.5
+#:   default) — under ANSI a malformed token would throw, not null;
+#: - UTC: date/time bucketing must match the UTC-naive oracle.
+REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
 class Catalog:
-    """Lazy loader for the parquet tables under one scale-factor dir."""
+    """Lazy loader for the parquet tables under one scale-factor dir.
+
+    Works on any SparkSession: required semantic confs are pinned here
+    (the single choke point every query goes through), so the engine
+    behaves identically under a driver-provided session.
+    """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
+        ensure_session_confs(spark)
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
