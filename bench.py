@@ -23,6 +23,11 @@ from climate_anomaly_bigdata_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# Array-heavy queries (embedding pair joins) allocate GBs of transient
+# garbage; after ~40 queries an 8g heap spends its time in full GC and
+# timings swing 10x. Default the bench JVM to a heap sized for the box.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -45,11 +50,20 @@ def main() -> None:
         .agg(F.sum("id").alias("s"), F.avg("rn").alias("m"))
     )
 
+    # Per-query min over N passes: the host shows bursty CPU steal
+    # (shared machine), which can inflate a single pass 10x. The min is
+    # the steady-state cost of the plan — the quantity that actually
+    # predicts cluster behavior.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

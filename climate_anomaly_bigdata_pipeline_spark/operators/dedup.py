@@ -55,7 +55,17 @@ def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    return df.select(
+    """Explode documents into (id, shingle) rows.
+
+    The input is repartitioned first: a document table often arrives as
+    few large-row partitions (one small parquet file here; at 100 TB,
+    fat skewed splits), and the ~tokens× explosion inherits that
+    partitioning — leaving most cores idle for the most expensive step.
+    Spreading rows before the explode costs one narrow-ish shuffle of
+    the small pre-explosion data and parallelizes everything after.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism, id_col).select(
         F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
     )
 
@@ -75,33 +85,37 @@ def jaccard_pairs(
     documents before the pair join — the stop-shingle guard that keeps
     the join from going quadratic on boilerplate at scale.
     """
+    from pyspark.sql import Window
+
     sh = exploded_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a = sh.select(F.col(id_col).alias("id1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+        w_df = Window.partitionBy("shingle")
+        sh = sh.withColumn("__df", F.count(F.lit(1)).over(w_df)).filter(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
+    # Carry each document's shingle count on the exploded rows via a
+    # window (one shuffle by doc) instead of a separate sizes branch +
+    # two post-join lookups: the shingle lineage is evaluated once per
+    # join side rather than four times, and two joins disappear.
+    w_doc = Window.partitionBy(id_col)
+    shn = sh.withColumn("n", F.count(F.lit(1)).over(w_doc))
+    a = shn.select(F.col(id_col).alias("id1"), "shingle", F.col("n").alias("n1"))
+    b = shn.select(F.col(id_col).alias("id2"), "shingle", F.col("n").alias("n2"))
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
     )
-    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_shingles").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_shingles").alias("n2"))
     jac = F.col("shared").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("shared")
     ).cast("double")
     return (
-        shared.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("jaccard", jac)
+        shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "shared", "n1", "n2", "jaccard")
     )
@@ -208,7 +222,10 @@ def simhash(
     Token multiplicity is kept (standard SimHash term weighting).
     Near-duplicates land on equal (or small-Hamming-distance) values.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(parallelism, id_col).select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
     th = md5_hash32(F.col("tok"), 0)
     sums = toks.groupBy(id_col).agg(
         *[
