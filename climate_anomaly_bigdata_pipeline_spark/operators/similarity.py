@@ -33,6 +33,7 @@ __all__ = [
     "cosine_topk",
     "with_lsh_bucket",
     "lsh_bucket_topk",
+    "ivf_topk",
     "dot_expr",
     "cosine_expr",
 ]
@@ -143,5 +144,96 @@ def lsh_bucket_topk(
             dot_expr(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
         )
         .select("query_id", F.col(id_col).alias("neighbor_id"), "bucket", "cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot product — the same IEEE operation order
+    as :func:`dot_expr` and DuckDB's list_dot_product, so driver-side
+    codebook math is bit-identical to engine-side math."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe only the ``nprobe`` cells nearest the
+    query, brute-force cosine within them.
+
+    The codebook is the ``n_centroids`` lowest-id vectors (a
+    deterministic seed codebook — at scale you'd train sampled k-means;
+    the *serving* plan is identical either way). Codebook + query vector
+    are collected driver-side (a bounded O(n_centroids) read — the
+    coordinator-side "quantizer" of a real IVF index) and embedded as
+    literals, so cell assignment is a row-local expression: the corpus
+    never shuffles, the scan prunes to ``nprobe/n_centroids`` of the
+    data once cells are a partition key on write. Ties in cell
+    assignment break toward the larger centroid id; final ranking by
+    (cosine desc, id asc).
+    """
+    import math
+
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+
+    cents = [
+        (r[0], list(r[1]))
+        for r in e.select(id_col, "v").orderBy(id_col).limit(n_centroids).collect()
+    ]
+    qrow = e.filter(F.col(id_col) == query_id).select("v").first()
+    qv = list(qrow[0])
+    qnorm = math.sqrt(_py_dot(qv, qv))
+
+    # Row-local cell assignment: array_max over (cosine, cid) structs.
+    def _cos_to(cvec: list[float]) -> Column:
+        cnorm = math.sqrt(_py_dot(cvec, cvec))
+        return dot_expr(F.col("v"), _lit_vec(cvec)) / (F.col("norm") * F.lit(cnorm))
+
+    assigned = e.withColumn(
+        "cell",
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(_cos_to(cv).alias("c"), F.lit(cid).cast("long").alias("i"))
+                    for cid, cv in cents
+                ]
+            )
+        ).getField("i"),
+    )
+
+    # Driver-side probe selection (same float ops as the engine).
+    scored_cells = sorted(
+        (
+            (_py_dot(qv, cv) / (math.sqrt(_py_dot(cv, cv)) * qnorm), cid)
+            for cid, cv in cents
+        ),
+        key=lambda t: (-t[0], -t[1]),
+    )
+    probed = [cid for _, cid in scored_cells[:nprobe]]
+
+    scored = (
+        assigned.filter(F.col("cell").isin(probed) & (F.col(id_col) != query_id))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("v"), _lit_vec(qv)) / (F.col("norm") * F.lit(qnorm)),
+        )
+        .select(
+            F.lit(query_id).cast("long").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            "cosine",
+        )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)

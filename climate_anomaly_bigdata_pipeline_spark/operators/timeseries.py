@@ -167,6 +167,63 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    strict_lower: bool = False,
+) -> DataFrame:
+    """Banded interval (range) join: pair each left row with right rows
+    whose ``right_ts`` lies in ``[left_ts + lower, left_ts + upper]``
+    (lower bound exclusive when ``strict_lower``) within the same
+    ``by`` keys.
+
+    Spark has no native range join; a plain equi-join on ``by`` followed
+    by the time predicate degenerates to O(n_k x m_k) per key — fatal on
+    a hot key at 100 TB. Banding bounds it: both sides bucket time into
+    bands as wide as the interval, the left side probes the (<= 2) bands
+    its interval can touch via ``sequence``+``explode``, and the join key
+    becomes (by..., band) — per-task fan-in is then governed by time
+    density, not key skew. The exact predicate re-filters after the
+    bucketed equi-join, so results are identical to the naive join.
+
+    Both inputs must have disjoint non-key column names (caller renames
+    beforehand); output = by keys + left payload + right payload.
+    """
+    by = list(by)
+    band_us = max(int(round((upper_seconds - lower_seconds) * 1_000_000)), 1)
+    lo_us = int(round(lower_seconds * 1_000_000))
+    hi_us = int(round(upper_seconds * 1_000_000))
+
+    l_payload = [c for c in left.columns if c not in by]
+    r_payload = [c for c in right.columns if c not in by]
+    overlap = set(l_payload) & set(r_payload)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+
+    l_us = F.unix_micros(F.col(left_ts))
+    lk = left.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + lo_us) / band_us).cast("long"),
+                F.floor((l_us + hi_us) / band_us).cast("long"),
+            )
+        ),
+    )
+    r_us = F.unix_micros(F.col(right_ts))
+    rk = right.withColumn("__band", F.floor(r_us / band_us).cast("long"))
+
+    joined = lk.join(rk, on=[*by, "__band"])
+    delta = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    lower_pred = (delta > lo_us) if strict_lower else (delta >= lo_us)
+    return joined.filter(lower_pred & (delta <= hi_us)).drop("__band")
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

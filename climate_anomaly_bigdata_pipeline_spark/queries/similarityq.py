@@ -88,3 +88,56 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucket_topk(
         emb, query_id=_QUERY_ID, k=_K, planes=_PLANES, n_planes=_N_PLANES
     )
+
+
+_N_CENTROIDS = 8
+_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+pairs AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, v, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+probe AS (
+    SELECT cid
+    FROM pairs
+    WHERE vec_id = {_QUERY_ID}
+    QUALIFY row_number() OVER (ORDER BY cos DESC, cid DESC) <= {_NPROBE}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID})
+SELECT CAST({_QUERY_ID} AS BIGINT) AS query_id,
+       a.vec_id AS neighbor_id,
+       a.cell,
+       {_COSINE_SQL.format(a="a.v", b="q.qv")} AS cosine
+FROM assign a, q
+WHERE a.vec_id != {_QUERY_ID} AND a.cell IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, neighbor_id
+LIMIT {_K}
+"""
+
+
+@query("ivf_ann_topk", oracle=_IVF_ORACLE)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: deterministic 8-cell coarse quantizer (lowest-id
+    seed codebook), nprobe=2. Cell assignment is a row-local
+    array_max over (cosine, cid) structs with the codebook embedded as
+    literals — zero shuffle of the corpus; at 100 TB the cell is a
+    partition key on write, so the probe prunes the scan to
+    nprobe/n_centroids of the data."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.ivf_topk(
+        emb, query_id=_QUERY_ID, k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE
+    )

@@ -24,6 +24,7 @@ NORTHSTAR_QUERIES = [
     "embedding_neardup_pairs",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "multimodal_binary_profile",
 ]
 
@@ -118,3 +119,24 @@ def test_quality_score_buckets(spark):
 def test_oracle_northstar(spark, sf_dir, name):
     ok, msg = run_check(spark, name, sf_dir)
     assert ok, msg
+
+
+def test_ivf_probes_superset_of_bruteforce_within_cells(spark, sf_oracle_dir):
+    """IVF results must equal brute-force cosine restricted to the
+    probed cells, and every returned cell must be one of the codebook
+    ids (0..7 on this fixture)."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, sf_oracle_dir).embeddings
+    ivf = SIM.ivf_topk(emb, query_id=7, k=10, n_centroids=8, nprobe=2).collect()
+    assert len(ivf) == 10
+    assert {r["cell"] for r in ivf} <= set(range(8))
+    # Scores must agree with the exact brute-force scores for the same
+    # neighbors (IVF changes the candidate set, never the metric).
+    brute = {
+        r["neighbor_id"]: r["cosine"]
+        for r in SIM.cosine_topk(emb, query_id=7, k=500).collect()
+    }
+    for r in ivf:
+        assert r["cosine"] == brute[r["neighbor_id"]]

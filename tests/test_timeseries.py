@@ -16,6 +16,7 @@ TS_QUERIES = [
     "tumbling_hourly_events",
     "sliding_2h_events",
     "sessionize_events",
+    "range_join_next_hour",
 ]
 
 
@@ -69,3 +70,42 @@ def test_tumbling_window_alignment(spark):
 def test_oracle_timeseries(spark, sf_dir, name):
     ok, msg = run_check(spark, name, sf_dir)
     assert ok, msg
+
+
+def test_range_join_band_edges(spark):
+    """Inclusive upper bound, strict lower, and matches that cross a
+    band boundary must all behave exactly like the naive predicate."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t0)], "user_id int, event_id int, ts timestamp"
+    )
+    right_rows = [
+        (1, 20, t0),                                  # equal ts: excluded (strict)
+        (1, 21, t0 + dt.timedelta(minutes=59)),       # same band, in range
+        (1, 22, t0 + dt.timedelta(minutes=60)),       # exactly upper: included
+        (1, 23, t0 + dt.timedelta(minutes=61)),       # beyond upper: excluded
+        (2, 24, t0 + dt.timedelta(minutes=30)),       # other key: excluded
+    ]
+    right = spark.createDataFrame(
+        right_rows, "user_id int, next_event_id int, next_ts timestamp"
+    )
+    out = TS.range_join(
+        left, right, ["user_id"], "ts", "next_ts", 0.0, 3600.0, strict_lower=True
+    )
+    assert sorted(r["next_event_id"] for r in out.collect()) == [21, 22]
+
+    # Offset start so the interval straddles a band boundary.
+    left2 = spark.createDataFrame(
+        [(1, 11, t0 + dt.timedelta(minutes=30))],
+        "user_id int, event_id int, ts timestamp",
+    )
+    out2 = TS.range_join(
+        left2, right, ["user_id"], "ts", "next_ts", 0.0, 3600.0, strict_lower=True
+    )
+    assert sorted(r["next_event_id"] for r in out2.collect()) == [21, 22, 23]
+
+
+def test_range_join_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k int, ts timestamp")
+    with pytest.raises(ValueError, match="collision"):
+        TS.range_join(df, df, ["k"], "ts", "ts", 0.0, 60.0)
