@@ -80,3 +80,23 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
         assert abs(r["approx_users"] - r["exact_users"]) <= max(
             3, 0.1 * r["exact_users"]
         )
+
+
+def test_range_join_keys_include_band(spark, sf_dir):
+    """The range join must equi-join on (user_id, band) — a key-only
+    join would be quadratic per hot user at scale."""
+    plan = plan_of(QUERIES["range_join_next_hour"](spark, sf_dir))
+    assert "__band" in plan, plan
+    # exact predicate retained as the join residual/filter
+    assert "3600000000" in plan, plan
+
+
+def test_ivf_corpus_never_shuffles(spark, sf_dir):
+    """IVF cell assignment is row-local (codebook literals): the only
+    plan shape allowed is scan -> project/filter -> TakeOrdered. Any
+    Exchange besides the final single-partition one is a regression."""
+    import re
+
+    plan = plan_of(QUERIES["ivf_ann_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
