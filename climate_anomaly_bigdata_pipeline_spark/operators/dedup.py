@@ -173,6 +173,14 @@ def lsh_candidates(
 
     The band value is md5 of the comma-joined row — a string key that
     buckets identically in any engine. Output: distinct (id1 < id2).
+
+    Pairs are generated by grouping ids per (band, value) bucket and
+    expanding combinations in-row, not by self-joining the banded
+    table: a self-join would recompute the (expensive) signature
+    lineage once per branch and add a shuffle join; the groupBy shape
+    computes signatures once and shuffles once. Bucket membership is
+    near-dup-sized by construction, so `collect_list` per bucket is
+    bounded and pair expansion is row-local.
     """
     r = k // bands
     band_cols = [
@@ -195,16 +203,23 @@ def lsh_candidates(
             )
         ).alias("bv"),
     ).select(F.col(id_col), F.col("bv.band_idx"), F.col("bv.band_val"))
-    a = stacked.select(
-        F.col(id_col).alias("id1"), "band_idx", "band_val"
+    buckets = stacked.groupBy("band_idx", "band_val").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
-    b = stacked.select(
-        F.col(id_col).alias("id2"), "band_idx", "band_val"
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        buckets.filter(F.size(ids) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 
