@@ -116,3 +116,25 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# One SQL text, two engines: the Spark side executes the IDENTICAL
+# string through the SQL front-end (spark.sql over registered views),
+# demonstrating the Column-API/SQL equivalence SURVEY §2.7 requires.
+_GROUPING_SETS_SQL = """
+SELECT
+    l_returnflag, l_linestatus,
+    round(sum(l_quantity), 2) AS sum_qty,
+    count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("grouping_sets_lineitem", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS totals via the SQL front-end — the exact oracle
+    string runs on Spark (one Expand + single aggregation over the
+    three sets, same plan family as rollup/cube — no multi-scan)."""
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -64,7 +64,13 @@ def test_cross_join_broadcasts_small_side(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["deterministic_sample", "cube_lineitem", "union_multi_source"]
+    "name",
+    [
+        "deterministic_sample",
+        "cube_lineitem",
+        "grouping_sets_lineitem",
+        "union_multi_source",
+    ],
 )
 def test_oracle_coverage(spark, sf_dir, name):
     from tests.oracle_utils import run_check
