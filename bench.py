@@ -33,6 +33,28 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def read_cpu() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — (0, 0) when
+    unavailable so steal detection degrades to a no-op."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def timed(fn, spark) -> tuple[float, float]:
+    """(wall seconds, steal fraction) for one end-to-end execution."""
+    tot0, st0 = read_cpu()
+    t0 = time.perf_counter()
+    force(fn(spark, SF_DIR))
+    dt = time.perf_counter() - t0
+    tot1, st1 = read_cpu()
+    steal = (st1 - st0) / max(tot1 - tot0, 1)
+    return dt, steal
+
+
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     # Warm the JVM/codegen paths (join, window, agg) on synthetic data so
@@ -50,20 +72,28 @@ def main() -> None:
         .agg(F.sum("id").alias("s"), F.avg("rn").alias("m"))
     )
 
-    # Per-query min over N passes: the host shows bursty CPU steal
-    # (shared machine), which can inflate a single pass 10x. The min is
-    # the steady-state cost of the plan — the quantity that actually
-    # predicts cluster behavior.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            force(fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    # Per-query min over N passes, with the passes INTERLEAVED across
+    # the whole query list (pass 1 of every query, then pass 2, ...).
+    # The host shows multi-minute bursty CPU-steal windows (shared
+    # machine) that can inflate a pass 10x; back-to-back passes of the
+    # same query sit inside one steal window and both get poisoned,
+    # while interleaved passes are minutes apart so the min survives.
+    # A pass that overlapped measurable steal (/proc/stat delta) is
+    # additionally retried, bounded by SPARK_GRAFT_BENCH_RETRIES.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
+    best: dict[str, float] = {}
+    retries_left: dict[str, int] = {name: max_retries for name in QUERIES}
+    for _ in range(runs):
+        for name, fn in QUERIES.items():
+            dt, steal = timed(fn, spark)
+            while steal > steal_max and retries_left[name] > 0:
+                retries_left[name] -= 1
+                rdt, steal = timed(fn, spark)
+                dt = min(dt, rdt)
+            best[name] = min(best.get(name, dt), dt)
+    timings = {name: round(v, 3) for name, v in best.items()}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -165,23 +165,11 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+def _lsh_stacked(
+    sig: DataFrame, id_col: str, k: int, bands: int
 ) -> DataFrame:
-    """LSH banding over MinHash signatures: documents sharing any band
-    (r = k/bands consecutive signature values) are candidate pairs.
-
-    The band value is md5 of the comma-joined row — a string key that
-    buckets identically in any engine. Output: distinct (id1 < id2).
-
-    Pairs are generated by grouping ids per (band, value) bucket and
-    expanding combinations in-row, not by self-joining the banded
-    table: a self-join would recompute the (expensive) signature
-    lineage once per branch and add a shuffle join; the groupBy shape
-    computes signatures once and shuffles once. Bucket membership is
-    near-dup-sized by construction, so `collect_list` per bucket is
-    bounded and pair expansion is row-local.
-    """
+    """(id, band_idx, band_val) rows: one md5 band key per signature
+    slice, exploded so every band lands in the same keyed shuffle."""
     r = k // bands
     band_cols = [
         F.md5(
@@ -190,7 +178,7 @@ def lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -203,8 +191,66 @@ def lsh_candidates(
             )
         ).alias("bv"),
     ).select(F.col(id_col), F.col("bv.band_idx"), F.col("bv.band_val"))
-    buckets = stacked.groupBy("band_idx", "band_val").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
+
+
+def lsh_bucket_overflow(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Monitoring companion to :func:`lsh_candidates`: the buckets that
+    exceed ``max_bucket_size`` (band_idx, band_val, bucket_n). Run it —
+    or inspect its count — whenever candidates were generated with a
+    cap, to see what the truncation dropped."""
+    stacked = _lsh_stacked(sig, id_col, k, bands)
+    return (
+        stacked.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: documents sharing any band
+    (r = k/bands consecutive signature values) are candidate pairs.
+
+    The band value is md5 of the comma-joined row — a string key that
+    buckets identically in any engine. Output: distinct (id1 < id2).
+
+    Pairs are generated by grouping ids per (band, value) bucket and
+    expanding combinations in-row, not by self-joining the banded
+    table: a self-join would recompute the (expensive) signature
+    lineage once per branch and add a shuffle join; the groupBy shape
+    computes signatures once and shuffles once.
+
+    ``max_bucket_size`` bounds the per-bucket membership BEFORE the
+    ``collect_list`` (row_number over the same keys — the window and
+    the groupBy share one exchange), so a degenerate corpus (thousands
+    of identical documents hashing into one bucket) cannot OOM a task
+    or go quadratic in-row: each truncated bucket contributes at most
+    C(cap, 2) pairs from its ``cap`` smallest ids. Members of such a
+    bucket are mutual near-dups of the retained ids anyway — a
+    giant bucket means exact-dup-level redundancy that the exact-hash
+    dedup pass should have removed first. Use
+    :func:`lsh_bucket_overflow` to surface truncated buckets.
+    """
+    from pyspark.sql import Window
+
+    stacked = _lsh_stacked(sig, id_col, k, bands)
+    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    buckets = (
+        stacked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     )
     ids = F.col("ids")
     pairs = F.flatten(

@@ -25,10 +25,56 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
 from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.operators.dedup import md5_hash32
 from climate_anomaly_bigdata_pipeline_spark.sources import io as IO
 from climate_anomaly_bigdata_pipeline_spark.sources import text_formats as TF
+
+
+def demo_noise_expr(
+    station_col: str = "station_id",
+    year_col: str = "year",
+    month_col: str = "month",
+    seed: int = 0,
+) -> Column:
+    """The reference's deterministic noise/extreme injection ("Academic
+    Demo Hack", ``jobs/03_silver_to_gold.py:96-105``) under a portable
+    hash.
+
+    The reference keys Murmur3 ``hash(station_id, year, month)``:
+    ``% 100 / 50.0`` noise in roughly (−2, +2), with every ``% 25 == 0``
+    key forced to +15.0 (extreme heat) and ``% 27 == 0`` to −15.0
+    (extreme cold). Murmur3 is engine-specific, so this port derives the
+    key from :func:`md5_hash32` (first 8 md5 hex digits — identical in
+    any engine, SURVEY §2.7 portability note): the *distribution* is
+    the same (uniform noise, ~4%/~3.7% forced extremes), the individual
+    hit set differs — a documented deviation, like the engine's other
+    md5-for-hash substitutions.
+    """
+    h = md5_hash32(
+        F.concat_ws(":", F.col(station_col), F.col(year_col), F.col(month_col)),
+        seed,
+    )
+    noise = ((h % 200) - 100) / F.lit(50.0)
+    return (
+        F.when(h % 25 == 0, F.lit(15.0))
+        .when(h % 27 == 0, F.lit(-15.0))
+        .otherwise(noise)
+    )
+
+
+def force_injected_z(z_col: Column, noise_col: Column) -> Column:
+    """The reference's forced z for injected extremes
+    (``jobs/03_silver_to_gold.py:123-128``): |noise| > 10 pins z to
+    ±5.0 so injected outliers always clear any sane threshold."""
+    return (
+        F.when(noise_col > 10, F.lit(5.0))
+        .when(noise_col < -10, F.lit(-5.0))
+        .otherwise(z_col)
+    )
 
 
 @dataclass
@@ -85,6 +131,7 @@ def silver_to_gold(
     station_limit: int = 50,
     min_year: int = 2000,
     z_threshold: float = 2.5,
+    inject_noise: bool = False,
 ) -> dict[str, DataFrame]:
     """The reference's Gold job re-expressed with engine operators.
 
@@ -92,8 +139,10 @@ def silver_to_gold(
     (``jobs/03_silver_to_gold.py:46-156``). Deviations (documented in
     SURVEY §2): the cross-join side is ordered before ``limit`` for
     determinism, and the hash-seeded synthetic noise of the reference's
-    "Academic Demo Hack" is replaced by the *actual measured* anomaly
-    series — the z-score/extremes logic is identical.
+    "Academic Demo Hack" is off by default — the fact carries the
+    *actual measured* anomaly series. ``inject_noise=True`` restores
+    the reference behavior (per-key noise + forced extremes + pinned
+    z, under the portable :func:`demo_noise_expr` hash).
     """
     # KPI summary (jobs/03:30-47): yearly stats + scalar station count.
     station_count = stations.count()
@@ -128,16 +177,26 @@ def silver_to_gold(
     )
     sample = dim.orderBy("station_id").limit(station_limit)
     grid = R.bounded_cross_join(sample, monthly)
-    # Per-station baseline/measurement synthesis mirrors jobs/03:88-109
-    # minus the hash noise: baseline from latitude, measured = baseline
-    # + anomaly (pure, deterministic expressions).
+    # Per-station baseline/measurement synthesis mirrors jobs/03:88-109:
+    # baseline from latitude, measured = baseline + anomaly (pure,
+    # deterministic expressions), optionally + the injected noise.
     grid = grid.withColumn(
         "baseline_temperature", F.round(F.expr("30 - 0.5 * abs(latitude)"), 2)
-    ).withColumn(
+    )
+    if inject_noise:
+        grid = grid.withColumn("local_noise", demo_noise_expr()).withColumn(
+            "temperature_anomaly",
+            F.round(F.col("temperature_anomaly") + F.col("local_noise"), 2),
+        )
+    grid = grid.withColumn(
         "avg_temperature",
         F.round(F.col("baseline_temperature") + F.col("temperature_anomaly"), 2),
     )
     scored = A.zscore(grid, "temperature_anomaly", ["station_id"], scale=3)
+    if inject_noise:
+        scored = scored.withColumn(
+            "z_score", force_injected_z(F.col("z_score"), F.col("local_noise"))
+        )
     fact = scored.select(
         "year",
         "month",

@@ -106,16 +106,35 @@ def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.intersect(o)
 
 
-@query("approx_distinct_users")  # no oracle: HLL sketches are engine-specific
+# The HLL estimate itself is engine-specific, so it stays OUT of the
+# hashed columns: the query emits the exact count plus a boolean
+# asserting the sketch landed within tolerance, and the oracle asserts
+# the exact count and TRUE. A broken/absent sketch flips the boolean
+# and fails the hash — the approx path IS verified, portably.
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("approx_distinct_users", oracle=_APPROX_DISTINCT_ORACLE)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct per event type (rows-only check: the HLL
-    estimate is engine-specific by construction; the exact variant is
-    oracle-checked inside union_multi_source / groupby_kpis)."""
+    """approx_count_distinct per event type, verified against the exact
+    count: within_tol = |approx − exact| / exact <= 0.05 (HLL++ with
+    rsd=0.02 is well inside 5% at any cardinality)."""
     ev = Catalog(spark, sf_dir).events
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= 0.05
+    return agg.select("event_type", "exact_users", within.alias("within_tol"))
 
 
 # One SQL text, two engines: the Spark side executes the IDENTICAL

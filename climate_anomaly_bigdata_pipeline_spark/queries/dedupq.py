@@ -60,13 +60,24 @@ sh AS (
 )
 """
 
+# Stop-shingle guard: shingles appearing in more than this many
+# documents are dropped before the pair join (the bound that keeps the
+# shingle self-join from going quadratic on boilerplate-heavy corpora —
+# BASELINE.md records the 469 s blowup without it). Sizes are counted
+# AFTER the filter on both engines so jaccard denominators agree.
+_MAX_DOC_FREQ = 10
+
 _JACCARD_ORACLE = f"""
 WITH {_CORPUS_CTE},
 {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+fsh AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_DOC_FREQ}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-    FROM sh a JOIN sh b USING (shingle)
+    FROM fsh a JOIN fsh b USING (shingle)
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -82,9 +93,14 @@ WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
 @query("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-5-gram Jaccard near-dup pairs (threshold 0.8) — each
-    (long-enough) injected mutant pairs with its source document."""
+    (long-enough) injected mutant pairs with its source document. The
+    stop-shingle guard is engaged so the driver-exercised plan is the
+    one that survives boilerplate skew at scale."""
     return DD.jaccard_pairs(
-        _doc_corpus(spark, sf_dir), n=_SHINGLE_N, threshold=0.8
+        _doc_corpus(spark, sf_dir),
+        n=_SHINGLE_N,
+        threshold=0.8,
+        max_doc_freq=_MAX_DOC_FREQ,
     )
 
 

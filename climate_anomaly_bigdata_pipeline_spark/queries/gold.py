@@ -4,8 +4,12 @@ corpus (``jobs/03_silver_to_gold.py`` end-to-end)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.functions import dec_avg
+from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
+from climate_anomaly_bigdata_pipeline_spark.plans import medallion as M
 from climate_anomaly_bigdata_pipeline_spark.plans.gold import GoldPipeline
 from climate_anomaly_bigdata_pipeline_spark.queries import query
 
@@ -155,3 +159,78 @@ def gold_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classified extreme months derived from the cached fact
     (climate_extremes analog, ``jobs/03_silver_to_gold.py:144-156``)."""
     return GoldPipeline(Catalog(spark, sf_dir)).extremes()
+
+
+# The portable re-implementation of the reference's deterministic
+# noise/extreme injection (jobs/03_silver_to_gold.py:96-105,123-128),
+# oracle-checked end-to-end — possible only because the engine swaps
+# the reference's Murmur3 hash for the md5-derived md5_hash32 recipe.
+_NOISE_ORACLE = """
+WITH monthly AS (
+    SELECT
+        user_id,
+        year(CAST(ts AS TIMESTAMP))  AS year,
+        month(CAST(ts AS TIMESTAMP)) AS month,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(count(value) AS DOUBLE), 4) AS base_anomaly
+    FROM events
+    GROUP BY 1, 2, 3
+), keyed AS (
+    SELECT *,
+        CAST(concat('0x', substr(md5(concat('0:',
+            concat_ws(':', user_id, year, month))), 1, 8)) AS BIGINT) AS h
+    FROM monthly
+), nz AS (
+    SELECT user_id, year, month, base_anomaly,
+        CASE WHEN h % 25 = 0 THEN 15.0
+             WHEN h % 27 = 0 THEN -15.0
+             ELSE ((h % 200) - 100) / 50.0 END AS local_noise
+    FROM keyed
+), an AS (
+    SELECT *, round(base_anomaly + local_noise, 2) AS anomaly FROM nz
+), sc AS (
+    SELECT *,
+        CAST(sum(CAST(anomaly AS DECIMAL(15,4))) OVER w AS DOUBLE) AS s1,
+        CAST(sum(CAST(anomaly AS DECIMAL(15,4))
+                 * CAST(anomaly AS DECIMAL(15,4))) OVER w AS DOUBLE) AS s2,
+        CAST(count(*) OVER w AS DOUBLE) AS n
+    FROM an
+    WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id, year, month, base_anomaly, local_noise, anomaly,
+    CASE WHEN local_noise > 10 THEN 5.0
+         WHEN local_noise < -10 THEN -5.0
+         WHEN n < 2
+           OR sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0)) = 0 THEN 0.0
+         ELSE round((anomaly - s1 / n)
+                    / sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0)), 3)
+    END AS z_score
+FROM sc
+"""
+
+
+@query("demo_noise_zscore", oracle=_NOISE_ORACLE)
+def demo_noise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's "Academic Demo Hack" end-to-end on the driver
+    corpus: per-(user, year, month) average value + deterministic
+    md5-keyed noise, ~4% forced +15 / ~3.7% forced −15 extremes, exact
+    per-user z-score, injected rows pinned to z = ±5
+    (``jobs/03_silver_to_gold.py:88-128`` under the portable hash)."""
+    ev = Catalog(spark, sf_dir).events
+    monthly = ev.groupBy(
+        "user_id",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+    ).agg(dec_avg("value", 4, "base_anomaly"))
+    noisy = monthly.withColumn(
+        "local_noise", M.demo_noise_expr(station_col="user_id")
+    ).withColumn(
+        "anomaly", F.round(F.col("base_anomaly") + F.col("local_noise"), 2)
+    )
+    scored = A.zscore_exact(noisy, "anomaly", ["user_id"], scale=3)
+    return scored.withColumn(
+        "z_score", M.force_injected_z(F.col("z_score"), F.col("local_noise"))
+    ).select(
+        "user_id", "year", "month", "base_anomaly", "local_noise", "anomaly",
+        "z_score",
+    )

@@ -22,7 +22,7 @@ _BINARY_PROFILE_ORACLE = """
 SELECT
     source,
     count(*) AS n_docs,
-    sum(octet_length(encode(text))) AS total_bytes,
+    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
     count(DISTINCT md5(text)) AS distinct_payloads,
     min(octet_length(encode(text))) AS min_bytes,
     max(octet_length(encode(text))) AS max_bytes

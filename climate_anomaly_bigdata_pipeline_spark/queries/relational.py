@@ -265,9 +265,12 @@ def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NULL_PROFILE_ORACLE = """
 SELECT
-    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)     AS null_c_custkey,
-    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)    AS null_o_orderkey,
-    sum(CASE WHEN o.o_totalprice IS NULL THEN 1 ELSE 0 END)  AS null_o_totalprice
+    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_c_custkey,
+    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_o_orderkey,
+    CAST(sum(CASE WHEN o.o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_o_totalprice
 FROM customer c
 LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
        ON c.c_custkey = o.o_custkey
@@ -413,14 +416,17 @@ SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
 @query("except_high_balance_no_f", oracle=_EXCEPT_ORACLE)
 def except_high_balance_no_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) set difference: high-balance customers minus
-    those with finished orders."""
+    those with finished orders. ``subtract`` is Spark's EXCEPT DISTINCT
+    — correct regardless of duplicate rows on either side (an
+    exceptAll+distinct composition would resurrect left values that
+    also appear on the right whenever the left key is non-unique)."""
     c = Catalog(spark, sf_dir)
     left = c.customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     right = (
         c.orders.filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return left.exceptAll(right.distinct()).distinct()
+    return left.subtract(right)
 
 
 # --- Exact dedup (north-star §2.10) ------------------------------------------

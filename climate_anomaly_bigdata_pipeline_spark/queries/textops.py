@@ -44,8 +44,8 @@ WITH stats AS (
     SELECT
         doc_id, lang, n_chars,
         len(toks) AS n_tokens,
-        list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4) AS INT)))
-            AS bpe_token_est,
+        CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4) AS INT)))
+             AS BIGINT) AS bpe_token_est,
         round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
               / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
         round(CAST(len(list_filter(toks, t -> t IN {_STOPWORD_LIST_SQL})) AS DOUBLE)

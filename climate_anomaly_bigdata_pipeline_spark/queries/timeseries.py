@@ -213,10 +213,10 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 ), sessions AS (
     SELECT user_id, event_id, ts_us,
-           sum(is_new) OVER (
+           CAST(sum(is_new) OVER (
                PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT

@@ -36,6 +36,53 @@ def raw_dir(tmp_path_factory):
     return str(d)
 
 
+def test_demo_noise_expr_distribution(spark):
+    """The portable noise injection must be deterministic, bounded to
+    (−2, 2] for ordinary keys, and actually inject both ±15 extremes
+    over a reference-sized station×month grid."""
+    keys = [(f"S{i:03d}", 2000 + i % 3, 1 + i % 12) for i in range(1200)]
+    df = spark.createDataFrame(keys, "station_id string, year int, month int")
+    out = df.withColumn("noise", M.demo_noise_expr())
+    rows = out.collect()
+    heat = sum(r["noise"] == 15.0 for r in rows)
+    cold = sum(r["noise"] == -15.0 for r in rows)
+    assert heat > 0 and cold > 0  # extremes exist (E≈48 / ≈44 of 1200)
+    assert all(
+        r["noise"] in (15.0, -15.0) or -2.0 <= r["noise"] <= 2.0 for r in rows
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rows))
+
+
+def test_medallion_inject_noise_end_to_end(spark):
+    """inject_noise=True restores the reference's demo-hack behavior:
+    noisy keys shift the anomaly, injected extremes pin z to ±5 and
+    always land in the extremes output."""
+    berkeley = spark.createDataFrame(
+        [(y, m, 0.05 * m) for y in (2000, 2001) for m in range(1, 13)],
+        "year int, month int, anomaly double",
+    )
+    stations = spark.createDataFrame(
+        [
+            (f"ST{i:03d}", f"NAME{i}", "XX", 10.0 + i, 20.0, 5.0)
+            for i in range(50)
+        ],
+        "station_id string, name string, state string, "
+        "latitude double, longitude double, elevation double",
+    )
+    gold = M.silver_to_gold(
+        berkeley, stations, station_limit=50, inject_noise=True
+    )
+    fact = gold["climate_anomalies_monthly"].collect()
+    assert len(fact) == 50 * 24
+    forced = [r for r in fact if r["z_score"] in (5.0, -5.0)]
+    assert forced  # the injection guarantees outliers exist
+    extreme_keys = {
+        (r["station_id"], r["date"])
+        for r in gold["climate_extremes"].collect()
+    }
+    assert all((r["station_id"], r["date"]) in extreme_keys for r in forced)
+
+
 def test_medallion_end_to_end(spark, raw_dir, tmp_path_factory):
     out_root = str(tmp_path_factory.mktemp("medallion"))
     paths = M.MedallionPaths(out_root)

@@ -54,6 +54,23 @@ def test_minhash_lsh_finds_identical(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_lsh_degenerate_corpus_bounded(spark):
+    """A corpus of hundreds of identical documents lands in one LSH
+    bucket; the bucket cap must bound the pair expansion to C(cap, 2)
+    from the cap smallest ids, and the overflow companion must surface
+    the truncated bucket."""
+    docs = [(i, "the same boilerplate text repeated everywhere always")
+            for i in range(500)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    sig = DD.minhash_signatures(df, k=8)
+    pairs = DD.lsh_candidates(sig, k=8, bands=2, max_bucket_size=10).collect()
+    assert len(pairs) == 45  # C(10, 2): bounded, not C(500, 2)=124750
+    kept_ids = {r["id1"] for r in pairs} | {r["id2"] for r in pairs}
+    assert kept_ids == set(range(10))  # deterministic: smallest ids win
+    overflow = DD.lsh_bucket_overflow(sig, k=8, bands=2, max_bucket_size=10).collect()
+    assert overflow and all(r["bucket_n"] == 500 for r in overflow)
+
+
 def test_simhash_identical_docs_equal(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],

@@ -80,12 +80,12 @@ def test_oracle_coverage(spark, sf_dir, name):
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
+    """The query folds the approx-vs-exact comparison into its own
+    within_tol column (so the oracle can check it); every group must
+    report the HLL estimate inside tolerance."""
     rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
     assert rows
-    for r in rows:
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(
-            3, 0.1 * r["exact_users"]
-        )
+    assert all(r["within_tol"] for r in rows)
 
 
 def test_range_join_keys_include_band(spark, sf_dir):

@@ -104,6 +104,67 @@ def test_asof_join_semantics(spark):
     assert got == {"A": 10.0, "B": 11.0, "C": 11.0}
 
 
+def test_range_join_hot_key_stays_banded(spark):
+    """One hot key with 1e5 events on both sides: the naive equi-join
+    on the key alone would evaluate 1e10 pairs (minutes-to-hours); the
+    banded join's fan-in is governed by time density (~10 rows/band
+    here), so it must finish promptly AND the physical join key must
+    include the band column — key skew never reaches the join."""
+    import time
+
+    n = 100_000
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    hot = (
+        spark.range(n)
+        .select(
+            F.lit(0).alias("user_id"),
+            F.timestamp_add("SECOND", F.col("id").cast("int"), base).alias("ts"),
+            F.col("id").alias("seq"),
+        )
+    )
+    left = hot.select("user_id", F.col("ts").alias("l_ts"), F.col("seq").alias("l_seq"))
+    right = hot.select("user_id", F.col("ts").alias("r_ts"), F.col("seq").alias("r_seq"))
+    out = TS.range_join(
+        left, right, ["user_id"], "l_ts", "r_ts",
+        lower_seconds=0, upper_seconds=10, strict_lower=True,
+    )
+    plan = plan_of(out)
+    assert "__band" in plan, plan  # the join key carries the band
+    t0 = time.monotonic()
+    # each row pairs with the next 10 seconds -> 10 matches (except tail)
+    assert out.count() == 10 * n - 55
+    assert time.monotonic() - t0 < 120  # quadratic would be >>hours
+
+
+def test_asof_join_hot_key_linear(spark):
+    """As-of join on a single hot key with 1e5 rows per side: the
+    union+window composition sorts 2e5 rows once instead of probing
+    1e10 inequality pairs, and matches exactly (odd second -> the even
+    second just before it)."""
+    import time
+
+    n = 100_000
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    mk = lambda off, name, payload: (
+        spark.range(n).select(
+            F.lit(0).alias("user_id"),
+            F.timestamp_add(
+                "SECOND", (F.col("id") * 2 + off).cast("int"), base
+            ).alias(name),
+            F.col("id").alias(payload),
+        )
+    )
+    left = mk(1, "l_ts", "l_seq")   # odd seconds
+    right = mk(0, "r_ts", "r_seq")  # even seconds
+    t0 = time.monotonic()
+    out = TS.asof_join(left, right, ["user_id"], "l_ts", "r_ts")
+    rows = out.count()
+    assert rows == n
+    mismatches = out.filter(F.col("l_seq") != F.col("r_seq")).count()
+    assert mismatches == 0  # each odd second matches its own even second
+    assert time.monotonic() - t0 < 120
+
+
 def test_asof_oracle(spark, sf_dir):
     from tests.oracle_utils import run_check
 
