@@ -114,10 +114,13 @@ def test_multimodal_batched_matches_expressions(spark):
         assert expr_path[k]["n_bytes"] == udf_path[k]["n_bytes"]
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_multimodal_compressed_decode_stub_raises(spark):
+    """Payloads that would need a compressed-format codec (anything
+    that isn't PNM) still surface the clearly-marked stub error — at
+    execution time, since the decode runs inside mapInPandas."""
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError, match="STUB"):
-        MM.decode_image(MM.attach_binary(docs))
+    with pytest.raises(Exception, match="STUB"):
+        MM.decode_image(MM.attach_binary(docs)).collect()
 
 
 def test_quality_score_buckets(spark):
