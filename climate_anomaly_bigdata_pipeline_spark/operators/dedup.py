@@ -24,6 +24,8 @@ similarity threshold via the standard S-curve.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -267,6 +269,106 @@ def lsh_candidates(
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked entity-resolution join: pairs (id1 < id2) within the
+    same block whose ``text_col`` values are within ``max_dist``
+    Levenshtein edits.
+
+    Blocking is what makes fuzzy matching survive scale: the self-join
+    key is the block, so candidate pairs are Σ|block|² instead of N² —
+    choose blocks (prefix, phonetic key, attribute tuple) so the
+    biggest block stays task-sized, exactly like the LSH band buckets.
+    ``levenshtein`` is a JVM builtin (no UDF); its cost is
+    O(len²) per pair, so never run it unblocked.
+    """
+    a = df.select(
+        *block_cols,
+        F.col(id_col).alias("id1"),
+        F.col(text_col).alias("s1"),
+    )
+    b = df.select(
+        *block_cols,
+        F.col(id_col).alias("id2"),
+        F.col(text_col).alias("s2"),
+    )
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dist", F.levenshtein("s1", "s2"))
+        .filter(F.col("dist") <= max_dist)
+        .select(*block_cols, "id1", "id2", "s1", "s2", "dist")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the whitespace-normalized text, slide a window of ``w``
+    consecutive gram hashes over each document, and keep the minimum of
+    each window. The distinct selected hashes are the document's
+    fingerprint set — winnowing guarantees any shared substring of
+    length ≥ k+w-1 contributes at least one common fingerprint, which
+    is the local-similarity guarantee plain MinHash lacks.
+
+    Shape: one narrow repartition by document, one explode (~chars per
+    doc), one window-min sharing that partitioning, one grouped
+    aggregation — no joins, no quadratic step; document order never
+    matters, so this parallelizes to any corpus size. Gram hashes are
+    the portable md5 recipe (seed 1), reproducible in any engine.
+
+    Output per document: ``n_fp`` distinct fingerprints and their
+    min/max/sum (a compact, engine-portable digest of the set).
+    Documents shorter than k+w-1 normalized chars (no full window)
+    are dropped — too short to fingerprint at this granularity.
+    """
+    from pyspark.sql import Window
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sized = (
+        df.repartition(parallelism, id_col)
+        .withColumn("__norm", F.array_join(tokens_expr(text_col), " "))
+        .withColumn("__n", F.length("__norm") - k + 1)
+        .filter(F.col("__n") >= w)
+    )
+    grams = sized.select(
+        F.col(id_col),
+        F.col("__n").alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.col("__norm").substr(i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    w_win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    )
+    fps = (
+        grams.withColumn("fp", F.min(md5_hash32(F.col("gram"), 1)).over(w_win))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum("fp").alias("fp_sum"),
     )
 
 

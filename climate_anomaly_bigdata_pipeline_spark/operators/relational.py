@@ -197,6 +197,120 @@ def topk_per_group(
     )
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    on: str,
+    set_exprs: Mapping[str, Column],
+    status_col: str = "merge_status",
+) -> DataFrame:
+    """SCD-1 MERGE (upsert): full-outer join base and updates on ``on``
+    and combine columns with caller-supplied expressions over the
+    ``b``/``u`` aliases (e.g. ``F.coalesce(F.col("u.x"), F.col("b.x"))``).
+
+    Rows only in ``updates`` are inserts, only in ``base`` unchanged,
+    in both updated — tagged in ``status_col``. This is the batch
+    MERGE INTO a lakehouse table format would execute; expressed as a
+    single full-outer shuffle join on the key, it scales like any
+    equi-join (co-partition/bucket both sides by the key at 100 TB;
+    with a sorted-bucketed base this becomes a merge join with no
+    shuffle of the base at all).
+    """
+    j = base.alias("b").join(
+        updates.alias("u"), on=F.col(f"b.{on}") == F.col(f"u.{on}"), how="full_outer"
+    )
+    status = (
+        F.when(F.col(f"b.{on}").isNull(), F.lit("inserted"))
+        .when(F.col(f"u.{on}").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.select(
+        F.coalesce(F.col(f"b.{on}"), F.col(f"u.{on}")).alias(on),
+        *[c.alias(name) for name, c in set_exprs.items()],
+        status.alias(status_col),
+    )
+
+
+def quality_profile(
+    df: DataFrame,
+    metrics: Mapping[str, Column],
+    bounds: Mapping[str, tuple[float | None, float | None]],
+) -> DataFrame:
+    """Deequ-style data-quality check suite in ONE aggregation pass.
+
+    ``metrics`` maps check name → aggregate expression (completeness,
+    uniqueness ratio, min/max, row count — anything reducible to a
+    scalar double); ``bounds`` maps the same names to inclusive
+    (lo, hi) limits (None = unbounded). Output: one row per check —
+    (check_name, metric, passed).
+
+    All metrics share a single partial-aggregated scan (the reference
+    re-runs its DAG once per count — ``jobs/02_bronze_to_silver.py:29``;
+    this is the one-pass generalization), then the 1×N metric row is
+    unpivoted with ``stack`` — driver-sized, never a second scan.
+    """
+    names = list(metrics)
+    row = df.agg(
+        *[metrics[n].cast("double").alias(f"m_{i}") for i, n in enumerate(names)]
+    )
+    stack_args = ", ".join(f"'{n}', m_{i}" for i, n in enumerate(names))
+    long = row.select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (check_name, metric)")
+    )
+    passed = None
+    for n in names:
+        lo, hi = bounds.get(n, (None, None))
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (F.col("metric") >= F.lit(float(lo)))
+        if hi is not None:
+            ok = ok & (F.col("metric") <= F.lit(float(hi)))
+        branch = F.when(F.col("check_name") == n, ok)
+        passed = branch if passed is None else passed.when(
+            F.col("check_name") == n, ok
+        )
+    return long.withColumn("passed", passed)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    md5-derived bucket (0-9999) falls under its stratum's rate.
+
+    The per-stratum rate is the standard rebalancing tool for training
+    mixes (downsample boilerplate strata, keep rare ones); hash-mod
+    membership is reproducible, engine-portable, and stable under
+    corpus growth — a row's fate never depends on partitioning or on
+    other rows. Pure row-local expression: scales with the scan.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = None
+    for s, r in rates.items():
+        branch = F.when(F.col(strata_col) == s, F.lit(int(r * 10000)))
+        rate = branch if rate is None else rate.when(
+            F.col(strata_col) == s, F.lit(int(r * 10000))
+        )
+    rate = rate.otherwise(F.lit(int(default_rate * 10000)))
+    return df.filter(bucket < rate)
+
+
 def dedup_exact(
     df: DataFrame, keys: Sequence[str], order: Sequence[Column] | None = None
 ) -> DataFrame:

@@ -34,6 +34,8 @@ __all__ = [
     "with_lsh_bucket",
     "lsh_bucket_topk",
     "ivf_topk",
+    "knn_join",
+    "ivf_knn_join",
     "dot_expr",
     "cosine_expr",
 ]
@@ -146,6 +148,139 @@ def lsh_bucket_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"), "bucket", "cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
+
+
+def knn_join(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch KNN join (brute baseline): top-k cosine neighbors for EVERY
+    vector matching ``query_pred``, against the whole corpus.
+
+    The query side is broadcast (it must be the bounded side — a query
+    batch, not the corpus), so the corpus never shuffles: each task
+    scores its corpus slice against all queries and the per-query top-k
+    is a row_number over a window partitioned by query id. O(|Q|·|N|)
+    scoring — the correctness baseline; :func:`ivf_knn_join` is the
+    celled scale path when the query side is the corpus itself.
+    """
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-KNN over the whole corpus, IVF-celled — the scale path for
+    "top-k neighbors of every document" (embedding dedup, retrieval
+    index build).
+
+    Every vector is coarse-quantized to its nearest cell (row-local
+    expression, deterministic seed codebook as in :func:`ivf_topk`);
+    the query side additionally probes its ``nprobe`` best cells.
+    Neighbor candidates are then a plain **equi-join on the cell id** —
+    at 100 TB that is a co-partitioned join (cell = partition key on
+    write), so the quadratic all-pairs explosion becomes
+    Σ_cells |probe(cell)|·|cell| ≈ nprobe/n_centroids of it, and no
+    task ever sees more than one cell's candidates. Recall < 1 by
+    design (documented ANN trade-off); ranking ties break by
+    (cosine desc, neighbor id).
+    """
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+
+    cents = [
+        (r[0], list(r[1]))
+        for r in e.select(id_col, "v").orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def _cos_to(cvec: list[float]) -> Column:
+        import math
+
+        cnorm = math.sqrt(_py_dot(cvec, cvec))
+        return dot_expr(F.col("v"), _lit_vec(cvec)) / (F.col("norm") * F.lit(cnorm))
+
+    # (cosine, cid) structs sorted desc: element 0 is the home cell,
+    # the first nprobe are the probe set. Same tie-break as ivf_topk
+    # (larger cid wins on equal cosine — struct comparison is (c, i)).
+    cell_structs = F.reverse(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(_cos_to(cv).alias("c"), F.lit(cid).cast("long").alias("i"))
+                    for cid, cv in cents
+                ]
+            )
+        )
+    )
+    assigned = e.withColumn("__cells", cell_structs).withColumn(
+        "cell", F.col("__cells")[0].getField("i")
+    )
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+        "cell",
+    )
+    queries = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(
+            F.transform(F.slice(F.col("__cells"), 1, nprobe), lambda s: s.getField("i"))
+        ).alias("cell"),
+    )
+    scored = (
+        corpus.join(queries, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("nv"), F.col("qv")) / (F.col("nnorm") * F.col("qnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def _py_dot(a: list[float], b: list[float]) -> float:

@@ -132,6 +132,58 @@ def lang_id(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 3,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-document TF-IDF with the top-``top`` terms per document.
+
+    tf = term count within the document; idf = ln((N+1)/(df+1)) with
+    the corpus size N carried as a broadcast one-row aggregate (never a
+    driver-side collect); score = round(tf·idf, scale). Ranking uses
+    the ROUNDED score (desc, then term asc) so the per-document top-k
+    boundary is identical in any engine regardless of last-ulp ln()
+    differences.
+
+    Shape: explode → (doc, term) count → term-keyed doc-frequency agg →
+    one shuffle join back on term. At 100 TB the df table is vocab-
+    sized (zipf-bounded); broadcast it if it fits, else this stays a
+    well-partitioned shuffle join on a high-cardinality key.
+    """
+    from pyspark.sql import Window
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(parallelism, id_col).select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))
+                ),
+                scale,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "term", "tf", "df_t", "score", "rank")
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fingerprint"
 ) -> DataFrame:

@@ -67,6 +67,41 @@ def lag_delta(
     )
 
 
+def trailing_range_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    aggs: Sequence[Column],
+    days: int = 7,
+    names: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing ``days``-day windowed aggregates per key over an
+    event-time column, as a true RANGE frame (event-time distance, not
+    row count): irregular gaps and same-day peers are handled exactly —
+    unlike a ROWS frame, which silently counts rows instead of time.
+
+    The order key is days-since-epoch (``datediff``) so Spark's numeric
+    ``rangeBetween(-(days-1), 0)`` matches ANSI ``RANGE BETWEEN
+    INTERVAL days-1 DAY PRECEDING AND CURRENT ROW`` row-for-row.
+    One shuffle by ``keys``; per-partition sort is the per-key order —
+    at 100 TB this is the standard "trailing 7-day metric per entity"
+    shape, linear in rows per key.
+    """
+    day_idx = F.datediff(F.to_date(F.col(date_col)), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_idx)
+        .rangeBetween(-(days - 1), Window.currentRow)
+    )
+    named = [
+        a.over(w).alias(n if n else f"agg_{i}")
+        for i, (a, n) in enumerate(
+            zip(aggs, list(names) + [""] * (len(aggs) - len(names)))
+        )
+    ]
+    return df.select("*", *named)
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

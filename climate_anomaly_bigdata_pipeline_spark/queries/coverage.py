@@ -157,3 +157,36 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     three sets, same plan family as rollup/cube — no multi-scan)."""
     Catalog(spark, sf_dir).register_views(("lineitem",))
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT event_id, event_type, user_id
+FROM events
+WHERE CAST(concat('0x', substr(md5(concat('strat:', event_id)), 1, 8)) AS BIGINT)
+      % 10000 <
+      CASE event_type
+           WHEN 'view' THEN 500
+           WHEN 'click' THEN 2000
+           ELSE 10000
+      END
+"""
+
+
+@query("stratified_sample_events", oracle=_STRAT_SAMPLE_ORACLE)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix rebalance:
+    downsample dominant event types (5% of views, 20% of clicks), keep
+    everything else. md5-bucket membership is reproducible and stable
+    under corpus growth; pure row-local expression, scales with the
+    scan."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    ev = Catalog(spark, sf_dir).events
+    return R.stratified_sample(
+        ev.select("event_id", "event_type", "user_id"),
+        strata_col="event_type",
+        rates={"view": 0.05, "click": 0.20},
+        key_col="event_id",
+        default_rate=1.0,
+        seed="strat",
+    ).select("event_id", "event_type", "user_id")

@@ -232,3 +232,96 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
     corpus = emb.unionByName(copies).select("vec_id", "embedding")
     return DD.embedding_neardup_pairs(corpus, threshold=0.99)
+
+
+# ---- winnowing fingerprints (rolling-hash k-grams, window min) --------------
+
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = rf"""
+WITH d AS (
+    SELECT doc_id,
+           array_to_string(str_split_regex(lower(trim(text)), '\s+'), ' ') AS norm
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, norm, length(norm) - {_WINNOW_K} + 1 AS n_grams
+    FROM d
+    WHERE length(norm) - {_WINNOW_K} + 1 >= {_WINNOW_W}
+),
+grams AS (
+    SELECT doc_id, n_grams,
+           unnest(generate_series(1, n_grams)) - 1 AS pos
+    FROM sized
+),
+hashed AS (
+    SELECT g.doc_id, g.n_grams, g.pos,
+           CAST(concat('0x', substr(md5(concat('1:',
+                substr(s.norm, g.pos + 1, {_WINNOW_K}))), 1, 8)) AS BIGINT) AS gh
+    FROM grams g JOIN sized s USING (doc_id)
+),
+wins AS (
+    SELECT doc_id, n_grams, pos,
+           min(gh) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+           ) AS fp
+    FROM hashed
+),
+sel AS (
+    SELECT DISTINCT doc_id, fp
+    FROM wins
+    WHERE pos <= n_grams - {_WINNOW_W}
+)
+SELECT doc_id,
+       count(*) AS n_fp,
+       min(fp) AS fp_min,
+       max(fp) AS fp_max,
+       CAST(sum(fp) AS BIGINT) AS fp_sum
+FROM sel
+GROUP BY doc_id
+"""
+
+
+@query("winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document: md5-hashed character
+    8-grams of normalized text, window-of-4 minima, distinct set
+    digested as (count, min, max, sum). The rolling-hash fingerprint
+    family from the north-star list — guarantees shared substrings of
+    length ≥ k+w-1 share a fingerprint, unlike global MinHash."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return DD.winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+# ---- blocked edit-distance entity resolution --------------------------------
+
+_EDIT_DIST_ORACLE = """
+SELECT a.c_nationkey, a.c_mktsegment,
+       a.c_custkey AS id1, b.c_custkey AS id2,
+       a.c_name AS s1, b.c_name AS s2,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+WHERE a.c_custkey < b.c_custkey
+  AND levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@query("levenshtein_neardup", oracle=_EDIT_DIST_ORACLE)
+def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution: customer-name pairs within 2
+    Levenshtein edits, candidate pairs limited to the same
+    (nation, segment) block — Σ|block|² work instead of N², the same
+    bounding idea as the LSH band buckets. Edit distance is the JVM
+    builtin (no UDF)."""
+    cust = Catalog(spark, sf_dir).customer
+    return DD.edit_distance_pairs(
+        cust.select("c_nationkey", "c_mktsegment", "c_custkey", "c_name"),
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_dist=2,
+    )

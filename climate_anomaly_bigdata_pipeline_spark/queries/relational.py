@@ -477,3 +477,210 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- MERGE/upsert (SCD-1) over a keyed profile table ------------------------
+
+_MERGE_CUTOFF = "2024-01-16"
+
+_MERGE_ORACLE = f"""
+WITH base AS (
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_seen
+    FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}'
+    GROUP BY user_id
+),
+upd AS (
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_seen
+    FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}'
+    GROUP BY user_id
+)
+SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+       COALESCE(b.n_events, 0) + COALESCE(u.n_events, 0) AS n_events,
+       CASE WHEN u.last_seen IS NULL THEN b.last_seen
+            WHEN b.last_seen IS NULL THEN u.last_seen
+            WHEN u.last_seen > b.last_seen THEN u.last_seen
+            ELSE b.last_seen END AS last_seen,
+       CASE WHEN b.user_id IS NULL THEN 'inserted'
+            WHEN u.user_id IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_status
+FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+"""
+
+
+@query("merge_upsert_users", oracle=_MERGE_ORACLE)
+def merge_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (SCD-1 upsert): a first-half-of-month user
+    profile table upserted with second-half activity — counts add,
+    last-seen takes the newer timestamp, and each row is tagged
+    inserted/updated/unchanged. One full-outer shuffle join on the
+    key — the lakehouse MERGE execution shape."""
+    ev = Catalog(spark, sf_dir).events
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    prof = lambda d: d.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_seen")
+    )
+    base = prof(ev.filter(F.col("ts") < cutoff))
+    upd = prof(ev.filter(F.col("ts") >= cutoff))
+    b_ls, u_ls = F.col("b.last_seen"), F.col("u.last_seen")
+    return R.merge_upsert(
+        base,
+        upd,
+        on="user_id",
+        set_exprs={
+            "n_events": F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("u.n_events"), F.lit(0)),
+            "last_seen": F.when(u_ls.isNull(), b_ls)
+            .when(b_ls.isNull(), u_ls)
+            .when(u_ls > b_ls, u_ls)
+            .otherwise(b_ls),
+        },
+    )
+
+
+# --- Deequ-style data-quality check suite -----------------------------------
+
+_DQ_ORACLE = """
+WITH m AS (
+    SELECT
+        CAST(count(*) AS DOUBLE) AS row_count,
+        round(1.0 - CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 6) AS completeness_o_totalprice,
+        round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
+            AS uniqueness_o_orderkey,
+        round(min(o_totalprice), 6) AS min_o_totalprice,
+        CAST(year(max(o_orderdate)) AS DOUBLE) AS max_order_year
+    FROM orders
+)
+SELECT check_name, metric,
+       CASE check_name
+            WHEN 'row_count' THEN metric >= 1
+            WHEN 'completeness_o_totalprice' THEN metric >= 1.0
+            WHEN 'uniqueness_o_orderkey' THEN metric >= 1.0
+            WHEN 'min_o_totalprice' THEN metric >= 0.0
+            WHEN 'max_order_year' THEN metric <= 2030
+       END AS passed
+FROM (
+    SELECT unnest(['row_count', 'completeness_o_totalprice',
+                   'uniqueness_o_orderkey', 'min_o_totalprice',
+                   'max_order_year']) AS check_name,
+           unnest([row_count, completeness_o_totalprice,
+                   uniqueness_o_orderkey, min_o_totalprice,
+                   max_order_year]) AS metric
+    FROM m
+)
+"""
+
+
+@query("data_quality_orders", oracle=_DQ_ORACLE)
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over orders (completeness, key uniqueness,
+    value bounds, freshness) — all metrics in ONE partial-aggregated
+    scan, unpivoted to (check_name, metric, passed) rows. The one-pass
+    generalization of the reference's repeated count() actions
+    (jobs/02_bronze_to_silver.py:29-32)."""
+    od = Catalog(spark, sf_dir).orders
+    n = F.count(F.lit(1))
+    return R.quality_profile(
+        od,
+        metrics={
+            "row_count": n.cast("double"),
+            "completeness_o_totalprice": F.round(
+                F.lit(1.0)
+                - F.sum(F.col("o_totalprice").isNull().cast("int")).cast("double") / n,
+                6,
+            ),
+            "uniqueness_o_orderkey": F.round(
+                F.countDistinct("o_orderkey").cast("double") / n, 6
+            ),
+            "min_o_totalprice": F.round(F.min("o_totalprice"), 6),
+            "max_order_year": F.year(F.max("o_orderdate")).cast("double"),
+        },
+        bounds={
+            "row_count": (1.0, None),
+            "completeness_o_totalprice": (1.0, None),
+            "uniqueness_o_orderkey": (1.0, None),
+            "min_o_totalprice": (0.0, None),
+            "max_order_year": (None, 2030.0),
+        },
+    )
+
+
+# --- ntile decile profile (per bounded group) --------------------------------
+
+_NTILE_ORACLE = """
+WITH t AS (
+    SELECT o_orderpriority, o_totalprice,
+           ntile(10) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS decile
+    FROM orders
+)
+SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM t
+GROUP BY o_orderpriority, decile
+"""
+
+
+@query("ntile_price_deciles", oracle=_NTILE_ORACLE)
+def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of order value within each priority class:
+    ntile(10) with a total order (price, key) so bucket boundaries are
+    deterministic. ntile needs a per-partition total sort — bounded
+    here by the 5 priority classes; for an UNBOUNDED key, use
+    percentile-boundary bucketing (see group_percentiles/histogram)
+    instead — a global ntile is the canonical single-task trap."""
+    from pyspark.sql import Window
+
+    od = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = od.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# --- salted join (skew mitigation), checked against the plain-join oracle ----
+
+_SALTED_ORACLE = """
+SELECT n.n_name,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("salted_join_revenue", oracle=_SALTED_ORACLE)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier nation through the SALTED join path: the
+    fact side spreads each supplier key over 8 salt sub-keys and the
+    (small) supplier×nation dim replicates across them, so one hot key
+    cannot pin a stage on a single task. The oracle is the plain join —
+    salting must be result-invariant."""
+    cat = Catalog(spark, sf_dir)
+    dim = R.equi_join(
+        cat.supplier.select("s_suppkey", "s_nationkey"),
+        cat.nation.select("n_nationkey", "n_name"),
+        on=F.col("s_nationkey") == F.col("n_nationkey"),
+        broadcast_right=True,
+    ).select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    li = cat.lineitem.select("l_suppkey", FN.revenue_expr().alias("__rev"))
+    joined = R.salted_join(li, dim, on="l_suppkey", salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+    )

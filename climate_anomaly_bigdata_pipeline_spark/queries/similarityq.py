@@ -129,6 +129,102 @@ LIMIT {_K}
 """
 
 
+_KNN_K = 5
+_KNN_QUERY_MOD = 50
+
+_KNN_JOIN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {_KNN_QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="e.v", b="q.qv")} AS cosine
+    FROM e, q
+    WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS INTEGER) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("knn_join_brute", oracle=_KNN_JOIN_ORACLE)
+def knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join: top-5 cosine neighbors for every 50th vector
+    against the full corpus. The query batch is broadcast so the corpus
+    never shuffles for scoring; per-query top-k is one window. Brute
+    O(|Q|·N) — the correctness baseline for `knn_join_ivf`."""
+    emb = Catalog(spark, sf_dir).embeddings
+    from pyspark.sql import functions as F
+
+    return SIM.knn_join(
+        emb, query_pred=F.col("vec_id") % _KNN_QUERY_MOD == 0, k=_KNN_K
+    )
+
+
+_IVF_KNN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+pairs AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, v, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+probe AS (
+    SELECT vec_id, cid
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC)
+            <= {_NPROBE}
+),
+cand AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="a.v", b="q.v")} AS cosine
+    FROM probe p
+    JOIN e q ON q.vec_id = p.vec_id
+    JOIN assign a ON a.cell = p.cid
+    WHERE a.vec_id != p.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS INTEGER) AS rank,
+       cosine
+FROM cand
+QUALIFY rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("knn_join_ivf", oracle=_IVF_KNN_ORACLE)
+def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-KNN of the whole corpus, IVF-celled (8 cells, nprobe=2):
+    every vector's top-5 approximate neighbors via a plain equi-join on
+    the cell id — the co-partitioned 100 TB shape of "neighbors of
+    everything" (retrieval index build / embedding dedup), replacing
+    the O(N²) cross join with Σ|cell|·|probe(cell)|."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.ivf_knn_join(
+        emb, k=_KNN_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE
+    )
+
+
 @query("ivf_ann_topk", oracle=_IVF_ORACLE)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10: deterministic 8-cell coarse quantizer (lowest-id

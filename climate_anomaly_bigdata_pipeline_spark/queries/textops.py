@@ -134,3 +134,40 @@ def fingerprint_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---- TF-IDF top terms per document ------------------------------------------
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+           round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)), 4) AS score
+    FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, df_t, score,
+       CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+       ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: smooth idf = ln((N+1)/(df+1)),
+    corpus size as a broadcast one-row aggregate, rank on the rounded
+    score so the top-k boundary is engine-portable."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return TX.tfidf_top_terms(docs, top=3)

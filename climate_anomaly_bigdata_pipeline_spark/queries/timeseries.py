@@ -291,3 +291,48 @@ def range_join_next_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+# --- trailing 7-day RANGE window per customer -------------------------------
+
+_ROLLING_7D_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+           AS rev_7d,
+       count(*) OVER w AS n_7d
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY CAST(o_orderdate AS DATE)
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("rolling_7d_customer_revenue", oracle=_ROLLING_7D_ORACLE)
+def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue + order count per customer as a true
+    RANGE frame over event time (days-since-epoch order key ≡ ANSI
+    INTERVAL bounds): same-day peers share frames and calendar gaps
+    shrink them, which a ROWS frame gets wrong. Money summed in exact
+    decimal inside the frame, rounded once at the edge."""
+    od = Catalog(spark, sf_dir).orders
+    out = TS.trailing_range_agg(
+        od.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        keys=["o_custkey"],
+        date_col="o_orderdate",
+        aggs=[
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+            F.count(F.lit(1)),
+        ],
+        days=7,
+        names=["rev_7d_raw", "n_7d"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.round("rev_7d_raw", 2).cast("double").alias("rev_7d"),
+        "n_7d",
+    )

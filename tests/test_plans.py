@@ -70,6 +70,17 @@ def test_cross_join_broadcasts_small_side(spark, sf_dir):
         "cube_lineitem",
         "grouping_sets_lineitem",
         "union_multi_source",
+        "knn_join_brute",
+        "knn_join_ivf",
+        "winnow_fingerprints",
+        "tfidf_top_terms",
+        "rolling_7d_customer_revenue",
+        "merge_upsert_users",
+        "data_quality_orders",
+        "ntile_price_deciles",
+        "salted_join_revenue",
+        "levenshtein_neardup",
+        "stratified_sample_events",
     ],
 )
 def test_oracle_coverage(spark, sf_dir, name):
@@ -77,6 +88,40 @@ def test_oracle_coverage(spark, sf_dir, name):
 
     ok, msg = run_check(spark, name, sf_dir)
     assert ok, msg
+
+
+def test_knn_join_broadcasts_query_batch(spark, sf_dir):
+    """The corpus side must never shuffle for scoring: the query batch
+    arrives via broadcast; the only hash exchange is the per-query
+    window for top-k ranking."""
+    import re
+
+    plan = plan_of(QUERIES["knn_join_brute"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_ivf_knn_join_joins_on_cell(spark, sf_dir):
+    """The celled self-KNN must be an equi-join keyed on the cell id —
+    the co-partitionable 100 TB shape — not a cross join."""
+    plan = plan_of(QUERIES["knn_join_ivf"](spark, sf_dir))
+    assert "cell" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted path must actually join on (key, salt)."""
+    plan = plan_of(QUERIES["salted_join_revenue"](spark, sf_dir))
+    assert "__salt" in plan, plan
+
+
+def test_quality_profile_single_scan(spark, sf_dir):
+    """All five checks must come from ONE scan of orders (the operator's
+    contract: no per-metric re-run of the DAG)."""
+    import re
+
+    plan = plan_of(QUERIES["data_quality_orders"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
