@@ -180,18 +180,23 @@ def knn_join(
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            dot_expr(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                dot_expr(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+            ).alias("cosine"),
         )
     )
+    # Project BEFORE the ranking window: the top-k shuffle moves
+    # (query_id, neighbor_id, cosine) triples, never the vectors.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
+        F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 
@@ -251,7 +256,15 @@ def ivf_knn_join(
     assigned = e.withColumn("__cells", cell_structs).withColumn(
         "cell", F.col("__cells")[0].getField("i")
     )
-    corpus = assigned.select(
+    # The corpus is spread over all cores BEFORE scoring: the cell key
+    # has only n_centroids distinct values, so joining on it directly
+    # would collapse the (dominant) dot-product work onto n_centroids
+    # tasks. Locally the probe side is broadcast (N·nprobe rows) so the
+    # corpus never shuffles and every scan partition scores in place;
+    # at 100 TB — where the probe side is corpus-sized — co-partition
+    # both sides by cell on write and let AQE skew-split the big cells.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    corpus = assigned.repartition(parallelism).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nnorm"),
@@ -266,13 +279,17 @@ def ivf_knn_join(
         ).alias("cell"),
     )
     scored = (
-        corpus.join(queries, "cell")
+        corpus.join(F.broadcast(queries), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            dot_expr(F.col("nv"), F.col("qv")) / (F.col("nnorm") * F.col("qnorm")),
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_expr(F.col("nv"), F.col("qv")) / (F.col("nnorm") * F.col("qnorm"))
+            ).alias("cosine"),
         )
     )
+    # Vectors are dropped before the ranking window (see knn_join).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -90,7 +90,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_CENTROIDS = 8
+_N_CENTROIDS = 16
 _NPROBE = 2
 
 _IVF_ORACLE = f"""
@@ -214,7 +214,7 @@ ORDER BY query_id, rank
 
 @query("knn_join_ivf", oracle=_IVF_KNN_ORACLE)
 def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-KNN of the whole corpus, IVF-celled (8 cells, nprobe=2):
+    """Self-KNN of the whole corpus, IVF-celled (16 cells, nprobe=2):
     every vector's top-5 approximate neighbors via a plain equi-join on
     the cell id — the co-partitioned 100 TB shape of "neighbors of
     everything" (retrieval index build / embedding dedup), replacing
@@ -227,7 +227,7 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ivf_ann_topk", oracle=_IVF_ORACLE)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: deterministic 8-cell coarse quantizer (lowest-id
+    """IVF ANN top-10: deterministic 16-cell coarse quantizer (lowest-id
     seed codebook), nprobe=2. Cell assignment is a row-local
     array_max over (cosine, cid) structs with the codebook embedded as
     literals — zero shuffle of the corpus; at 100 TB the cell is a

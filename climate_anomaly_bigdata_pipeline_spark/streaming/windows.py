@@ -65,6 +65,25 @@ def windowed_counts_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup on a stream: first occurrence of each
+    key wins; duplicate state is evicted once the watermark passes, so
+    state stays bounded on an unbounded stream (duplicates arriving
+    later than the watermark are by-definition out of contract).
+
+    The streaming twin of the batch exact dedup
+    (``relational.dedup_exact``) — ``dropDuplicatesWithinWatermark``
+    keys the state store on ``keys`` and shuffles once by them.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a (bounded) stream to completion into an in-memory table
     and return it as a batch DataFrame — the local smoke harness."""
