@@ -158,3 +158,41 @@ def anomaly_pipeline(
         threshold=threshold,
         label_name=label_name,
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 1.5,
+    scale: int = 4,
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: values outside
+    [Q1 − k·IQR, Q3 + k·IQR] are flagged — the boxplot-whisker rule the
+    reference notebook visualizes (``notebooks/climate_analysis.ipynb``
+    boxplot cells), as a first-class operator.
+
+    Two passes over the grain: an exact per-group quantile aggregate
+    (group-count rows), broadcast-joined back onto the rows — the
+    fences table is groups-sized, so the big side never shuffles.
+    Quantiles are exact interpolated (engine-portable); at true 100 TB
+    swap ``percentile_approx`` per the group_percentiles note.
+    """
+    gc = list(group_cols)
+    fences = df.groupBy(*gc).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("__q3"),
+    )
+    fenced = fences.select(
+        *gc,
+        F.round(F.col("__q1") - k * (F.col("__q3") - F.col("__q1")), scale).alias(
+            "lo_fence"
+        ),
+        F.round(F.col("__q3") + k * (F.col("__q3") - F.col("__q1")), scale).alias(
+            "hi_fence"
+        ),
+    )
+    return df.join(F.broadcast(fenced), gc).withColumn(
+        "is_outlier",
+        (F.col(value_col) < F.col("lo_fence")) | (F.col(value_col) > F.col("hi_fence")),
+    )

@@ -405,6 +405,76 @@ def simhash(
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph — the step that
+    turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
+    component). Iterative min-label propagation: every node repeatedly
+    adopts the smallest label among itself and its neighbors until a
+    fixpoint; output is (node, cluster_id = component minimum).
+
+    Convergence takes O(graph diameter) rounds — near-dup components
+    are near-cliques, so 2-4 in practice; ``max_iter`` bounds
+    pathological chains. Each round is one shuffle join + one grouped
+    min (label table is 2 columns — node payloads never loop).
+    The per-round convergence check is a bounded count action, and the
+    label lineage is truncated with ``localCheckpoint`` so the plan
+    doesn't grow by one join per round (the classic iterative-Spark
+    trap); at 100 TB swap in reliable ``checkpoint`` and the
+    large-star/small-star variant (Kiveris et al.) that bounds the
+    high-degree-node fan-in.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("cluster_id").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("cluster_id"))
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product over array<double> — bit-identical
     to DuckDB's list_dot_product (verified empirically)."""

@@ -19,6 +19,7 @@ non-degenerate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
@@ -147,3 +148,41 @@ def zscore_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = A.zscore_exact(li, "l_extendedprice", ["l_suppkey"])
     return A.classify_extremes(scored, threshold=1.5, label_name="anomaly_class")
+
+
+# --- Tukey/IQR outlier fences (the notebook's boxplot-whisker rule) ---------
+
+_IQR_ORACLE = """
+WITH fences AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.25)
+                 - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)),
+                 4) AS lo_fence,
+           round(quantile_cont(value, 0.75)
+                 + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)),
+                 4) AS hi_fence
+    FROM events
+    GROUP BY event_type
+)
+SELECT e.event_type, f.lo_fence, f.hi_fence,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN fences f USING (event_type)
+GROUP BY e.event_type, f.lo_fence, f.hi_fence
+"""
+
+
+@query("iqr_outliers_events", oracle=_IQR_ORACLE)
+def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (boxplot-whisker) outlier profile per event type:
+    exact interpolated quartiles -> k=1.5 fences, fences broadcast back
+    onto the rows, outliers counted per group. The notebook's boxplot
+    rule (notebooks/climate_analysis.ipynb) as an operator, second
+    anomaly family beside the z-score."""
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    flagged = A.iqr_outliers(ev, "value", ["event_type"], k=1.5)
+    return flagged.groupBy("event_type", "lo_fence", "hi_fence").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
+    )

@@ -325,3 +325,58 @@ def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey", "c_mktsegment"],
         max_dist=2,
     )
+
+
+# ---- near-dup clusters: candidate pairs -> connected components -------------
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+    FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 2000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+    FROM embeddings WHERE vec_id % 4 = 0
+),
+pairs AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+),
+edges AS (
+    SELECT id1 AS src, id2 AS dst FROM pairs
+    UNION
+    SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(lab) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
+@query("dedup_clusters_embedding", oracle=_CLUSTER_ORACLE)
+def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidates->clusters step that completes the dedup pipeline:
+    every 4th embedding appears three times (original + two copies);
+    brute cosine>=0.99 pairs feed iterative min-label propagation
+    (connected components), assigning each member its component-minimum
+    cluster_id — downstream, keep one row per cluster. The oracle walks
+    the same graph with a recursive CTE."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+        .unionByName(emb.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
+    )
+    pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99)
+    return DD.connected_components(pairs, "id1", "id2")
