@@ -219,3 +219,40 @@ def test_trailing_range_agg_gap_resets(spark):
     assert got[(1, "2024-01-05")] == (30.0, 2)
     assert got[(1, "2024-01-20")] == (40.0, 1)
     assert got[(2, "2024-01-01")] == (7.0, 1)
+
+
+# ---- connected components (pairs -> clusters) -------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (11, 10)], "id1 long, id2 long"
+    )
+    out = {r.node: r.cluster_id for r in DD.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    pairs = spark.createDataFrame([(5, 5)], "id1 long, id2 long")
+    out = {r.node: r.cluster_id for r in DD.connected_components(pairs).collect()}
+    assert out == {5: 5}
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    assert DD.connected_components(empty).count() == 0
+
+
+# ---- IQR / Tukey-fence outliers ---------------------------------------------
+
+
+def test_iqr_outliers_flags_extremes_per_group(spark):
+    from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
+
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+    rows += [("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = A.iqr_outliers(df, "v", ["g"], k=1.5).collect()
+    flagged = {(r.g, r.v) for r in out if r.is_outlier}
+    assert flagged == {("a", 100.0)}
+    # fences are identical within a group and ordered
+    for r in out:
+        assert r.lo_fence < r.hi_fence
