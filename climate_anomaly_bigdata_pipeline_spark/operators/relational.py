@@ -328,3 +328,62 @@ def dedup_exact(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    n: int,
+    seed: str = "quota",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``n`` rows per group,
+    chosen by md5 order over the key — the per-domain/per-source cap
+    every crawl-derived training mix applies so one host can't dominate.
+
+    Hash order makes the selection reproducible, engine-portable, and
+    independent of input partitioning; one shuffle by group, and with
+    AQE a skewed group splits across tasks before the rank filter.
+    Adds ``quota_rank`` (1-based within group).
+    """
+    rank_key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(rank_key, F.col(key_col))
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= n)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 90), ("val", 5), ("test", 5)),
+    seed: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by md5 bucket (percent weights
+    summing to 100). Membership is a pure function of the key — stable
+    under corpus growth, repartitioning, and re-runs, which is the
+    property that keeps eval sets uncontaminated across pipeline
+    versions. Row-local expression, no shuffle. Adds ``split``.
+    """
+    total = sum(w for _, w in splits)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    expr, cum = None, 0
+    for name, w in splits:
+        cum += w
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -191,3 +191,71 @@ def fingerprint(
     md5 of whitespace-normalized, lower-cased text."""
     norm = F.array_join(tokens_expr(text_col), " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", scale: int = 4
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: type-token
+    ratio (distinct/total tokens) and the fraction of tokens taken by
+    the single most frequent token. Low TTR / high top-token fraction
+    marks boilerplate and degenerate generations — the standard
+    pretraining repetition filter (Rae et al. 2021, §A1.1), adapted to
+    token granularity.
+
+    Pure row-local array expressions — no explode, no shuffle: the
+    per-doc token multiset is aggregated in-row with distinct +
+    filter-count over the (bounded, document-sized) token array.
+    Scales with the scan; a groupBy formulation would shuffle the
+    whole exploded corpus for the same answer.
+    """
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # count of the modal token: max over distinct tokens of in-row count
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(n_distinct.cast("double") / n, scale).alias("ttr"),
+        F.round(top_cnt.cast("double") / n, scale).alias("top_token_frac"),
+    )
+
+
+#: Engine-portable PII patterns — kept to syntax shared by Java regex
+#: (Spark) and RE2 (DuckDB): no backrefs, no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9]{7,}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    number_token: str = "<NUM>",
+) -> DataFrame:
+    """Redact emails and long digit runs (phone/account numbers) from a
+    text column, keeping per-row match counts for audit. The standard
+    pre-training scrub pass; patterns are portable across Java regex
+    and RE2 so the oracle can replay them.
+
+    Row-local regexp_count + regexp_replace — JVM codegen, no shuffle,
+    scales with the scan.
+    """
+    c = F.col(text_col)
+    return df.withColumn(
+        "n_emails", F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+    ).withColumn(
+        "n_numbers", F.regexp_count(c, F.lit(LONG_NUM_RE)).cast("long")
+    ).withColumn(
+        "scrubbed",
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, email_token), LONG_NUM_RE, number_token
+        ),
+    )

@@ -284,3 +284,74 @@ def sessionize(
     ).otherwise(F.lit(0))
     w_running = w_order.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("session_id", F.sum(is_new).over(w_running))
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: for each user, stage *i* counts only if
+    an event of ``stages[i]`` occurs at a strictly later timestamp than
+    the user's stage *i-1* arrival. Returns one row per stage with the
+    number of users reaching it (classic conversion funnel, e.g.
+    view -> click -> purchase).
+
+    One shuffle total: events of funnel types are grouped per user,
+    time-sorted in-row, and the stage-arrival vector is computed with a
+    single ``F.aggregate`` fold over the sorted array — equivalent to k
+    chained self-joins (min ts of stage i after stage i-1) but without
+    the k join shuffles. Per-user event counts are session-scale, so
+    the in-row array is small; a pathological hot user degrades to one
+    big array, not a skewed join.
+    """
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    k = len(stages)
+    per_user = (
+        df.filter(F.col(type_col).isin(list(stages)))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                        F.col(type_col).alias("tp")))
+            ).alias("seq")
+        )
+    )
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+    state = F.aggregate(
+        F.col("seq"),
+        init,
+        lambda acc, x: F.transform(
+            acc,
+            lambda s, j: F.when(
+                s.isNull()
+                & (x["tp"] == F.element_at(stage_arr, j + 1))
+                & (
+                    (j == F.lit(0))
+                    # F.get is 0-indexed and null-safe: j-1 = previous
+                    # stage's arrival; -1 (first stage) yields null and
+                    # the branch is never taken, so no ANSI index error
+                    | (
+                        F.get(acc, j - 1).isNotNull()
+                        & (x["ts"] > F.get(acc, j - 1))
+                    )
+                ),
+                x["ts"],
+            ).otherwise(s),
+        ),
+    )
+    reached = per_user.select(
+        F.size(F.filter(state, lambda t: t.isNotNull())).alias("depth")
+    )
+    counts = reached.groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
+    stages_df = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)], "stage_idx int, stage string"
+    )
+    # users at depth d reached every stage <= d: suffix-sum the depth counts
+    joined = stages_df.join(counts, counts["depth"] >= stages_df["stage_idx"], "left")
+    return (
+        joined.groupBy("stage_idx", "stage")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
+    )

@@ -190,3 +190,81 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=1.0,
         seed="strat",
     ).select("event_id", "event_type", "user_id")
+
+
+# ---- per-source quota cap ---------------------------------------------------
+
+_QUOTA_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('quota:', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS quota_rank
+    FROM documents
+)
+SELECT doc_id, source, CAST(quota_rank AS BIGINT) AS quota_rank
+FROM ranked WHERE quota_rank <= 25
+"""
+
+
+@query("quota_sample_per_source", oracle=_QUOTA_ORACLE)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (<=25 docs per source, md5-ordered): the
+    per-domain cap a crawl-derived training mix applies so one host
+    can't dominate. Deterministic, partitioning-independent selection;
+    one shuffle by source."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return R.quota_per_group(docs, ["source"], "doc_id", 25).select(
+        "doc_id", "source", F.col("quota_rank").cast("long").alias("quota_rank")
+    )
+
+
+# ---- approximate quantiles, verified against exact --------------------------
+
+# Same verification shape as approx_distinct_users: the sketch value is
+# engine-specific so it stays OUT of the hash — the query emits the
+# exact quantiles plus booleans asserting the approx landed within a
+# value-space tolerance, and the oracle asserts the exact values + TRUE.
+_APPROX_QUANTILE_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.99), 4) AS p99_exact,
+       TRUE AS p50_within_tol,
+       TRUE AS p99_within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("approx_quantiles_events", oracle=_APPROX_QUANTILE_ORACLE)
+def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch, the mergeable
+    one-pass path that replaces exact sort-based quantiles at scale)
+    per event type, verified against exact interpolated quantiles:
+    within_tol = |approx − exact| / (max − min) <= 0.02 per group.
+    The sketch is what you'd run at 100 TB; the exact value is the
+    small-SF certificate that it's wired correctly."""
+    ev = Catalog(spark, sf_dir).events
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50x"),
+        F.expr("percentile(value, 0.99)").alias("p99x"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50a"),
+        F.expr("percentile_approx(value, 0.99, 1000)").alias("p99a"),
+        F.max("value").alias("mx"),
+        F.min("value").alias("mn"),
+    )
+    spread = F.col("mx") - F.col("mn")
+    return agg.select(
+        "event_type",
+        F.round("p50x", 4).alias("p50_exact"),
+        F.round("p99x", 4).alias("p99_exact"),
+        (F.abs(F.col("p50a") - F.col("p50x")) / spread <= 0.02).alias(
+            "p50_within_tol"
+        ),
+        (F.abs(F.col("p99a") - F.col("p99x")) / spread <= 0.02).alias(
+            "p99_within_tol"
+        ),
+    )

@@ -380,3 +380,63 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99)
     return DD.connected_components(pairs, "id1", "id2")
+
+
+# ---- train/val/test split-leakage audit -------------------------------------
+
+_LEAKAGE_ORACLE = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 5 = 0
+),
+fp AS (
+    SELECT
+        md5(array_to_string(str_split_regex(lower(trim(text)), '\s+'), ' '))
+            AS fingerprint,
+        CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(concat('split:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95
+                  THEN 'val'
+             ELSE 'test'
+        END AS split
+    FROM corpus
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+FROM fp
+GROUP BY fingerprint
+HAVING count(DISTINCT split) > 1
+"""
+
+
+@query("split_leakage_audit", oracle=_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination check: hash-split the corpus (with
+    injected exact duplicates: every 5th doc re-appears under a new id),
+    fingerprint each doc, and report fingerprints that land in more
+    than one split — the eval-leakage audit every pretraining pipeline
+    must run before shipping a split. One grouped agg over fingerprints;
+    the split and fingerprint are both row-local expressions."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+    from climate_anomaly_bigdata_pipeline_spark.operators import text as TX
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dupes)
+    labeled = R.hash_split(TX.fingerprint(corpus), "doc_id")
+    return (
+        labeled.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.size(F.collect_set("split")).alias("__k"),
+        )
+        .filter(F.col("__k") > 1)
+        .drop("__k")
+    )

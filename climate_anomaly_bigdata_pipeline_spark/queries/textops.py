@@ -171,3 +171,83 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score so the top-k boundary is engine-portable."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     return TX.tfidf_top_terms(docs, top=3)
+
+
+# ---- repetition quality (Gopher-style) --------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS ttr,
+       round(list_aggregate(
+                 list_transform(list_distinct(t),
+                                d -> len(list_filter(t, x -> x = d))),
+                 'max') / CAST(len(t) AS DOUBLE), 4) AS top_token_frac
+FROM toks
+"""
+
+
+@query("repetition_quality_docs", oracle=_REPETITION_ORACLE)
+def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (type-token ratio, modal-token
+    fraction) — the pretraining boilerplate/degeneration filter, as
+    row-local array expressions with zero shuffle."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return TX.repetition_stats(docs)
+
+
+# ---- PII scrub --------------------------------------------------------------
+
+_PII_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com ref ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+       CAST(length(text) AS BIGINT) AS len_before,
+       CAST(length(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT) AS len_after
+FROM aug
+"""
+
+
+@query("pii_scrub_docs", oracle=_PII_ORACLE)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: the corpus is deterministically augmented
+    with one synthetic email + one 8-digit account number per doc (the
+    synthetic corpus has none), then scrubbed with the engine-portable
+    patterns; output counts matches and before/after lengths. Note
+    DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all default."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ref "),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ),
+    )
+    out = TX.pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_numbers",
+        F.length("text").cast("long").alias("len_before"),
+        F.length("scrubbed").cast("long").alias("len_after"),
+    )

@@ -336,3 +336,45 @@ def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev_7d_raw", 2).cast("double").alias("rev_7d"),
         "n_7d",
     )
+
+
+# ---- ordered conversion funnel ---------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view -> click -> purchase:
+    users reaching stage i must have a stage-i event strictly after
+    their stage-(i-1) arrival. Engine side is the one-shuffle
+    sorted-array fold (funnel_stages); the oracle is the classic
+    k-chained-joins formulation — identical counts, k fewer shuffles."""
+    ev = Catalog(spark, sf_dir).events
+    return TS.funnel_stages(
+        ev.select("user_id", "ts", "event_type"),
+        stages=["view", "click", "purchase"],
+    )

@@ -256,3 +256,96 @@ def test_iqr_outliers_flags_extremes_per_group(spark):
     # fences are identical within a group and ordered
     for r in out:
         assert r.lo_fence < r.hi_fence
+
+
+# ---- ordered funnel ---------------------------------------------------------
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "purchase"),
+        # u2 purchases BEFORE clicking: must stop at depth 2
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:00:30", "purchase"),
+        (2, "2024-01-01 00:01:00", "click"),
+        # u3's pre-view click is ignored, but the RE-click after the
+        # view counts (chained-min-join semantics): depth 2
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 00:01:00", "view"),
+        (3, "2024-01-01 00:02:00", "click"),
+        # u4 only views
+        (4, "2024-01-01 00:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = TS.funnel_stages(df, ["view", "click", "purchase"])
+    got = {r.stage: r.n_users for r in out.collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    # click at the SAME instant as the view: strict > excludes it
+    rows = [(1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 00:00:00", "click")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.stage: r.n_users for r in TS.funnel_stages(df, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+# ---- hash split / quota -----------------------------------------------------
+
+
+def test_hash_split_is_stable_and_exhaustive(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = R.hash_split(df, "k", (("train", 90), ("val", 5), ("test", 5)))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500 and set(counts) == {"train", "val", "test"}
+    # membership is a pure function of the key: repartitioned rerun agrees
+    again = R.hash_split(df.repartition(7), "k", (("train", 90), ("val", 5), ("test", 5)))
+    assert out.select("k", "split").subtract(again.select("k", "split")).count() == 0
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        R.hash_split(df, "k", (("a", 50), ("b", 40)))
+
+
+def test_quota_per_group_caps_and_is_deterministic(spark):
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = R.quota_per_group(df, ["src"], "id", 10)
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 3}
+    again = R.quota_per_group(df.repartition(5), ["src"], "id", 10)
+    assert out.select("id").subtract(again.select("id")).count() == 0
+
+
+# ---- repetition stats / PII scrub -------------------------------------------
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert got[1].ttr == 0.25 and got[1].top_token_frac == 1.0
+    assert got[2].ttr == 1.0 and got[2].top_token_frac == 0.25
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or call 12345678 ext 42")],
+        "doc_id long, text string",
+    )
+    r = TX.pii_scrub(df).collect()[0]
+    assert r.n_emails == 1 and r.n_numbers == 1
+    assert "<EMAIL>" in r.scrubbed and "<NUM>" in r.scrubbed
+    assert "@" not in r.scrubbed and "12345678" not in r.scrubbed
+    assert "ext 42" in r.scrubbed  # short numbers survive
