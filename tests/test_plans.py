@@ -151,3 +151,31 @@ def test_ivf_corpus_never_shuffles(spark, sf_dir):
     plan = plan_of(QUERIES["ivf_ann_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert not re.search(r"Exchange hashpartitioning", plan), plan
+
+
+def test_repetition_and_pii_are_scan_local(spark, sf_dir):
+    """Row-local quality/scrub passes must not shuffle: zero Exchange
+    nodes — they scale with the scan or not at all."""
+    import re
+
+    for q in ("repetition_quality_docs", "pii_scrub_docs"):
+        plan = plan_of(QUERIES[q](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan)
+
+
+def test_funnel_single_shuffle_for_stage_fold(spark, sf_dir):
+    """The funnel's per-user fold must cost ONE hash exchange by
+    user_id (plus the tiny stage-table join, which must broadcast) —
+    not the k chained join shuffles of the naive formulation."""
+    plan = plan_of(QUERIES["funnel_view_click_purchase"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_quota_single_exchange_by_group(spark, sf_dir):
+    """Per-source quota: one shuffle by the group key, then rank+filter."""
+    import re
+
+    plan = plan_of(QUERIES["quota_sample_per_source"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(source" in plan, plan
