@@ -518,3 +518,37 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination join: corpus documents sharing at
+    least one word n-gram with an eval/benchmark document — the
+    contamination check every pretraining pipeline runs before
+    training (n≈8-13 word grams are the published recipe; GPT-3
+    appendix C uses 13-grams).
+
+    The benchmark side is eval-set-sized, so its exploded shingles are
+    broadcast — the corpus side streams through map-side: shingle
+    (row-local explode), hash-join against the broadcast set, one
+    grouped count by (corpus_id, benchmark_id). No corpus-side shuffle
+    until the tiny match set aggregates.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(shingles_expr(text_col, n)).alias("__sh"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col).alias("benchmark_id"),
+        F.explode(shingles_expr(text_col, n)).alias("__sh"),
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "__sh")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )

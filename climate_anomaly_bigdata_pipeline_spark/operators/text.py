@@ -259,3 +259,38 @@ def pii_scrub(
             F.regexp_replace(c, EMAIL_RE, email_token), LONG_NUM_RE, number_token
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-length chunking step that turns variable-length documents
+    into training sequences. Chunk *i* starts at token
+    1 + i*(chunk_size − overlap); the final chunk may be short.
+
+    Row-local: start offsets and slices are array expressions, and the
+    explode multiplies rows by ~len/step without any shuffle — the
+    chunker scales with the scan. Emits (id, chunk_idx 1-based,
+    n_chunk_tokens, chunk_md5); carry the text itself by joining back
+    on (id, chunk_idx) when a downstream stage actually needs bytes.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens_expr(text_col)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(step)),
+        lambda s: F.slice(toks, s, chunk_size),
+    )
+    exploded = df.select(id_col, F.posexplode(chunks).alias("__pos", "__chunk"))
+    return exploded.select(
+        id_col,
+        (F.col("__pos") + 1).cast("long").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("__chunk", " ")).alias("chunk_md5"),
+    )

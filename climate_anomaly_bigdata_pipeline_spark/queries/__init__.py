@@ -45,3 +45,4 @@ from climate_anomaly_bigdata_pipeline_spark.queries import dedupq  # noqa: E402,
 from climate_anomaly_bigdata_pipeline_spark.queries import similarityq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import multimodalq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import coverage  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import curation  # noqa: E402,F401

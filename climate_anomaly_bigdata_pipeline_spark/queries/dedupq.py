@@ -440,3 +440,59 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__k") > 1)
         .drop("__k")
     )
+
+
+# ---- benchmark decontamination ----------------------------------------------
+
+_CONTAM_ORACLE = r"""
+WITH bench AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+crawl AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, text FROM bench
+),
+bt AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t FROM bench
+),
+ct AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t FROM crawl
+),
+bsh AS (
+    SELECT DISTINCT doc_id AS benchmark_id,
+           unnest(list_transform(range(0, len(t) - 7),
+                                 i -> array_to_string(t[i+1:i+8], ' '))) AS sh
+    FROM bt
+),
+csh AS (
+    SELECT DISTINCT doc_id AS corpus_id,
+           unnest(list_transform(range(0, len(t) - 7),
+                                 i -> array_to_string(t[i+1:i+8], ' '))) AS sh
+    FROM ct
+)
+SELECT corpus_id, benchmark_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM csh JOIN bsh USING (sh)
+GROUP BY corpus_id, benchmark_id
+"""
+
+
+@query("benchmark_decontamination", oracle=_CONTAM_ORACLE)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: every 50th doc is the 'benchmark';
+    the crawl is everything else plus injected verbatim copies of the
+    benchmark docs (the thing the check must catch). Flags crawl docs
+    sharing any 8-word-gram with a benchmark doc, with the shared-gram
+    count (published recipe: 8-13-gram overlap, GPT-3 appendix C).
+    The benchmark side is broadcast — the crawl never shuffles until
+    the tiny match set aggregates."""
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    crawl = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        )
+    )
+    return DD.ngram_contamination(crawl, bench, n=8)

@@ -251,3 +251,33 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("len_before"),
         F.length("scrubbed").cast("long").alias("len_after"),
     )
+
+
+# ---- fixed-size token chunking ----------------------------------------------
+
+_CHUNK_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+st AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s
+    FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 + 1 AS BIGINT) AS chunk_idx,
+       CAST(len(t[s:s+63]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[s:s+63], ' ')) AS chunk_md5
+FROM st
+"""
+
+
+@query("chunk_documents_64_16", oracle=_CHUNK_ORACLE)
+def chunk_documents_64_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 64-token windows, 16-token overlap
+    (step 48) — variable-length docs become fixed-size training
+    sequences. Row-local sequence/slice expressions + one explode,
+    zero shuffle; chunk content is carried as md5 so the certificate
+    covers bytes, not just counts."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return TX.chunk_documents(docs, chunk_size=64, overlap=16)

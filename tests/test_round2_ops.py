@@ -349,3 +349,39 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<EMAIL>" in r.scrubbed and "<NUM>" in r.scrubbed
     assert "@" not in r.scrubbed and "12345678" not in r.scrubbed
     assert "ext 42" in r.scrubbed  # short numbers survive
+
+
+# ---- chunking / decontamination ---------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        TX.chunk_documents(df, chunk_size=4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts 1,3,5,7,9 -> lengths 4,4,4,4,2
+    assert [r.chunk_idx for r in out] == [1, 2, 3, 4, 5]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 4, 2]
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_ngram_contamination_catches_copied_span(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim inside other text
+            (1, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+            (2, "totally unrelated words none shared with anything here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.ngram_contamination(crawl, bench, n=8).collect()
+    assert [(r.corpus_id, r.benchmark_id, r.n_shared_ngrams) for r in out] == [
+        (1, 100, 1)
+    ]
