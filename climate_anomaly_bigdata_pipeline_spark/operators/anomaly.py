@@ -196,3 +196,44 @@ def iqr_outliers(
         "is_outlier",
         (F.col(value_col) < F.col("lo_fence")) | (F.col(value_col) > F.col("hi_fence")),
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    scale: int = 4,
+    out: str = "robust_z",
+) -> DataFrame:
+    """Median/MAD robust z-score per group:
+    0.6745 · (x − median) / MAD, where MAD = median(|x − median|).
+    The outlier-resistant twin of the mean/stddev z-score — heavy-tail
+    contamination moves mean and stddev but barely moves the medians,
+    so injected extremes can't mask each other.
+
+    Two grouped exact-percentile passes (median, then MAD over the
+    residuals), each producing a groups-sized table broadcast back
+    onto the rows — the big side never shuffles. Zero MAD (constant
+    group) guards to null, mirroring zscore_exact's zero-std guard.
+    At true 100 TB swap the exact percentiles for the mergeable
+    ``percentile_approx`` sketch (same recipe as group_percentiles).
+    """
+    gc = list(group_cols)
+    med = df.groupBy(*gc).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), gc)
+    mad = (
+        with_med.groupBy(*gc)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+        )
+    )
+    joined = with_med.join(F.broadcast(mad), gc)
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    return joined.withColumn(
+        out,
+        F.when(F.col("__mad") != 0, F.round(z, scale)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    ).drop("__med", "__mad")

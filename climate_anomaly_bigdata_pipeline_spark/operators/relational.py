@@ -387,3 +387,83 @@ def hash_split(
         cond = bucket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs by running
+    offset: doc *i* (in ``id_col`` order) goes to pack
+    floor(cumulative_tokens_before_i / budget). Deterministic,
+    single-pass, and order-stable — the streaming-fill approximation of
+    sequence packing (a doc whose start straddles a boundary overflows
+    its pack by at most one document, the standard trade against the
+    sequential exact-greedy packer, which cannot parallelize).
+
+    The running sum is one unpartitioned window — correct at any scale
+    only AFTER a grain reduction or per-shard partitioning; for
+    corpus-scale packing, partition by a shard key first (pack ids then
+    namespace by shard). Adds ``pack_id`` (0-based).
+    """
+    w = Window.orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(token_count_col)).over(w) - F.col(token_count_col)
+    return df.withColumn("pack_id", F.floor(cum / budget).cast("long"))
+
+
+def mix_to_target(
+    df: DataFrame,
+    group_col: str,
+    targets: Mapping[str, float],
+    key_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Rebalance a corpus toward target per-group proportions by
+    deterministic downsampling: each group's keep-rate is
+    min(1, target_share · total / group_count) — groups over their
+    target share are thinned, under-represented groups are kept whole
+    (upsampling is a separate, explicit choice). Groups absent from
+    ``targets`` are dropped.
+
+    Two passes: a groups-sized count aggregate (collected into a
+    broadcast literal-free join), then a row-local md5-Bernoulli
+    filter — membership is a pure function of the key, stable under
+    growth and partitioning. The standard training-mix knob
+    (domain/language rebalancing) at scan cost.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = F.sum("__n").over(Window.partitionBy())
+    target_map = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    target = target_map[F.col(group_col)]
+    # least() ignores NULLs (both Spark and ANSI), so an absent target
+    # must short-circuit BEFORE least or the group silently keeps rate 1
+    rates = counts.select(
+        group_col,
+        F.when(
+            target.isNotNull(),
+            F.least(F.lit(1.0), target * total / F.col("__n")),
+        ).alias("__rate"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    joined = df.join(F.broadcast(rates), group_col)
+    return (
+        joined.filter(F.col("__rate").isNotNull() & (bucket < F.col("__rate") * 10000))
+        .drop("__rate")
+    )

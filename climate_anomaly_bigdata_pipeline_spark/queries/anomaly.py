@@ -186,3 +186,34 @@ def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
     )
+
+
+# --- robust (median/MAD) z-score --------------------------------------------
+
+_ROBUST_Z_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS m
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN mad.d <> 0
+            THEN round(0.6745 * (e.value - med.m) / mad.d, 4)
+            ELSE NULL END AS robust_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
+@query("robust_zscore_events", oracle=_ROBUST_Z_ORACLE)
+def robust_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score per event type — the outlier-resistant
+    third anomaly family (mean/std z-score, IQR fences, now MAD):
+    contamination that inflates stddev and masks itself barely moves
+    the medians. Two groups-sized percentile aggregates broadcast back;
+    the events never shuffle."""
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    return A.robust_zscore(ev, "value", ["event_type"])

@@ -268,3 +268,49 @@ def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_within_tol"
         ),
     )
+
+
+# ---- training-mix rebalance to target proportions ---------------------------
+
+_MIX_ORACLE = """
+WITH counts AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+targets AS (
+    SELECT source, n,
+           CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+                       WHEN 'src2' THEN CAST(0.02 AS DOUBLE)
+           END AS target
+    FROM counts
+),
+rates AS (
+    -- least() ignores NULLs, so guard the absent-target case explicitly
+    SELECT source,
+           CASE WHEN target IS NOT NULL
+                THEN least(CAST(1.0 AS DOUBLE), target * t / CAST(n AS DOUBLE))
+           END AS rate
+    FROM targets, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE r.rate IS NOT NULL
+  AND CAST(concat('0x', substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))),
+                               1, 8)) AS BIGINT) % 10000 < r.rate * 10000
+"""
+
+
+@query("mix_rebalance_sources", oracle=_MIX_ORACLE)
+def mix_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward target source shares (src0 -> 50%,
+    src1 -> 10%, src2 -> 2%, everything else dropped): over-target
+    sources thin deterministically, under-target sources keep every
+    row. The domain-mixing knob of a training pipeline; groups-sized
+    rate table broadcast, row-local md5-Bernoulli filter."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return R.mix_to_target(
+        docs, "source", {"src0": 0.5, "src1": 0.1, "src2": 0.02}, "doc_id"
+    ).select("doc_id", "source")

@@ -281,3 +281,45 @@ def chunk_documents_64_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers bytes, not just counts."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     return TX.chunk_documents(docs, chunk_size=64, overlap=16)
+
+
+# ---- sequence packing -------------------------------------------------------
+
+_PACK_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           len(str_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_before
+    FROM t
+)
+SELECT CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM c
+GROUP BY 1
+"""
+
+
+@query("pack_sequences_512", oracle=_PACK_ORACLE)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents fill 512-token training packs by
+    running offset in doc_id order (streaming-fill approximation —
+    deterministic and parallelizable, overflow bounded at one doc per
+    pack). Output is the per-pack doc/token profile."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    with_counts = docs.select(
+        "doc_id", F.size(TX.tokens_expr("text")).alias("n_tokens")
+    )
+    packed = R.pack_sequences(with_counts, "doc_id", "n_tokens", budget=512)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )

@@ -385,3 +385,43 @@ def test_ngram_contamination_catches_copied_span(spark):
     assert [(r.corpus_id, r.benchmark_id, r.n_shared_ngrams) for r in out] == [
         (1, 100, 1)
     ]
+
+
+# ---- robust z-score / packing / mix rebalance -------------------------------
+
+
+def test_robust_zscore_constant_group_guards_null(spark):
+    from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
+
+    rows = [("c", 5.0)] * 4 + [("v", 1.0), ("v", 2.0), ("v", 3.0), ("v", 100.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = A.robust_zscore(df, "x", ["g"])
+    cvals = [r.robust_z for r in out.filter(F.col("g") == "c").collect()]
+    assert cvals == [None] * 4  # MAD 0 -> guarded
+    # the extreme point dominates the robust score in the varied group
+    vmax = max(r.robust_z for r in out.filter(F.col("g") == "v").collect())
+    assert vmax > 10
+
+
+def test_pack_sequences_fills_budget_in_order(spark):
+    rows = [(1, 300), (2, 300), (3, 300), (4, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r.doc_id: r.pack_id for r in R.pack_sequences(df, "doc_id", "n_tokens", 512).collect()}
+    # cumulative-before: 0, 300, 600, 900 -> packs 0,0,1,1
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_mix_to_target_thins_drops_and_keeps(spark):
+    rows = [(i, "big") for i in range(100)] + \
+           [(1000 + i, "small") for i in range(10)] + \
+           [(2000 + i, "gone") for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = R.mix_to_target(df, "src", {"big": 0.1, "small": 0.5}, "k")
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "gone" not in counts           # untargeted group dropped
+    assert counts["small"] == 10          # under target share: kept whole
+    # big: rate = 0.1 * 120 / 100 = 0.12 -> ~12 of 100 kept
+    assert 4 <= counts["big"] <= 24
+    # determinism under repartitioning
+    again = R.mix_to_target(df.repartition(7), "src", {"big": 0.1, "small": 0.5}, "k")
+    assert out.select("k").subtract(again.select("k")).count() == 0
