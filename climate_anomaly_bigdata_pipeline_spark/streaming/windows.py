@@ -84,11 +84,15 @@ def dedup_stream(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a (bounded) stream to completion into an in-memory table
-    and return it as a batch DataFrame — the local smoke harness."""
+    and return it as a batch DataFrame — the local smoke harness.
+    ``output_mode='complete'`` for aggregated streams, ``'append'``
+    for stateless per-row transforms (stream-static joins, scrubs)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -98,3 +102,30 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def score_stream_against_baseline(
+    stream: DataFrame,
+    baseline: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Stream-static join: score each streaming event against a
+    batch-computed per-key baseline (mean/std) and flag |z| >
+    threshold — the standard online-anomaly serving shape (train the
+    baseline offline, apply it to the live stream).
+
+    The static side is groups-sized, so Spark plans a broadcast join
+    per micro-batch with no stream-side state at all — this scales to
+    any stream rate; re-reading the static table per batch also picks
+    up baseline refreshes for free. ``baseline`` must carry
+    (key, mean, std) columns.
+    """
+    joined = stream.join(F.broadcast(baseline), key_col)
+    z = F.when(
+        F.col("std") != 0, (F.col(value_col) - F.col("mean")) / F.col("std")
+    )
+    return joined.withColumn("z_score", F.round(z, 4)).withColumn(
+        "is_anomaly", F.abs(F.col("z_score")) > threshold
+    )

@@ -51,6 +51,22 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol=1e-9, atol=1
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Driver-hash parity: an int column on one side materializing as
+        # float on the other (DuckDB HUGEINT → float64 was round 1's
+        # failure mode) hashes 0 vs 0.0 differently even when values are
+        # equal. NaN-free float-vs-int is pure typing drift — fail it
+        # here so it never reaches the driver.
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_flt = pd.api.types.is_float_dtype(sv)
+        o_flt = pd.api.types.is_float_dtype(ov)
+        if (s_int and o_flt and not ov.isna().any()) or (
+            o_int and s_flt and not sv.isna().any()
+        ):
+            return False, (
+                f"col {c}: dtype drift {sv.dtype} vs {ov.dtype} "
+                "(int-vs-float would fail the driver value hash)"
+            )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sa = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
             oa = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)

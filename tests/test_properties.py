@@ -121,3 +121,91 @@ def test_dedup_idempotent_and_minimal(spark, rows):
         (k, min(o for kk, o in rows if kk == k)) for k in {k for k, _ in rows}
     )
     assert got == expected
+
+
+# ---- round-2 curation operators ---------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token(spark, docs, chunk, overlap):
+    """For ANY doc/chunk/overlap combo (overlap < chunk), chunk token
+    counts reconstruct the doc: sum(n) - overlap·(k-1) == n_tokens,
+    every chunk is non-empty and at most chunk_size."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import text as TX
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.chunk_documents(df, chunk_size=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert 1 <= r.n_chunk_tokens <= chunk
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, d in rows:
+        n_tok = len(d.split())
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        step = chunk - overlap
+        # each chunk i covers tokens [1+i*step, min(1+i*step+chunk-1, n)]
+        covered = sum(c.n_chunk_tokens for c in chunks)
+        n_full = len(chunks)
+        expected = sum(
+            min(chunk, n_tok - k * step) for k in range(n_full)
+        )
+        assert covered == expected
+        # last chunk reaches the final token
+        last_start = 1 + (n_full - 1) * step
+        assert last_start + chunks[-1].n_chunk_tokens - 1 == n_tok
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                  max_size=60, unique=True)
+)
+@settings(**_SETTINGS)
+def test_hash_split_partitions_exactly(spark, keys):
+    """For ANY key set: every row lands in exactly one split, and the
+    assignment is reproducible."""
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = R.hash_split(df, "k").collect()
+    assert len(out) == len(keys)
+    assert all(r.split in {"train", "val", "test"} for r in out)
+    again = {r.k: r.split for r in R.hash_split(df, "k").collect()}
+    assert {r.k: r.split for r in out} == again
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1,
+                   max_size=40),
+    budget=st.integers(min_value=50, max_value=600),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_monotone_and_bounded(spark, sizes, budget):
+    """Pack ids are monotone in doc order, start at 0, skip nothing,
+    and every pack except possibly the last holds >= budget tokens
+    once its successor starts (no premature pack switch)."""
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sorted(
+        R.pack_sequences(df, "doc_id", "n_tokens", budget).collect(),
+        key=lambda r: r.doc_id,
+    )
+    packs = [r.pack_id for r in out]
+    assert packs[0] == 0
+    assert all(b - a >= 0 for a, b in zip(packs, packs[1:]))
+    # pack id of doc i == floor(prefix_sum_before / budget) by definition
+    cum = 0
+    for r, s in zip(out, sizes):
+        assert r.pack_id == cum // budget
+        cum += s

@@ -34,3 +34,31 @@ def test_stream_sliding_matches_batch(spark, sf_dir):
     )
     b = {r["window_start"]: r["n_events"] for r in batch.collect()}
     assert s == b
+
+
+def test_stream_static_anomaly_scoring_matches_batch(spark, sf_dir):
+    """Stream-static join parity: scoring the event stream against a
+    batch baseline yields exactly the batch join's anomaly set."""
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.streaming import windows as SW
+
+    ev = Catalog(spark, sf_dir).events
+    baseline = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mean"), F.stddev_samp("value").alias("std")
+    )
+    stream = SW.read_events_stream(spark, sf_dir)
+    scored = SW.score_stream_against_baseline(stream, baseline)
+    got = SW.run_stream_to_memory(
+        scored.select("event_id", "z_score", "is_anomaly"),
+        "scored_stream",
+        output_mode="append",
+    )
+
+    batch = SW.score_stream_against_baseline(ev, baseline)
+    want = batch.select("event_id", "z_score", "is_anomaly")
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    # threshold actually fires on this data
+    assert got.filter("is_anomaly").count() > 0

@@ -1,0 +1,50 @@
+"""Local replica of the driver's full correctness sweep.
+
+Runs every registered query against its DuckDB oracle at the given
+sf dir (default sf0.01, the driver's gate) through the dtype-strict
+compare in tests/oracle_utils.py, and prints one line per query plus
+a failing summary. Exit code 1 if any query fails.
+
+Usage: python tools/check_all_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+from climate_anomaly_bigdata_pipeline_spark.session import get_spark
+from tests.oracle_utils import run_check
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] if len(args) > 1 else sorted(QUERIES)
+    spark = get_spark("oracle-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[tuple[str, str]] = []
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            ok, msg = run_check(spark, name, sf_dir)
+        except Exception as e:  # noqa: BLE001 — sweep must report, not die
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        dt = time.monotonic() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:40s} {dt:6.1f}s  {msg}")
+        sys.stdout.flush()
+        if not ok:
+            failures.append((name, msg))
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    for name, msg in failures:
+        print(f"  FAIL {name}: {msg}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
