@@ -467,3 +467,68 @@ def mix_to_target(
         joined.filter(F.col("__rate").isNotNull() & (bucket < F.col("__rate") * 10000))
         .drop("__rate")
     )
+
+
+def unpivot_long(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long reshape (melt): one output row per (id row × value
+    column). ``DataFrame.unpivot`` expands in-place per input row — an
+    Expand node, no shuffle, no join — so it costs one narrow pass at
+    any scale. The inverse of :func:`pivot_count` (SURVEY §2.4 A6).
+    """
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
+def full_outer_reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    presence_name: str = "presence",
+) -> DataFrame:
+    """Full-outer reconciliation of two keyed datasets: every key from
+    either side, with a ``presence`` tag (``both``/``left_only``/
+    ``right_only``) — the audit-join complement of MERGE
+    (:func:`merge_upsert`). The join key is emitted once, coalesced.
+
+    One shuffle on the key (or broadcast if one side is small — AQE
+    decides from runtime sizes); presence derives from null-side
+    detection, so no second pass.
+    """
+    joined = left.withColumnRenamed(on, "__lk").join(
+        right.withColumnRenamed(on, "__rk"),
+        F.col("__lk") == F.col("__rk"),
+        "full_outer",
+    )
+    presence = (
+        F.when(F.col("__lk").isNotNull() & F.col("__rk").isNotNull(), "both")
+        .when(F.col("__rk").isNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return (
+        joined.withColumn(on, F.coalesce("__lk", "__rk"))
+        .withColumn(presence_name, presence)
+        .drop("__lk", "__rk")
+    )
+
+
+def rank_distribution(
+    df: DataFrame,
+    value_col: str | Column,
+    tiebreak: Sequence[str | Column] = (),
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Attach ``pct_rank`` (percent_rank) and ``cume_dist`` over a
+    total order — the distribution-position twin of ntile bucketing.
+    Ties share a rank, so a deterministic ``tiebreak`` is only needed
+    when downstream wants stable row identity, not for the ranks
+    themselves. Single window = one sort per partition.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(value_col, *tiebreak)
+    return df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6)).withColumn(
+        "cume_dist", F.round(F.cume_dist().over(w), 6)
+    )

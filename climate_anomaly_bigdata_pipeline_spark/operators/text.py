@@ -294,3 +294,43 @@ def chunk_documents(
         F.size("__chunk").cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join("__chunk", " ")).alias("chunk_md5"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Model-based quality scoring with a self-trained unigram LM:
+    train token probabilities ``p(t) = count(t) / total`` on the corpus
+    itself, then score each document by average negative log-likelihood
+    ``avg(-ln p(t))`` — the classic perplexity-style filter (KenLM-shaped
+    quality gates) reduced to its simplest portable model. Low scores =
+    typical language, high scores = rare-token-heavy outlier docs.
+
+    Plan: one explode+count for the LM (vocabulary-sized, tiny relative
+    to the corpus), broadcast back onto the exploded tokens, one grouped
+    avg per doc. At 100 TB the vocab of whitespace tokens still fits in
+    a broadcast for natural-language corpora; if it didn't, the same
+    plan works as a shuffle join keyed by token — swap the hint, nothing
+    else. Every token is in-vocabulary by construction (trained on the
+    same corpus), so no OOV smoothing term is needed.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = lm.agg(F.sum("tok_n").alias("t")).select("t")
+    lm = lm.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("tok_n") / F.col("t")).alias("p")
+    )
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log("p")), scale).alias("avg_neg_logp"),
+        )
+    )
+    return scored

@@ -355,3 +355,68 @@ def funnel_stages(
         joined.groupBy("stage_idx", "stage")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    partition_cols: Sequence[str] = (),
+    out_name: str = "filled",
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: nulls in ``value_col``
+    take the most recent non-null value in event order (nulls before
+    the first observation stay null) — the standard sensor/feed repair
+    step the reference's silver stage would need for sparse stations
+    (generalizes ``jobs/02_bronze_to_silver.py``'s validity filter:
+    instead of dropping null readings, repair them).
+
+    ``F.last(ignorenulls=True)`` over an UNBOUNDED PRECEDING frame is a
+    running aggregate — one shuffle by the partition key, then a single
+    ordered pass per partition; no self-join, no point lookups. At
+    100 TB this is the same cost as any per-key window (sort within
+    partitions), and AQE coalesces the post-shuffle partitions.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_name, F.last(value_col, ignorenulls=True).over(w))
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    scale: int = 4,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    ``y_0 = x_0; y_i = (1-alpha)*y_{i-1} + alpha*x_i`` (pandas
+    ``ewm(alpha, adjust=False)``), returning one row per key with the
+    last smoothed value and the observation count.
+
+    EWMA is inherently recursive — no ANSI window frame expresses it —
+    so this is the engine's canonical ``applyInPandas`` shape: one
+    shuffle by key, Arrow-batched per-group pandas, a vectorized C loop
+    inside each group. Per-key sequences are the unit of memory, so at
+    100 TB the bound is the hottest key's row count, not table size
+    (same bound as any per-key sort); the output is one row per key.
+    """
+    import pandas as pd  # local import: executor-side dependency
+
+    keys = list(key_cols)
+    out_fields = ", ".join(f"{k} long" for k in keys)
+    schema = f"{out_fields}, ewma double, n_obs long"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        y = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row["ewma"] = round(float(y), scale)
+        row["n_obs"] = len(pdf)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=schema)

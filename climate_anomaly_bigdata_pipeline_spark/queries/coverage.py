@@ -314,3 +314,107 @@ def mix_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.mix_to_target(
         docs, "source", {"src0": 0.5, "src1": 0.1, "src2": 0.02}, "doc_id"
     ).select("doc_id", "source")
+
+
+# --- Wide → long reshape (unpivot/melt) --------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT
+        year(l_shipdate) AS ship_year,
+        round(sum(l_quantity), 4) AS sum_qty,
+        round(sum(l_extendedprice), 4) AS sum_price,
+        round(sum(l_discount), 4) AS sum_disc
+    FROM lineitem
+    GROUP BY year(l_shipdate)
+)
+SELECT ship_year, measure, value
+FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+"""
+
+
+@query("unpivot_lineitem_yearly", oracle=_UNPIVOT_ORACLE)
+def unpivot_lineitem_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly shipment sums reshaped wide → long: the inverse of pivot.
+    The Expand node emits one row per (year × measure) in-place — no
+    shuffle beyond the grouping aggregation itself."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    li = Catalog(spark, sf_dir).lineitem
+    wide = li.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return R.unpivot_long(
+        wide, ["ship_year"], ["sum_qty", "sum_price", "sum_disc"]
+    )
+
+
+# --- Full-outer reconciliation audit -----------------------------------------
+
+_RECONCILE_ORACLE = """
+WITH l AS (
+    SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+    FROM customer WHERE c_acctbal > 0
+), r AS (
+    SELECT o_custkey AS c_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_spent
+    FROM orders GROUP BY o_custkey
+)
+SELECT
+    coalesce(l.c_custkey, r.c_custkey) AS c_custkey,
+    l.c_acctbal, r.n_orders, r.total_spent,
+    CASE WHEN l.c_custkey IS NOT NULL AND r.c_custkey IS NOT NULL THEN 'both'
+         WHEN r.c_custkey IS NULL THEN 'left_only'
+         ELSE 'right_only' END AS presence
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+"""
+
+
+@query("full_outer_reconcile_customers", oracle=_RECONCILE_ORACLE)
+def full_outer_reconcile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit join: positive-balance customers vs per-customer order
+    rollups, keeping every key from either side with a presence tag
+    (both / left_only / right_only). One shuffle on the key; presence
+    derives from null-side detection in the same pass."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    c = Catalog(spark, sf_dir)
+    left = (
+        c.customer.filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", F.round("c_acctbal", 4).alias("c_acctbal"))
+    )
+    right = c.orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+    )
+    return R.full_outer_reconcile(left, right, "c_custkey")
+
+
+# --- Distribution position (percent_rank / cume_dist) ------------------------
+
+_PCT_RANK_ORACLE = """
+SELECT
+    o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,
+    round(percent_rank() OVER w, 6) AS pct_rank,
+    round(cume_dist() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+"""
+
+
+@query("pct_rank_orders", oracle=_PCT_RANK_ORACLE)
+def pct_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order's distribution position (percent_rank + cume_dist)
+    within its status group — one window, one sort per partition; ties
+    share ranks identically in both engines."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+    return R.rank_distribution(
+        o, "o_totalprice", partition_cols=["o_orderstatus"]
+    )

@@ -323,3 +323,33 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+# --- Self-trained unigram-LM scoring (model-based quality filter) ------------
+
+_UNIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+), lm AS (
+    SELECT tok, count(*) AS tok_n FROM toks GROUP BY tok
+), tot AS (
+    SELECT CAST(sum(tok_n) AS DOUBLE) AS t FROM lm
+)
+SELECT
+    doc_id,
+    count(*) AS n_tokens,
+    round(avg(-ln(tok_n / t)), 4) AS avg_neg_logp
+FROM toks JOIN lm USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("unigram_lm_scores", oracle=_UNIGRAM_LM_ORACLE)
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score from a unigram LM trained on the
+    corpus itself: avg(-ln p(token)) per doc. The vocabulary-sized LM
+    broadcasts back onto the exploded tokens (KenLM-shaped filtering
+    reduced to its portable core)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return TX.unigram_lm_scores(docs)

@@ -378,3 +378,70 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "ts", "event_type"),
         stages=["view", "click", "purchase"],
     )
+
+
+# --- LOCF gap fill (engine addition; sensor-feed repair) ---------------------
+
+_LOCF_ORACLE = """
+SELECT
+    event_id, user_id,
+    round(CASE WHEN event_type <> 'click' THEN value END, 4) AS raw_value,
+    round(last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+FROM events
+"""
+
+
+@query("locf_gap_fill_events", oracle=_LOCF_ORACLE)
+def locf_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill repair of a sparse reading stream: 'click' events
+    stand in for readings with a missing value; each takes the user's
+    most recent non-null value (running last-non-null — one shuffle by
+    user, one ordered pass, no self-join)."""
+    ev = Catalog(spark, sf_dir).events
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.when(F.col("event_type") != "click", F.col("value")), 4
+        ).alias("raw_value"),
+    )
+    filled = TS.gap_fill_locf(
+        sparse, ["ts", "event_id"], "raw_value", ["user_id"], out_name="filled"
+    )
+    return filled.select("event_id", "user_id", "raw_value", "filled")
+
+
+# --- EWMA (recursive smoothing; the canonical applyInPandas shape) -----------
+
+_EWMA_ORACLE = """
+SELECT
+    user_id,
+    round(list_reduce(
+        list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        (acc, x) -> 0.7 * acc + 0.3 * x
+    ), 4) AS ewma,
+    count(*) AS n_obs
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("ewma_user_value", oracle=_EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=0.3, pandas adjust=False recurrence) of each
+    user's event values. Recursive state has no ANSI window frame, so
+    the engine runs it as grouped Arrow-batched pandas (`ewm` is
+    bit-identical to the explicit fold the oracle's list_reduce runs —
+    verified: pandas special-cases weights summing to 1)."""
+    ev = Catalog(spark, sf_dir).events
+    return TS.ewma_by_key(
+        ev.select("user_id", "ts", "event_id", "value"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+    )

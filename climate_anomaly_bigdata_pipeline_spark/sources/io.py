@@ -57,3 +57,29 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         .option("encoding", "UTF-8")
         .csv(path)
     )
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered Parquet sink: global range-partition on
+    ``cluster_col`` then sort within each partition before writing.
+    Every output file covers a disjoint, internally-sorted key range,
+    so parquet row-group min/max statistics prune file scans for range
+    predicates on the cluster key — the single-column analog of
+    Z-ordering, and the layout that turns "scan 100 TB" into "scan the
+    3 files whose [min,max] overlap the predicate".
+
+    One range-exchange (sampled boundaries) + local sort; no global
+    sort bottleneck — each writer task sorts only its own range.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -425,3 +425,94 @@ def test_mix_to_target_thins_drops_and_keeps(spark):
     # determinism under repartitioning
     again = R.mix_to_target(df.repartition(7), "src", {"big": 0.1, "small": 0.5}, "k")
     assert out.select("k").subtract(again.select("k")).count() == 0
+
+
+# ---- LOCF gap fill ----------------------------------------------------------
+
+
+def test_gap_fill_locf_carries_forward_per_key(spark):
+    rows = [
+        (1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, None), (1, 5, 20.0),
+        (2, 1, None), (2, 2, None),  # key with no observation at all
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        (r.k, r.t): r.filled
+        for r in TS.gap_fill_locf(df, ["t"], "v", ["k"]).collect()
+    }
+    assert out[(1, 1)] is None          # nothing to carry yet
+    assert out[(1, 3)] == 10.0
+    assert out[(1, 4)] == 10.0
+    assert out[(1, 5)] == 20.0          # fresh observation wins
+    assert out[(2, 1)] is None and out[(2, 2)] is None  # never observed
+
+
+# ---- EWMA -------------------------------------------------------------------
+
+
+def test_ewma_matches_hand_fold(spark):
+    xs = [10.0, 20.0, 5.0, 40.0]
+    df = spark.createDataFrame(
+        [(7, i, x) for i, x in enumerate(xs)], "k long, t long, v double"
+    )
+    out = TS.ewma_by_key(df, ["k"], ["t"], "v", alpha=0.5).collect()
+    y = xs[0]
+    for x in xs[1:]:
+        y = 0.5 * y + 0.5 * x
+    assert len(out) == 1
+    assert out[0].ewma == round(y, 4)
+    assert out[0].n_obs == len(xs)
+
+
+def test_ewma_single_row_is_identity(spark):
+    df = spark.createDataFrame([(1, 1, 42.5)], "k long, t long, v double")
+    out = TS.ewma_by_key(df, ["k"], ["t"], "v").collect()
+    assert out[0].ewma == 42.5 and out[0].n_obs == 1
+
+
+# ---- unpivot / reconcile / rank distribution --------------------------------
+
+
+def test_unpivot_long_round_trips_wide_row(spark):
+    df = spark.createDataFrame([(2024, 1.0, 2.0)], "y int, a double, b double")
+    out = {(r.y, r.measure): r.value
+           for r in R.unpivot_long(df, ["y"], ["a", "b"]).collect()}
+    assert out == {(2024, "a"): 1.0, (2024, "b"): 2.0}
+
+
+def test_full_outer_reconcile_tags_all_three(spark):
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k long, lval string")
+    right = spark.createDataFrame([(2, "r2"), (3, "r3")], "k long, rval string")
+    out = {r.k: r.presence for r in R.full_outer_reconcile(left, right, "k").collect()}
+    assert out == {1: "left_only", 2: "both", 3: "right_only"}
+
+
+def test_rank_distribution_ties_share_rank(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10.0, 10.0, 20.0, 30.0])], "i long, v double"
+    )
+    got = {r.i: (r.pct_rank, r.cume_dist) for r in
+           R.rank_distribution(df, "v").collect()}
+    assert got[0][0] == got[1][0] == 0.0      # tied lowest: percent_rank 0
+    assert got[0][1] == got[1][1] == 0.5      # cume_dist counts peers
+    assert got[3] == (1.0, 1.0)
+
+
+# ---- unigram LM scoring -----------------------------------------------------
+
+
+def test_unigram_lm_rare_token_scores_higher(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the the zebra")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.unigram_lm_scores(docs).collect()}
+    # LM: p(the)=7/8, p(zebra)=1/8
+    exp1 = -math.log(7 / 8)
+    exp2 = (3 * -math.log(7 / 8) - math.log(1 / 8)) / 4
+    assert out[1].avg_neg_logp == round(exp1, 4)
+    assert out[2].avg_neg_logp == round(exp2, 4)
+    assert out[2].avg_neg_logp > out[1].avg_neg_logp
+    assert out[1].n_tokens == out[2].n_tokens == 4

@@ -177,3 +177,84 @@ def test_intersect_oracle(spark, sf_dir):
 
     ok, msg = run_check(spark, "intersect_customers", sf_dir)
     assert ok, msg
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """With a selective filter on one side of a shuffle join, Spark can
+    inject a runtime bloom filter (`might_contain`) on the probe side so
+    most probe rows die at the scan instead of crossing the shuffle —
+    the 100 TB lever for selective star joins too big to broadcast. The
+    local thresholds are lowered to make tiny test inputs eligible; on a
+    real cluster the defaults (10M creation rows / 10G probe scan)
+    gate it to where it pays."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        joined = lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
+        plan = plan_of(joined)
+        assert "might_contain" in plan.lower(), plan[:2000]
+        assert joined.count() >= 1  # still computes
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_range_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_range_clustered produces files whose [min,max] key ranges
+    are pairwise disjoint — the property parquet min/max pruning needs
+    to skip whole files for range predicates."""
+    from climate_anomaly_bigdata_pipeline_spark.sources.io import write_range_clustered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(orders, out, "o_totalprice", n_files=8)
+
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 2  # actually split
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert back.count() == orders.count()
+
+
+def test_range_clustered_scan_prunes_files(spark, sf_dir, tmp_path):
+    """A range predicate over the clustered layout reads fewer files
+    than exist: file-level min/max statistics actually prune."""
+    from climate_anomaly_bigdata_pipeline_spark.sources.io import write_range_clustered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = str(tmp_path / "clustered2")
+    write_range_clustered(orders, out, "o_totalprice", n_files=8)
+    back = spark.read.parquet(out)
+    lo = orders.agg(F.min("o_totalprice")).first()[0]
+    hi = orders.agg(F.max("o_totalprice")).first()[0]
+    cut = lo + (hi - lo) * 0.05  # bottom 5% → one or two files
+    narrow = back.filter(F.col("o_totalprice") <= cut)
+    touched = narrow.select(F.input_file_name()).distinct().count()
+    total = back.select(F.input_file_name()).distinct().count()
+    assert touched < total, f"no pruning: {touched}/{total} files"
