@@ -516,6 +516,95 @@ def full_outer_reconcile(
     )
 
 
+def pareto_frontier_2d(
+    df: DataFrame, maximize_col: str, minimize_col: str
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): keep rows not dominated by any
+    other — no other row is at least as good on both axes (higher
+    ``maximize_col``, lower ``minimize_col``) and strictly better on
+    one. The classic "best trade-offs" query (price vs size, quality
+    vs cost) that SQL engines answer with a quadratic self-anti-join;
+    this is the sort-based linear form.
+
+    Two windows over one total order by ``minimize_col``: a row
+    survives iff its value strictly beats the running max over all
+    strictly-smaller ``minimize_col`` rows (RANGE … 1 PRECEDING, so
+    equal-min peers don't suppress each other) AND it ties the max of
+    its own equal-min group. Skyline(sample) ⊆ skyline(all), so at
+    100 TB pre-filter per partition with the same expression before
+    the global sort — the frontier itself is tiny.
+    """
+    w_prev = (
+        Window.orderBy(F.col(minimize_col).cast("double"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy(minimize_col)
+    run_max = F.max(maximize_col).over(w_prev)
+    same_max = F.max(maximize_col).over(w_same)
+    keep = (run_max.isNull() | (F.col(maximize_col) > run_max)) & (
+        F.col(maximize_col) == same_max
+    )
+    return df.withColumn("__keep", keep).filter("__keep").drop("__keep")
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+    nbuckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram: ``nbuckets`` buckets of
+    near-equal row count with per-bucket bounds — the quantile-based
+    complement of the fixed-width :func:`histogram` (A8) and what an
+    optimizer's column statistics actually store. Bucket sizes differ
+    by at most one row (ntile semantics).
+
+    Exact form needs a total order (one global sort) — fine through
+    memory-sized inputs and oracle-checkable; at 100 TB swap the ntile
+    for ``percentile_approx`` boundaries and a row-local bucket lookup,
+    same output shape.
+    """
+    order = [F.col(value_col)] + [F.col(c) for c in tiebreak]
+    bucket = F.ntile(nbuckets).over(Window.orderBy(*order)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture weights: per-group sampling weight
+    ``n_g^alpha / sum(n^alpha)`` — the multilingual/multi-source
+    rebalancing rule (alpha < 1 flattens the distribution toward rare
+    groups, alpha = 1 is proportional) used to build training mixes.
+    Returns (group, n_docs, weight); feed the weights into
+    :func:`mix_to_target` to materialize the sample.
+
+    One groups-sized aggregate, then an unpartitioned window-sum over
+    the group table (groups-cardinality rows, never raw data) — scan
+    cost at any corpus size.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powered = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    denom = F.sum(powered).over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        F.col("n_docs"),
+        F.round(powered / denom, scale).alias("weight"),
+    )
+
+
 def rank_distribution(
     df: DataFrame,
     value_col: str | Column,

@@ -261,6 +261,47 @@ def pii_scrub(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) plus
+    char counts — the symbol-distribution quality gate that catches
+    what token stats can't: base64/hex blobs and repeated-char padding
+    score far from natural text (~4.1 bits for English), so a simple
+    band filter on entropy removes both extremes.
+
+    Explode positions → per-(doc, char) counts → per-doc fold:
+    ``-Σ (k/n)·log2(k/n)``. Two grouped aggregations keyed by doc id —
+    the char alphabet keeps the intermediate at |docs|×|alphabet|, so
+    the whole thing is scan-dominated and codegen'd at any corpus size.
+    """
+    # split on the empty pattern yields one array element per char in
+    # both Spark and DuckDB — verified identical, so the oracle mirrors
+    # this expression verbatim.
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(text_col, "")).alias("ch")
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("k"))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("k").alias("n"), F.count(F.lit(1)).alias("n_distinct_chars")
+    )
+    p = F.col("k") / F.col("n")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col, "n", "n_distinct_chars")
+        .agg(F.round(-F.sum(p * F.log2(p)), scale).alias("char_entropy"))
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            "char_entropy",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 64,

@@ -385,6 +385,78 @@ def gap_fill_locf(
     return df.withColumn(out_name, F.last(value_col, ignorenulls=True).over(w))
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """SCD-2 history build: compress a per-key event stream into
+    validity intervals — one row per (key, attribute-state) run, with
+    ``effective_from`` / ``effective_to`` / ``version`` / ``is_current``.
+    The type-2 twin of :func:`relational.merge_upsert` (SCD-1): instead
+    of overwriting, every attribute change opens a new interval and
+    closes the previous one.
+
+    Two windows over ONE shuffle by key: a lag pass flags rows whose
+    attribute struct differs (null-safely) from the previous row, then a
+    lead pass over the surviving change rows chains each interval's end
+    to the next interval's start. Linear per key at 100 TB — the same
+    cost envelope as sessionization.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~state.eqNullSafe(F.lag(state).over(w))
+    # lag is null on the first row; eqNullSafe(null struct) is false ⇒
+    # changed is true there, which is exactly "first version opens".
+    ch = df.withColumn("__chg", changed).filter("__chg").drop("__chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        ch.withColumn("version", F.row_number().over(w2))
+        .withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    order_col: str | Column,
+    x_col: str,
+    y_col: str,
+    window: int,
+    partition_cols: Sequence[str] = (),
+    min_periods: int | None = None,
+    out_name: str = "rolling_corr",
+    scale: int = 4,
+) -> DataFrame:
+    """Trailing k-row rolling Pearson correlation between two series —
+    the co-movement twin of :func:`rolling_mean` (e.g. does volume track
+    price over the last week?). Rows with fewer than ``min_periods``
+    (default = window) observations yield null, pandas-style.
+
+    ``corr`` is a window aggregate, so this is one sort per partition
+    with an O(1) frame update — same scale envelope as any trailing
+    frame. Unpartitioned use is only safe after a grain reduction
+    (see module scale note).
+    """
+    min_periods = window if min_periods is None else min_periods
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    out = F.when(
+        F.count(F.lit(1)).over(w) >= min_periods,
+        F.round(F.corr(x_col, y_col).over(w), scale),
+    )
+    return df.withColumn(out_name, out)
+
+
 def ewma_by_key(
     df: DataFrame,
     key_cols: Sequence[str],

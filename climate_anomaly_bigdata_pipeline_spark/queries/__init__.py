@@ -46,3 +46,4 @@ from climate_anomaly_bigdata_pipeline_spark.queries import similarityq  # noqa: 
 from climate_anomaly_bigdata_pipeline_spark.queries import multimodalq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import coverage  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import curation  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import analyticsq  # noqa: E402,F401

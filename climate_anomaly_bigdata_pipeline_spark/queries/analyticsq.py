@@ -1,0 +1,289 @@
+"""Round-3 analytics queries: SCD-2 history, rolling correlation,
+Pareto frontier, equi-depth histogram, char-entropy quality,
+chunk-level exact dedup, and temperature mixture weights.
+
+Each generalizes a pattern the reference's medallion/star-schema
+pipeline or a training-data curation pipeline needs next:
+slowly-changing dimensions for `stations_dim` (reference
+``jobs/03_silver_to_gold.py:51-65`` rebuilds the dim from scratch each
+run — SCD-2 is the incremental form), co-movement analytics for the
+notebook's trend charts, optimizer-grade column statistics, and two
+more corpus-quality gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.operators import text as TX
+from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+# ---- SCD-2 history over the event stream ------------------------------------
+
+_SCD2_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ch AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM flagged
+    WHERE prev_type IS DISTINCT FROM event_type
+),
+hist AS (
+    SELECT user_id, event_type,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, version, effective_from, effective_to,
+       (effective_to IS NULL) AS is_current
+FROM hist
+"""
+
+
+@query("scd2_user_type_history", oracle=_SCD2_ORACLE)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 compression of each user's event-type stream: one validity
+    interval per run of equal types, with version numbers and an
+    is_current flag — the incremental dimension-history form of the
+    reference's rebuild-from-scratch ``stations_dim``."""
+    ev = Catalog(spark, sf_dir).events
+    hist = TS.scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.col("version").cast("long").alias("version"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+# ---- trailing rolling correlation of two daily series -----------------------
+
+# The daily pre-agg uses exact decimal sums (see rolling_daily_mean)
+# so both engines window over identical doubles; corr itself runs over
+# an ORDERED frame, so round(4) is stable.
+_ROLLCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(count(*) AS DOUBLE) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) / count(value)
+               AS daily_avg
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+)
+SELECT event_date, CAST(n_events AS BIGINT) AS n_events, daily_avg,
+       CASE WHEN count(*) OVER w >= 7
+            THEN round(corr(n_events, daily_avg) OVER w, 4)
+       END AS corr_7d
+FROM daily
+WINDOW w AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_corr_daily", oracle=_ROLLCORR_ORACLE)
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing Pearson correlation between daily event volume
+    and daily mean value — does activity co-move with intensity? Same
+    grain-reduce-then-window shape as rolling_daily_mean."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(15,4)")).cast("double")
+            / F.count("value")
+        ).alias("daily_avg"),
+    )
+    out = TS.rolling_corr(
+        daily, "event_date", "n_events", "daily_avg", window=7,
+        out_name="corr_7d",
+    )
+    return out.select(
+        "event_date",
+        F.col("n_events").cast("long").alias("n_events"),
+        "daily_avg",
+        "corr_7d",
+    )
+
+
+# ---- 2-D Pareto frontier (skyline) ------------------------------------------
+
+_PARETO_ORACLE = """
+WITH ranked AS (
+    SELECT p_partkey, p_size, p_retailprice,
+           max(p_retailprice) OVER (
+               ORDER BY CAST(p_size AS DOUBLE)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS run_max,
+           max(p_retailprice) OVER (PARTITION BY p_size) AS same_max
+    FROM part
+)
+SELECT p_partkey, p_size, p_retailprice
+FROM ranked
+WHERE (run_max IS NULL OR p_retailprice > run_max)
+  AND p_retailprice = same_max
+"""
+
+
+@query("pareto_frontier_parts", oracle=_PARETO_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of parts maximizing retail price while minimizing size:
+    the set of best price-for-size trade-offs, computed sort-based
+    (linear) instead of the quadratic self-anti-join."""
+    pt = Catalog(spark, sf_dir).part.select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return R.pareto_frontier_2d(
+        pt, maximize_col="p_retailprice", minimize_col="p_size"
+    )
+
+
+# ---- equi-depth histogram ----------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+    SELECT o_totalprice,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS bucket
+    FROM orders
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM b
+GROUP BY bucket
+"""
+
+
+@query("equidepth_hist_orders", oracle=_EQUIDEPTH_ORACLE)
+def equidepth_hist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order totals (bucket bounds +
+    counts) — the optimizer-statistics twin of the fixed-width A8
+    histogram."""
+    od = Catalog(spark, sf_dir).orders
+    return R.equi_depth_histogram(
+        od, "o_totalprice", tiebreak=["o_orderkey"], nbuckets=10
+    )
+
+
+# ---- per-document character entropy -----------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH ch AS (
+    SELECT doc_id, unnest(str_split_regex(text, '')) AS ch
+    FROM documents
+),
+cnt AS (
+    SELECT doc_id, ch, count(*) AS k FROM ch GROUP BY doc_id, ch
+),
+tot AS (
+    SELECT doc_id, sum(k) AS n, count(*) AS d FROM cnt GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(t.n AS BIGINT) AS n_chars,
+       CAST(t.d AS BIGINT) AS n_distinct_chars,
+       round(-sum((k / CAST(t.n AS DOUBLE)) * log2(k / CAST(t.n AS DOUBLE))), 4)
+           AS char_entropy
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n, t.d
+"""
+
+
+@query("char_entropy_docs", oracle=_ENTROPY_ORACLE)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    symbol-distribution quality gate that flags base64/hex blobs (high)
+    and padding/repetition (low) that token-level stats miss."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return TX.char_entropy(docs)
+
+
+# ---- chunk-level exact dedup ------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+st AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, 32)) AS s
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id,
+           CAST((s - 1) // 32 + 1 AS BIGINT) AS chunk_idx,
+           md5(array_to_string(t[s:s+31], ' ')) AS chunk_md5
+    FROM st
+),
+r AS (
+    SELECT *, row_number() OVER (
+                  PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx
+              ) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r
+GROUP BY doc_id
+"""
+
+
+@query("chunk_dedup_docs", oracle=_CHUNK_DEDUP_ORACLE)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: split every document into 32-token
+    non-overlapping chunks and keep only the corpus-wide first
+    occurrence of each chunk (by (doc_id, chunk_idx)) — the passage
+    dedup step that removes repeated boilerplate *within* otherwise
+    distinct documents, reported as per-doc kept/total chunk counts.
+
+    Chunker is row-local (zero shuffle); the dedup is one shuffle by
+    chunk md5 — at 100 TB identical-chunk groups are bounded by
+    duplication depth, not corpus size."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    chunks = TX.chunk_documents(docs, chunk_size=32, overlap=0)
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+    )
+
+
+# ---- temperature-scaled mixture weights -------------------------------------
+
+_TEMPERATURE_ORACLE = """
+WITH c AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER (), 6) AS weight
+FROM c
+"""
+
+
+@query("temperature_mix_weights", oracle=_TEMPERATURE_ORACLE)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) per-source sampling weights —
+    the multilingual-mix rebalancing rule; feed into mix_to_target to
+    materialize the corpus."""
+    docs = Catalog(spark, sf_dir).documents
+    return R.temperature_mix(docs, "source", alpha=0.5)
