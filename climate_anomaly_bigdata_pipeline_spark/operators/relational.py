@@ -605,6 +605,75 @@ def temperature_mix(
     )
 
 
+def grouped_linreg(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit: slope, intercept, R², and
+    pair count of ``y ~ x`` within each group — the trend-extraction
+    step behind "is this metric drifting per segment?" dashboards, as
+    one aggregate instead of a per-group model loop.
+
+    Uses the SQL ``regr_*`` aggregate family (single-pass moment
+    sums, map-side partial aggregation) — one groups-sized shuffle,
+    no iteration, no Python. Rounded for cross-engine float stability.
+    """
+    return df.groupBy(*keys).agg(
+        F.round(F.regr_slope(F.col(y_col), F.col(x_col)), scale).alias("slope"),
+        F.round(
+            F.regr_intercept(F.col(y_col), F.col(x_col)), scale
+        ).alias("intercept"),
+        F.round(F.regr_r2(F.col(y_col), F.col(x_col)), scale).alias("r2"),
+        F.regr_count(F.col(y_col), F.col(x_col)).alias("n_pairs"),
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    scale: int = 4,
+) -> DataFrame:
+    """Winsorized per-group statistics: clamp values outside the exact
+    [lo, hi] group quantiles to the fence and report group size, clip
+    counts, and the raw vs winsorized mean — the outlier-robust
+    normalization gate (heavy-tail metric cleanup, reward clipping)
+    that precedes any mean-based downstream stat.
+
+    Two passes expressed as one plan: a groups-sized exact-percentile
+    aggregate (same ``percentile`` ≡ ``quantile_cont`` contract as
+    :func:`group_percentiles`) broadcast back onto the rows, then one
+    grouped aggregate. At 100 TB swap the exact percentile for
+    ``percentile_approx`` — the join and agg shapes are unchanged.
+    """
+    fences = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("lo_fence"),
+        F.expr(f"percentile({value_col}, {hi})").alias("hi_fence"),
+    )
+    v = F.col(value_col)
+    clipped = (
+        F.when(v < F.col("lo_fence"), F.col("lo_fence"))
+        .when(v > F.col("hi_fence"), F.col("hi_fence"))
+        .otherwise(v)
+    )
+    return (
+        df.join(F.broadcast(fences), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("lo_fence")).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > F.col("hi_fence")).cast("long")).alias("n_clipped_hi"),
+            F.round(F.avg(v), scale).alias("mean_raw"),
+            F.round(F.avg(clipped), scale).alias("mean_winsorized"),
+        )
+    )
+
+
 def rank_distribution(
     df: DataFrame,
     value_col: str | Column,

@@ -457,6 +457,110 @@ def rolling_corr(
     return df.withColumn(out_name, out)
 
 
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands interval coalescing: merge overlapping or
+    touching ``[start, end]`` intervals per key into maximal disjoint
+    islands — the classic "collapse user activity spans / machine
+    uptime windows" operator. Returns one row per island with
+    ``interval_start`` / ``interval_end`` / ``n_merged``.
+
+    One shuffle by key: a running ``max(end)`` over strictly-preceding
+    rows flags island openers (``start`` beyond everything seen), a
+    running sum numbers islands, and a grouped agg collapses them.
+    Linear per key at any scale — same envelope as sessionization,
+    which is the point-event special case of this interval form.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opener = (prev_max.isNull() | (F.col(start_col) > prev_max)).cast("int")
+    island = F.sum(opener).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("island", island)
+        .groupBy(*key_cols, "island")
+        .agg(
+            F.min(start_col).alias("interval_start"),
+            F.max(end_col).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Monthly cohort retention matrix: assign each user to the month of
+    their first event, then for each (cohort month, month offset) count
+    distinct active users and the retention share vs the cohort's size
+    — the standard product-analytics triangle chart input.
+
+    Distinct (user, active-month) grain first (one shuffle), cohort via
+    a per-user window min (no join), then a groups-sized aggregate; the
+    final share is a window over the tiny cohort×offset table. At
+    100 TB the distinct is the only full-data shuffle.
+    """
+    am = F.to_date(F.date_trunc("month", F.col(ts_col))).alias("active_month")
+    base = df.select(F.col(user_col), am).distinct()
+    cohort = F.min("active_month").over(Window.partitionBy(user_col))
+    offs = base.withColumn("cohort_month", cohort).withColumn(
+        "month_offset",
+        F.months_between("active_month", "cohort_month").cast("long"),
+    )
+    agg = offs.groupBy("cohort_month", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    size = F.max(
+        F.when(F.col("month_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_month"))
+    return agg.withColumn(
+        "retention",
+        F.round(F.col("n_active") / size.cast("double"), scale),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over a per-key state
+    stream: count each observed (previous state → state) bigram and its
+    row-normalized probability — "after a view, how often does a click
+    follow?". The bigram twin of :func:`funnel_stages`.
+
+    One shuffle by key for the lag, then a states²-sized aggregate; the
+    normalizing window runs over that tiny table. Linear at any scale.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = df.withColumn("prev_state", F.lag(state_col).over(w)).filter(
+        F.col("prev_state").isNotNull()
+    )
+    counts = pairs.groupBy("prev_state", state_col).agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    total = F.sum("n_trans").over(Window.partitionBy("prev_state"))
+    return counts.withColumn(
+        "prob", F.round(F.col("n_trans") / total.cast("double"), scale)
+    )
+
+
 def ewma_by_key(
     df: DataFrame,
     key_cols: Sequence[str],

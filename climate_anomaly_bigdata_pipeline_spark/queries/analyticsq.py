@@ -1,6 +1,7 @@
 """Round-3 analytics queries: SCD-2 history, rolling correlation,
 Pareto frontier, equi-depth histogram, char-entropy quality,
-chunk-level exact dedup, and temperature mixture weights.
+chunk-level exact dedup, temperature mixture weights, interval merge,
+cohort retention, transition matrix, grouped OLS, and winsorization.
 
 Each generalizes a pattern the reference's medallion/star-schema
 pipeline or a training-data curation pipeline needs next:
@@ -265,6 +266,184 @@ def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
     )
+
+
+# ---- gaps-and-islands interval merge ----------------------------------------
+
+_MERGE_INTERVALS_ORACLE = """
+WITH iv AS (
+    SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+m AS (
+    SELECT user_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+    FROM iv
+),
+isl AS (
+    SELECT user_id, s, e,
+           sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM m
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       min(s) AS interval_start, max(e) AS interval_end,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl
+GROUP BY user_id, island
+"""
+
+
+@query("merge_intervals_activity", oracle=_MERGE_INTERVALS_ORACLE)
+def merge_intervals_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's 30-minute activity spans (one per event)
+    into maximal disjoint intervals — the interval-form generalization
+    of sessionization (overlap-merge instead of gap-split)."""
+    ev = Catalog(spark, sf_dir).events
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    out = TS.merge_intervals(iv, ["user_id"], "s", "e")
+    return out.select(
+        "user_id",
+        F.col("island").cast("long").alias("island"),
+        "interval_start",
+        "interval_end",
+        "n_merged",
+    )
+
+
+# ---- monthly cohort retention ------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH am AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('month', ts) AS DATE) AS active_month
+    FROM events
+),
+c AS (
+    SELECT user_id, active_month,
+           min(active_month) OVER (PARTITION BY user_id) AS cohort_month
+    FROM am
+),
+agg AS (
+    SELECT cohort_month,
+           CAST(date_diff('month', cohort_month, active_month) AS BIGINT)
+               AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM c GROUP BY 1, 2
+)
+SELECT cohort_month, month_offset, n_active,
+       round(CAST(n_active AS DOUBLE) /
+             max(CASE WHEN month_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_month), 6) AS retention
+FROM agg
+"""
+
+
+@query("cohort_retention_monthly", oracle=_COHORT_ORACLE)
+def cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention triangle: users grouped by
+    first-activity month, tracked by months-since-cohort, with the
+    retained share of each cohort."""
+    ev = Catalog(spark, sf_dir).events
+    return TS.cohort_retention(ev, "user_id", "ts")
+
+
+# ---- event-type transition matrix -------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH p AS (
+    SELECT event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_state
+    FROM events
+),
+c AS (
+    SELECT prev_state, event_type, CAST(count(*) AS BIGINT) AS n_trans
+    FROM p WHERE prev_state IS NOT NULL
+    GROUP BY prev_state, event_type
+)
+SELECT prev_state, event_type, n_trans,
+       round(CAST(n_trans AS DOUBLE) /
+             sum(n_trans) OVER (PARTITION BY prev_state), 6) AS prob
+FROM c
+"""
+
+
+@query("transition_matrix_events", oracle=_TRANSITION_ORACLE)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    bigrams with row-normalized probabilities — the statistical twin of
+    the ordered conversion funnel."""
+    ev = Catalog(spark, sf_dir).events
+    return TS.transition_matrix(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+
+
+# ---- per-group OLS regression ------------------------------------------------
+
+_LINREG_ORACLE = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("linreg_price_by_qty", oracle=_LINREG_ORACLE)
+def linreg_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extended price against quantity
+    (slope/intercept/R²) via the single-pass regr_* aggregate family —
+    per-segment trend extraction without a model loop."""
+    li = Catalog(spark, sf_dir).lineitem
+    out = R.grouped_linreg(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+    return out.withColumn("n_pairs", F.col("n_pairs").cast("long"))
+
+
+# ---- winsorized group statistics --------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo_fence,
+           quantile_cont(value, 0.95) AS hi_fence
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(sum(CASE WHEN value > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       round(avg(value), 4) AS mean_raw,
+       round(avg(CASE WHEN value < lo_fence THEN lo_fence
+                      WHEN value > hi_fence THEN hi_fence
+                      ELSE value END), 4) AS mean_winsorized
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("winsorize_event_values", oracle=_WINSORIZE_ORACLE)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-event-type value statistics: clamp outside the
+    exact [p5, p95] fences and compare raw vs winsorized means — the
+    outlier-robust normalization gate."""
+    ev = Catalog(spark, sf_dir).events
+    return R.winsorize_stats(ev, ["event_type"], "value", lo=0.05, hi=0.95)
 
 
 # ---- temperature-scaled mixture weights -------------------------------------

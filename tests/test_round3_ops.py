@@ -144,3 +144,128 @@ def test_temperature_mix_alpha_one_is_proportional(spark):
     df = spark.createDataFrame(rows, "src string")
     out = {r.src: r for r in R.temperature_mix(df, "src", alpha=1.0).collect()}
     assert out["a"].weight == 0.75 and out["b"].weight == 0.25
+
+
+# ---- interval merge (gaps and islands) --------------------------------------
+
+
+def test_merge_intervals_overlap_touch_and_gap(spark):
+    rows = [
+        (1, 0.0, 10.0),   # island 1
+        (1, 5.0, 12.0),   # overlaps → same island
+        (1, 12.0, 15.0),  # touches (start == running max end) → merged
+        (1, 20.0, 25.0),  # gap → island 2
+        (2, 0.0, 1.0),    # second key independent
+    ]
+    df = spark.createDataFrame(rows, "k int, s double, e double")
+    out = TS.merge_intervals(df, ["k"], "s", "e").orderBy("k", "island")
+    got = [(r.k, r.island, r.interval_start, r.interval_end, r.n_merged)
+           for r in out.collect()]
+    assert got == [
+        (1, 1, 0.0, 15.0, 3),
+        (1, 2, 20.0, 25.0, 1),
+        (2, 1, 0.0, 1.0, 1),
+    ]
+
+
+def test_merge_intervals_contained_interval_extends_nothing(spark):
+    rows = [(1, 0.0, 100.0), (1, 10.0, 20.0), (1, 50.0, 120.0)]
+    df = spark.createDataFrame(rows, "k int, s double, e double")
+    out = TS.merge_intervals(df, ["k"], "s", "e").collect()
+    assert len(out) == 1
+    assert (out[0].interval_start, out[0].interval_end, out[0].n_merged) == (
+        0.0, 120.0, 3,
+    )
+
+
+# ---- cohort retention -------------------------------------------------------
+
+
+def test_cohort_retention_shares_and_offsets(spark):
+    import datetime as dt
+
+    def t(m, d=1):
+        return dt.datetime(2024, m, d)
+
+    rows = [
+        (1, t(1)), (1, t(1, 15)), (1, t(2)),  # cohort Jan, active Jan+Feb
+        (2, t(1)),                            # cohort Jan, Jan only
+        (3, t(2)), (3, t(4)),                 # cohort Feb, active Feb+Apr
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = TS.cohort_retention(df, "user_id", "ts")
+    got = {
+        (str(r.cohort_month), r.month_offset): (r.n_active, r.retention)
+        for r in out.collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-02-01", 0)] == (1, 1.0)
+    assert got[("2024-02-01", 2)] == (1, 1.0)
+    assert ("2024-02-01", 1) not in got
+
+
+# ---- transition matrix ------------------------------------------------------
+
+
+def test_transition_matrix_counts_and_rows_sum_to_one(spark):
+    rows = [
+        (1, "a", 1.0), (1, "b", 2.0), (1, "a", 3.0), (1, "b", 4.0),
+        (2, "a", 1.0), (2, "a", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, s string, ts double")
+    out = TS.transition_matrix(df, "k", "s", "ts")
+    got = {(r.prev_state, r.s): (r.n_trans, r.prob) for r in out.collect()}
+    # from a: a→b twice (user 1), a→a once (user 2) → 2/3, 1/3
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "a")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    # first event of each key contributes no transition
+    assert sum(n for n, _ in got.values()) == 4
+
+
+# ---- grouped linear regression ----------------------------------------------
+
+
+def test_grouped_linreg_exact_line(spark):
+    rows = [("g", float(x), 3.0 * x + 7) for x in range(10)] + [
+        ("h", 1.0, 5.0), ("h", 2.0, 4.0), ("h", 3.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in R.grouped_linreg(df, ["g"], "x", "y").collect()}
+    assert (out["g"].slope, out["g"].intercept, out["g"].r2) == (3.0, 7.0, 1.0)
+    assert out["g"].n_pairs == 10
+    assert out["h"].slope == 0.5  # hand OLS: cov/var = 1/2
+
+
+def test_grouped_linreg_ignores_null_pairs(spark):
+    rows = [("g", 1.0, 2.0), ("g", 2.0, None), ("g", None, 9.0), ("g", 3.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = R.grouped_linreg(df, ["g"], "x", "y").collect()[0]
+    assert out.n_pairs == 2  # only complete (x, y) pairs enter the fit
+    assert out.slope == 2.0
+
+
+# ---- winsorized statistics --------------------------------------------------
+
+
+def test_winsorize_clips_tails_only(spark):
+    vals = [float(v) for v in range(1, 20)] + [1000.0]  # one huge outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = R.winsorize_stats(df, ["g"], "v", lo=0.05, hi=0.95).collect()[0]
+    assert out.n == 20
+    assert out.n_clipped_lo == 1 and out.n_clipped_hi == 1
+    assert out.mean_winsorized < out.mean_raw  # outlier pulled in
+    # p95 fence (exact interpolated) bounds the winsorized mean
+    assert out.mean_winsorized < 60.0
+
+
+def test_winsorize_null_values_pass_through(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None), ("g", 3.0)], "g string, v double"
+    )
+    out = R.winsorize_stats(df, ["g"], "v", lo=0.0, hi=1.0).collect()[0]
+    assert out.n == 4  # count(*) includes the null row
+    assert out.n_clipped_lo == 0 and out.n_clipped_hi == 0
+    assert out.mean_raw == 2.0  # avg ignores nulls in both engines
+    assert out.mean_winsorized == 2.0  # null rows never count as clipped
