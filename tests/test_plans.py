@@ -179,3 +179,34 @@ def test_quota_single_exchange_by_group(spark, sf_dir):
     plan = plan_of(QUERIES["quota_sample_per_source"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_merge_intervals_single_exchange(spark, sf_dir):
+    """Interval merge: the two stacked windows (running max, island sum)
+    and the final per-(key, island) aggregate must all ride ONE hash
+    exchange by user_id — hashpartitioning(user_id) already clusters the
+    (user_id, island) grouping, so no second shuffle is allowed."""
+    import re
+
+    plan = plan_of(QUERIES["merge_intervals_activity"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_winsorize_broadcasts_fences(spark, sf_dir):
+    """The groups-sized fence table must come back via broadcast — a
+    sort-merge join here would shuffle the full fact side twice."""
+    plan = plan_of(QUERIES["winsorize_event_values"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_linreg_partial_aggregation_and_pruned_scan(spark, sf_dir):
+    """regr_* moments must combine map-side (partial before the single
+    exchange) and the scan must read only the 3 referenced columns."""
+    import re
+
+    plan = plan_of(QUERIES["linreg_price_by_qty"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read and "l_orderkey" not in read[0] and "l_shipdate" not in read[0], plan
