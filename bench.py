@@ -84,13 +84,24 @@ def main() -> None:
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
     best: dict[str, float] = {}
+    errors: dict[str, str] = {}
     retries_left: dict[str, int] = {name: max_retries for name in QUERIES}
     for _ in range(runs):
         for name, fn in QUERIES.items():
-            dt, steal = timed(fn, spark)
+            # One broken query must never zero the whole bench: record
+            # the failure and keep timing the rest.
+            try:
+                dt, steal = timed(fn, spark)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            errors.pop(name, None)
             while steal > steal_max and retries_left[name] > 0:
                 retries_left[name] -= 1
-                rdt, steal = timed(fn, spark)
+                try:
+                    rdt, steal = timed(fn, spark)
+                except Exception:  # noqa: BLE001
+                    break
                 dt = min(dt, rdt)
             best[name] = min(best.get(name, dt), dt)
     timings = {name: round(v, 3) for name, v in best.items()}
@@ -100,17 +111,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

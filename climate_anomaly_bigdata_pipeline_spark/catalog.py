@@ -43,6 +43,12 @@ REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # Testdata timestamps are parquet TIMESTAMP(MICROS, isAdjustedToUTC=
+    # false); Spark 4 infers TIMESTAMP_NTZ for those by default, which
+    # breaks epoch extraction (unix_micros rejects NTZ). Read them as
+    # plain TIMESTAMP — identical wall-clock under the UTC session zone,
+    # matching the oracle's naive-timestamp semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -93,6 +99,16 @@ class Catalog:
 
         if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Belt-and-braces for sessions where inferTimestampNTZ could not
+        # be pinned before the scan: NTZ -> TIMESTAMP is wall-clock
+        # preserving under the UTC session zone pinned above.
+        ntz = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        ]
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

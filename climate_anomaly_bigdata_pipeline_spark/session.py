@@ -50,6 +50,10 @@ def get_spark(
         # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp, so read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet TIMESTAMP(MICROS) must read as TIMESTAMP (UTC
+        # session zone), not TIMESTAMP_NTZ: epoch math (unix_micros) and
+        # the DuckDB oracle both assume it.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

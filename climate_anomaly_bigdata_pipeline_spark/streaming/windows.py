@@ -19,18 +19,18 @@ from pyspark.sql import types as T
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet-backed events stream with the same nanos→micros repair
-    as the batch Catalog (catalog.Catalog._normalize)."""
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    """Parquet-backed events stream with the same timestamp repairs as
+    the batch Catalog (catalog.Catalog._normalize).
+
+    The file source needs an explicit schema, and the testdata's
+    physical ``ts`` type has varied across generator versions
+    (TIMESTAMP(NANOS) → long under nanosAsLong; TIMESTAMP(MICROS) →
+    timestamp). Take the schema from a batch metadata read of the same
+    file so the stream always matches, then apply the same repair the
+    Catalog applies.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
     # The streaming file source wants a directory; select just the
     # events file from the scale-factor dir via pathGlobFilter.
     raw = (
@@ -38,7 +38,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def windowed_counts_stream(
