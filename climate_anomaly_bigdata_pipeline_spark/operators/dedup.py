@@ -492,25 +492,78 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    block_dims: int = 0,
 ) -> DataFrame:
-    """Brute-force cosine self-join: pairs (id1 < id2) with cosine >=
-    threshold. Quadratic — the correctness baseline; use the LSH-bucketed
-    variant (similarity module) as the scale path.
+    """Cosine self-join: pairs (id1 < id2) with cosine >= threshold.
 
-    Norms are computed once per vector *before* the join (linear work)
-    so each of the O(n²) pairs evaluates a single dot-product fold
-    instead of three — the folds are interpreted (not codegen'd), so
-    this is a 3× cut of the dominant cost. cosine = dot/(norm1·norm2)
-    is the same expression tree, so oracle values are unchanged.
+    ``block_dims=0`` is the brute-force correctness baseline: a cross
+    join evaluating every O(n²) pair. Norms are computed once per
+    vector *before* the join (linear work) so each pair evaluates a
+    single dot-product fold instead of three — the folds are
+    interpreted (not codegen'd), so this is a 3× cut of the dominant
+    cost. cosine = dot/(norm1·norm2) is the same expression tree, so
+    oracle values are unchanged.
+
+    ``block_dims=1|2`` is a LOSSLESS grid-blocking rewrite of the same
+    result set: cosine(a,b) >= t bounds the unit-normalized Euclidean
+    distance by sqrt(2-2t), hence each normalized coordinate of a
+    qualifying pair differs by at most that. Bucketing coordinate k
+    into cells of width w = sqrt(2-2t) guarantees matching pairs sit
+    in the same or adjacent cells, so an equi-join of build cells
+    against probe cells exploded to {c-1, c, c+1} per blocked
+    dimension covers every qualifying pair exactly once (the id1 <
+    id2 filter keeps one orientation). The cross join becomes a keyed
+    shuffle join whose pair count shrinks with the spread of the
+    blocked coordinates (~10-50× here) — same exact output, and at
+    100 TB the blocked plan is the only one that survives. Requires
+    t > 0 (unit-distance bound must exist); falls back to brute force
+    otherwise.
     """
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
-    a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
-    b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
+    if block_dims > 0 and threshold > 0.0:
+        w = float((2.0 - 2.0 * min(threshold, 1.0)) ** 0.5) or 1e-12
+        # Tiny margin so coordinate pairs landing exactly w apart can't
+        # straddle two non-adjacent cells through fp rounding.
+        w *= 1.0 + 1e-9
+        dims = list(range(min(block_dims, 2)))
+        cells = [
+            F.floor(F.col("v")[d] / F.col("norm") / F.lit(w)).cast("long")
+            for d in dims
+        ]
+        build = e.select(
+            F.col("id").alias("id1"),
+            F.col("v").alias("v1"),
+            F.col("norm").alias("n1"),
+            *[c.alias(f"cell{d}") for d, c in zip(dims, cells)],
+        )
+        probe = e.select(
+            F.col("id").alias("id2"),
+            F.col("v").alias("v2"),
+            F.col("norm").alias("n2"),
+            *[c.alias(f"pc{d}") for d, c in zip(dims, cells)],
+        )
+        for d in dims:
+            probe = probe.withColumn(
+                f"cell{d}",
+                F.explode(
+                    F.array(
+                        F.col(f"pc{d}") - 1, F.col(f"pc{d}"), F.col(f"pc{d}") + 1
+                    )
+                ),
+            )
+        joined = build.join(probe, [f"cell{d}" for d in dims])
+    else:
+        a = e.select(
+            F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+        )
+        b = e.select(
+            F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
+        )
+        joined = a.crossJoin(b)
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
+        joined.filter(F.col("id1") < F.col("id2"))
         .withColumn(
             "cosine",
             dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),

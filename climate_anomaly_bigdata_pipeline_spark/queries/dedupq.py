@@ -378,7 +378,10 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
         .unionByName(emb.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
     )
-    pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99)
+    # Lossless 2-dim grid blocking: same pair set as brute force
+    # (tests/test_northstar.py parity test), ~10-50x fewer candidate
+    # pairs feeding the CC iterations.
+    pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99, block_dims=2)
     return DD.connected_components(pairs, "id1", "id2")
 
 

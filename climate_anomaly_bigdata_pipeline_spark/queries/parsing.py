@@ -118,3 +118,61 @@ def parse_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return R.validate_required(parsed, ["supp_id", "acctbal"])
+
+
+# --- JSON-lines parse roundtrip (S-layer; LLM-interchange format) -----------
+
+_JSONL_ORACLE = """
+WITH lines AS (
+    SELECT CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                    source := source, n_chars := n_chars))
+                AS VARCHAR) AS value
+    FROM documents
+    UNION ALL SELECT 'this is not json {'
+    UNION ALL SELECT '{"doc_id": "NaN-ish", "lang": 7}'
+), valid AS (
+    SELECT TRY_CAST(value AS JSON) AS j FROM lines
+), parsed AS (
+    SELECT
+        TRY_CAST(json_extract_string(j, '$.doc_id') AS BIGINT) AS doc_id,
+        json_extract_string(j, '$.lang') AS lang,
+        json_extract_string(j, '$.source') AS source,
+        TRY_CAST(json_extract_string(j, '$.n_chars') AS BIGINT) AS n_chars
+    FROM valid WHERE j IS NOT NULL
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM parsed
+WHERE doc_id IS NOT NULL
+GROUP BY source, lang
+"""
+
+
+@query("jsonl_parse_roundtrip", oracle=_JSONL_ORACLE)
+def jsonl_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange roundtrip: format documents metadata as JSON
+    lines (``to_json``), re-parse with ``from_json`` under an explicit
+    schema (PERMISSIVE: malformed lines and wrong-typed fields null
+    out, the same null-on-bad-cast contract as the text parsers), drop
+    invalid rows, and aggregate. All JVM expressions — the same plan
+    shape ``read_jsonl`` produces on files, so this oracle-checks the
+    JSONL source semantics without driver-side file writes."""
+    docs = Catalog(spark, sf_dir).documents
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("this is not json {",), ('{"doc_id": "NaN-ish", "lang": 7}',)],
+        "value string",
+    )
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    parsed = (
+        lines.unionByName(bad)
+        .select(F.from_json("value", schema).alias("j"))
+        .select("j.*")
+        .where(F.col("doc_id").isNotNull())
+    )
+    return parsed.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -445,3 +445,56 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         alpha=0.3,
     )
+
+
+# --- Native session windows (Spark session_window; streaming-capable) --------
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+    SELECT
+        user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us,
+        CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                  >= 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessions AS (
+    SELECT user_id, ts_us,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sid
+    FROM flagged
+)
+SELECT
+    user_id,
+    min(ts_us) AS session_start,
+    max(ts_us) + INTERVAL 30 MINUTE AS session_end,
+    count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@query("session_window_stats", oracle=_SESSION_WINDOW_ORACLE)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's NATIVE ``session_window``
+    (dynamic gap-merging windows, 30-min gap) — the streaming-capable
+    twin of the explicit lag+running-sum ``sessionize_events``: the
+    identical groupBy works under ``readStream`` + watermark, where the
+    state store merges windows incrementally. Semantics note: native
+    session windows close when the gap is >= the duration (window end =
+    last event + gap), hence the oracle's >= break vs sessionize's >.
+    One shuffle by (user_id); the window merge is state-local."""
+    ev = Catalog(spark, sf_dir).events
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )

@@ -83,3 +83,30 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """JSON-lines sink (one JSON object per line, the lingua franca of
+    LLM training-data interchange). Splittable and append-friendly like
+    the parquet sink; prefer parquet between layers (typed, columnar,
+    ~5-10x smaller) and JSONL only at ingest/egress edges."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Always pass ``schema`` at scale: schema
+    inference is a full extra pass over the data (a 100 TB corpus read
+    twice); with an explicit schema the scan is single-pass and
+    malformed lines null out per PERMISSIVE mode instead of failing."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -160,3 +160,33 @@ def test_ivf_probes_superset_of_bruteforce_within_cells(spark, sf_oracle_dir):
     }
     for r in ivf:
         assert r["cosine"] == brute[r["neighbor_id"]]
+
+
+def test_grid_blocked_neardup_equals_bruteforce(spark, sf_dir):
+    """Lossless grid blocking (cosine>=t => adjacent normalized-coord
+    cells) must reproduce the brute-force pair set exactly."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    emb = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    for t in (0.99, 0.9):
+        brute = {
+            tuple(r)
+            for r in DD.embedding_neardup_pairs(corpus, threshold=t, block_dims=0)
+            .select("id1", "id2")
+            .collect()
+        }
+        blocked = {
+            tuple(r)
+            for r in DD.embedding_neardup_pairs(corpus, threshold=t, block_dims=2)
+            .select("id1", "id2")
+            .collect()
+        }
+        assert brute == blocked
+        assert len(brute) > 0  # duplicated corpus must produce pairs
