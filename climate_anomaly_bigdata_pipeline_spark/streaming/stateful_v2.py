@@ -1,0 +1,93 @@
+"""Stateful streaming v2: ``transformWithStateInPandas`` (Spark 4).
+
+The successor API to ``applyInPandasWithState`` (streaming/stateful.py
+keeps the v1 twin): instead of one opaque state tuple, the processor
+declares NAMED, TYPED state variables — ValueState / ListState /
+MapState — each living in the state store under its own key space,
+with optional per-state TTL and registered timers. The example keeps a
+per-user running profile in two variables:
+
+- ``totals``   (ValueState): (n_events, sum_value) running monoid
+- ``type_counts`` (MapState): event_type -> count, i.e. a keyed
+  sub-aggregate that v1's single-tuple state cannot express without
+  serializing a whole dict per update
+
+and emits (user_id, n_events, total_value, n_distinct_types) per batch
+(update mode). State shuffles once by user_id and stays O(users ×
+distinct types); at 100 TB add ``ttlDurationMs`` so idle users age out.
+
+Deployment notes: requires the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass``) and the
+``protobuf`` Python package (the worker's state-server protocol) —
+the latter is absent from this container, so the parity test
+(tests/test_stateful_v2.py) import-skips; ``applyInPandasWithState``
+(streaming/stateful.py) is the environment-covered stateful path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, n_distinct_types long"
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Running per-user profile across micro-batches (see module doc)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n long, total double")
+        self._type_counts = handle.getMapState(
+            "type_counts", "event_type string", "cnt long"
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._type_counts.getValue((etype,))[0]
+                    if self._type_counts.containsKey((etype,))
+                    else 0
+                )
+                self._type_counts.updateValue((etype,), (prev + int(cnt),))
+        self._totals.update((n, total))
+        n_types = sum(1 for _ in self._type_counts.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_distinct_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profiles_v2(events: DataFrame) -> DataFrame:
+    """Running (count, sum, distinct-type count) per user via the v2
+    stateful API; emits the updated profile each micro-batch."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

@@ -62,3 +62,37 @@ def test_stream_static_anomaly_scoring_matches_batch(spark, sf_dir):
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
     # threshold actually fires on this data
     assert got.filter("is_anomaly").count() > 0
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    """Native session_window under readStream must merge gap-windows to
+    the same sessions the batch groupBy produces (the query graph is
+    identical; streaming adds watermark-driven state merge)."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    streamed = SW.run_stream_to_memory(agg, "stream_sessions")
+    s = {tuple(r) for r in streamed.collect()}
+
+    ev = Catalog(spark, sf_dir).events
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
