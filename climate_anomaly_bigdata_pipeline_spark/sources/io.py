@@ -110,3 +110,67 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def zorder_value(
+    c1: "F.Column", c2: "F.Column", bits: int = 8
+) -> "F.Column":
+    """Interleave the low ``bits`` of two bucket ids into a Z-value
+    (Morton code): bit i of c1 lands at position 2i+1, bit i of c2 at
+    2i. Pure codegen'd bitwise arithmetic — no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        b2 = F.shiftleft(F.shiftright(c2, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z.bitwiseOR(b1.cast("long")).bitwiseOR(b2.cast("long"))
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered Parquet sink: two-dimensional generalization
+    of :func:`write_range_clustered`. Each numeric key is bucketized
+    into 2^bits uniform cells between its observed min/max, the two
+    bucket ids are bit-interleaved into a Morton code, and the data is
+    range-partitioned + locally sorted on that code. Nearby (c1, c2)
+    points land in the same files, so parquet min/max statistics prune
+    file scans for range predicates on EITHER column — the property
+    single-column clustering only gives the sort key.
+
+    The min/max pass is one tiny 2-row aggregate (driver-bounded);
+    under heavy skew swap the uniform cells for approxQuantile
+    boundaries — the Morton interleave is unchanged. One
+    range-exchange + local sort, no global sort bottleneck; same
+    recipe Delta/Iceberg OPTIMIZE ZORDER applies at 100 TB.
+    """
+    lo1, hi1, lo2, hi2 = df.select(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    ).first()
+    n_cells = (1 << bits) - 1
+
+    def _bucket(col: str, lo: float, hi: float) -> "F.Column":
+        if hi == lo:
+            return F.lit(0)
+        frac = (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        return F.least(
+            F.lit(n_cells), F.floor(frac * (n_cells + 1)).cast("int")
+        )
+
+    z = zorder_value(_bucket(col1, lo1, hi1), _bucket(col2, lo2, hi2), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

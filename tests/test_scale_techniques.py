@@ -258,3 +258,47 @@ def test_range_clustered_scan_prunes_files(spark, sf_dir, tmp_path):
     touched = narrow.select(F.input_file_name()).distinct().count()
     total = back.select(F.input_file_name()).distinct().count()
     assert touched < total, f"no pruning: {touched}/{total} files"
+
+
+def test_zorder_write_prunes_files_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering must give file-level min/max pruning on BOTH
+    interleaved keys (single-column clustering only prunes the sort
+    key): for a narrow range predicate on each dimension, the fraction
+    of files whose [min,max] overlap the predicate must be well under
+    the file count."""
+    import glob as _glob
+
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.sources import io as IO
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    path = str(tmp_path / "zorder")
+    IO.write_zorder_clustered(li, path, "l_orderkey", "l_partkey", n_files=16)
+
+    files = _glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 8
+
+    lo_o, hi_o, lo_p, hi_p = li.select(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+
+    def overlapping(col, lo_q, hi_q):
+        n = 0
+        for f in files:
+            mn, mx = spark.read.parquet(f).select(F.min(col), F.max(col)).first()
+            if mx >= lo_q and mn <= hi_q:
+                n += 1
+        return n
+
+    # ~6% of each key range
+    span_o = (hi_o - lo_o) // 16 or 1
+    span_p = (hi_p - lo_p) // 16 or 1
+    hit_o = overlapping("l_orderkey", lo_o, lo_o + span_o)
+    hit_p = overlapping("l_partkey", lo_p, lo_p + span_p)
+    assert hit_o <= len(files) // 2, f"orderkey pruning too weak: {hit_o}/{len(files)}"
+    assert hit_p <= len(files) // 2, f"partkey pruning too weak: {hit_p}/{len(files)}"
+
+    # and the layout is lossless
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
