@@ -612,3 +612,83 @@ def ngram_contamination(
         .groupBy("corpus_id", "benchmark_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-set Jaccard join via PREFIX FILTERING (SSJoin /
+    AllPairs family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07):
+    the deterministic, provably-complete candidate pruner, where
+    MinHash-LSH is the probabilistic one.
+
+    Under any fixed global token order, if J(A,B) >= t then A and B
+    must share a token among each one's first |S| - ceil(t*|S|) + 1
+    tokens (its "prefix"): fewer than that many misses can't happen or
+    the overlap bound ceil(t*|S|) is violated. So candidates = pairs
+    sharing >= 1 PREFIX token only — ordering tokens rarest-first makes
+    prefixes hit the rarest tokens and candidate lists tiny. Exact
+    Jaccard is then verified only for candidates (join restricted via
+    the candidate pair set), so the output is bit-identical to the
+    quadratic join: same pairs, same scores, no false negatives.
+
+    Shuffles: tokens by doc (sizes+prefix rank), by token (df rank +
+    candidate join), candidates by pair (verify) — all keyed, no cross
+    join anywhere; boilerplate tokens never enter prefixes, which is
+    the property that keeps this linear-ish on skewed corpora.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    w_doc = Window.partitionBy("id")
+    w_tok = Window.partitionBy("tok")
+    # rarest-first global order; (df, tok) totally orders tokens
+    w_rank = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.withColumn("df", F.count(F.lit(1)).over(w_tok))
+        .withColumn("sz", F.count(F.lit(1)).over(w_doc))
+        .withColumn("pos", F.row_number().over(w_rank))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id1"), "tok", F.col("sz").alias("sz1"))
+        .join(
+            prefix.select(F.col("id").alias("id2"), "tok", F.col("sz").alias("sz2")),
+            "tok",
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sz1", "sz2")
+        .distinct()
+    )
+    # Verify candidates only: explode each candidate's left token set,
+    # hash-join against the right side's tokens on (id2, tok).
+    t1 = toks.select(F.col("id").alias("id1"), "tok")
+    t2 = toks.select(F.col("id").alias("id2"), "tok")
+    overlap = (
+        cand.join(t1, "id1")
+        .join(t2, ["id2", "tok"])
+        .groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+    return (
+        overlap.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("id1", "id2", "n_common", "jaccard")
+    )

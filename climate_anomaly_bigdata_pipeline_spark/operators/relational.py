@@ -690,3 +690,49 @@ def rank_distribution(
     return df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6)).withColumn(
         "cume_dist", F.round(F.cume_dist().over(w), 6)
     )
+
+
+def stable_global_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "idx",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global index in ``order_cols`` order WITHOUT the
+    single-task bottleneck: ``row_number() OVER (ORDER BY ...)`` plans
+    a global sort into ONE partition — the classic driver-killer at
+    scale. The distributed recipe is two-phase: range-partition on the
+    order key (parallel sampled exchange), count rows per partition
+    (tiny bounded collect, one row per partition), prefix-sum those
+    counts driver-side into per-partition offsets, then add a
+    partition-LOCAL row_number to the broadcast offset. Every stage is
+    parallel; the only driver data is n_partitions integers.
+
+    The partitioned input is pinned with ``localCheckpoint`` because
+    range boundaries are sampled: the count pass and the index pass
+    must see the SAME partitioning (at 100 TB use reliable
+    ``checkpoint`` — same contract). ``order_cols`` must be a total
+    order (include a unique tiebreak column) for the index to be
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = part.groupBy("__pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off_expr = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )[F.col("__pid")]
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return part.withColumn(
+        out_col, (off_expr + F.row_number().over(w) - 1).cast("long")
+    ).drop("__pid")

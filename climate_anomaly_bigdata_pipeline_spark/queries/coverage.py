@@ -418,3 +418,25 @@ def pct_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rank_distribution(
         o, "o_totalprice", partition_cols=["o_orderstatus"]
     )
+
+
+# ---- stable global index (distributed zipWithIndex) -------------------------
+
+_GLOBAL_INDEX_ORACLE = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS idx
+FROM events
+"""
+
+
+@query("stable_global_index_events", oracle=_GLOBAL_INDEX_ORACLE)
+def stable_global_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global index over events by event_id — computed
+    with the two-phase partition-offset recipe (range exchange +
+    bounded per-partition count collect + local row_number), NOT the
+    oracle's single-task global window: every stage stays parallel at
+    any scale. Values are identical; only the physical plan differs."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    ev = Catalog(spark, sf_dir).events.select("event_id")
+    return R.stable_global_index(ev, ["event_id"], out_col="idx")

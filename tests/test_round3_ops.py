@@ -269,3 +269,76 @@ def test_winsorize_null_values_pass_through(spark):
     assert out.n_clipped_lo == 0 and out.n_clipped_hi == 0
     assert out.mean_raw == 2.0  # avg ignores nulls in both engines
     assert out.mean_winsorized == 2.0  # null rows never count as clipped
+
+
+# ---- prefix-filtered jaccard join -------------------------------------------
+
+
+def test_prefix_jaccard_equals_quadratic_with_boilerplate(spark):
+    """Completeness under shared boilerplate: every doc shares common
+    header tokens, near-dup pairs differ in one rare token. The prefix
+    filter must still find exactly the pairs the quadratic definition
+    gives (no false negatives), and only those (no false positives)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    header = "terms of service apply to all content here"
+    docs = [
+        (1, f"{header} alpha beta gamma delta"),
+        (2, f"{header} alpha beta gamma delta"),  # exact dup of 1
+        (3, f"{header} alpha beta gamma epsilon"),  # near-dup of 1/2
+        (4, f"{header} zeta eta theta iota"),  # shares only boilerplate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in DD.prefix_filtered_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    # quadratic ground truth over distinct word sets
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.8:
+                    want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_prefix_filter_prunes_boilerplate_only_pairs(spark):
+    """A pair sharing ONLY ubiquitous tokens must not survive; docs
+    sharing a rare prefix token must become candidates."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    docs = [(i, "common words everywhere " + f"unique{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = DD.prefix_filtered_jaccard_pairs(df, threshold=0.9).collect()
+    assert out == []  # jaccard 3/5 = 0.6 for every pair, all below 0.9
+
+
+# ---- stable global index ----------------------------------------------------
+
+
+def test_stable_global_index_is_dense_and_ordered(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k")  # permuted order
+    )
+    out = R.stable_global_index(df, ["k"], out_col="idx", n_parts=8)
+    rows = out.orderBy("k").collect()
+    assert [r["idx"] for r in rows] == list(range(10_000))
+
+
+def test_stable_global_index_avoids_single_partition_sort(spark):
+    """The plan must contain NO SinglePartition exchange — the whole
+    point over row_number() OVER (ORDER BY ...)."""
+    import contextlib
+    import io
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = R.stable_global_index(df, ["k"], n_parts=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
