@@ -342,3 +342,27 @@ def test_stable_global_index_avoids_single_partition_sort(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "SinglePartition" not in buf.getvalue()
+
+
+# ---- HLL sketch mergeability -----------------------------------------------
+
+
+def test_hll_union_estimate_close_to_single_pass(spark):
+    """Merging per-group sketches must estimate ~the same cardinality
+    as one sketch built over all rows (the mergeability contract that
+    makes sketch rollups sound)."""
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 10).alias("g"), (F.col("id") % 7919).alias("u")
+    )
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    single = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est")
+    ).first()["est"]
+    exact = df.select("u").distinct().count()
+    assert abs(merged - exact) <= 0.05 * exact
+    assert abs(single - exact) <= 0.05 * exact
