@@ -619,6 +619,7 @@ def prefix_filtered_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    n: int = 1,
 ) -> DataFrame:
     """Exact word-set Jaccard join via PREFIX FILTERING (SSJoin /
     AllPairs family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07):
@@ -639,21 +640,30 @@ def prefix_filtered_jaccard_pairs(
     candidate join), candidates by pair (verify) — all keyed, no cross
     join anywhere; boilerplate tokens never enter prefixes, which is
     the property that keeps this linear-ish on skewed corpora.
+
+    ``n`` picks the set element: 1 = distinct words, >1 = word
+    n-gram shingles. Prefix filtering prunes by the RAREST elements,
+    so the element universe must be discriminative for the corpus —
+    on a tiny-vocabulary corpus word sets are all near-identical and
+    every candidate list is the whole corpus (measured: a 140 s
+    blowup at sf0.1); shingles restore per-document-unique elements
+    and with them the pruning power. Same trade the n-gram Jaccard
+    join documents.
     """
     from pyspark.sql import Window
 
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-                )
-            ).alias("tok"),
+    if n > 1:
+        elems = shingles_expr(text_col, n)
+    else:
+        elems = F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
         )
-        .filter(F.col("tok") != "")
-        .distinct()
-    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(elems).alias("tok")
+    ).distinct()
     w_doc = Window.partitionBy("id")
     w_tok = Window.partitionBy("tok")
     # rarest-first global order; (df, tok) totally orders tokens

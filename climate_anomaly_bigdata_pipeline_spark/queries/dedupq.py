@@ -503,22 +503,17 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- prefix-filtered set-similarity join (SSJoin/AllPairs family) -----------
 
-_PREFIX_JACCARD_ORACLE = rf"""
-WITH {_CORPUS_CTE.strip().rstrip(',')},
-toks AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_distinct(
-               list_filter(str_split_regex(lower(trim(text)), '\s+'),
-                           x -> x <> ''))) AS tok
-    FROM corpus
-),
+_PREFIX_JACCARD_ORACLE = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE},
 sizes AS (
-    SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ),
 ov AS (
     SELECT a.doc_id AS id1, b.doc_id AS id2,
            CAST(count(*) AS BIGINT) AS n_common
-    FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT id1, id2, n_common,
@@ -526,19 +521,26 @@ SELECT id1, id2, n_common,
 FROM ov
 JOIN sizes s1 ON ov.id1 = s1.doc_id
 JOIN sizes s2 ON ov.id2 = s2.doc_id
-WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.9
+WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.8
 """
 
 
 @query("prefix_jaccard_pairs", oracle=_PREFIX_JACCARD_ORACLE)
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard >= 0.9 pairs over the mutant corpus via PREFIX
-    FILTERING — the deterministic complete candidate pruner (SSJoin /
-    AllPairs): only pairs sharing a rarest-first prefix token are
-    verified, yet the result is bit-identical to the quadratic join the
-    oracle runs. The third member of the near-dup family next to exact
-    n-gram Jaccard (probabilistically pruned by MinHash-LSH) and
-    embedding cosine (pruned by grid blocking)."""
+    """5-gram-shingle Jaccard >= 0.8 pairs over the mutant corpus via
+    PREFIX FILTERING — the deterministic complete candidate pruner
+    (SSJoin / AllPairs): only pairs sharing a rarest-first prefix
+    shingle are verified, yet the result is bit-identical to the
+    quadratic join the oracle runs. The third member of the near-dup
+    family next to exact n-gram Jaccard (stop-shingle-guarded full
+    join) and MinHash-LSH (probabilistic pruning); shingle elements
+    (not words) keep prefixes discriminative on this tiny-vocabulary
+    corpus — see the operator docstring for the measured word-set
+    blowup."""
     return DD.prefix_filtered_jaccard_pairs(
-        _doc_corpus(spark, sf_dir), id_col="doc_id", text_col="text", threshold=0.9
+        _doc_corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.8,
+        n=_SHINGLE_N,
     )
