@@ -27,7 +27,12 @@ import hashlib
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EVENT_TYPES = ("view", "click", "purchase", "refund")
 _SCHEMA = (
@@ -90,7 +95,59 @@ class SynthEventsDataSource(DataSource):
     def reader(self, schema) -> SynthEventsReader:
         return SynthEventsReader(self.options)
 
+    def streamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(self.options)
+
 
 def register(spark: SparkSession) -> None:
     """Register the source on this session (idempotent)."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+# ---- streaming variant (DataSourceStreamReader) -----------------------------
+
+
+class SynthEventsStreamReader(DataSourceStreamReader):
+    """Offset-managed streaming twin of :class:`SynthEventsReader`.
+
+    Offsets are row counts: each micro-batch covers rows
+    [start.row, end.row) where ``latestOffset`` advances by
+    ``rows_per_batch`` until ``n_rows`` is exhausted. The planner
+    splits every batch range into ``num_partitions`` sub-ranges, so
+    batch generation is as parallel as the batch is wide. Row values
+    are the SAME pure (seed, i) function as the batch reader: a
+    streaming run and a batch run over the same keyspace produce
+    identical datasets — which is what makes backfill-vs-live parity
+    testable for pipelines fed by this source. ``commit`` is a no-op
+    (nothing to clean up; Spark's own checkpoint holds progress)."""
+
+    def __init__(self, options: dict):
+        self._r = SynthEventsReader(options)
+        self.rows_per_batch = int(float(options.get("rows_per_batch", 1000)))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # Bounded stream: advance one batch at a time up to n_rows.
+        # (An unbounded generator would just keep advancing.)
+        self._latest = getattr(self, "_latest", 0)
+        self._latest = min(self._latest + self.rows_per_batch, self._r.n_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["row"], end["row"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo, self._r.seed)]
+        per = -(-(hi - lo) // self._r.num_partitions)
+        return [
+            _RangePartition(lo + i * per, min(lo + (i + 1) * per, hi), self._r.seed)
+            for i in range(self._r.num_partitions)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition: _RangePartition):
+        return self._r.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass

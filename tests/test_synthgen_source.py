@@ -42,3 +42,33 @@ def test_synthgen_seed_changes_data(spark):
 def test_synthgen_uneven_tail_partition(spark):
     df = _read(spark, n_rows=1001, num_partitions=4)
     assert df.count() == 1001
+
+
+def test_synthgen_stream_matches_batch(spark, tmp_path):
+    """Streaming read over the same keyspace must produce exactly the
+    batch dataset (same pure (seed, i) row function), arriving across
+    multiple offset-bounded micro-batches."""
+    synthgen.register(spark)
+    stream = (
+        spark.readStream.format("synthgen")
+        .option("n_rows", 5_000)
+        .option("rows_per_batch", 1_000)
+        .option("num_partitions", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM synth_stream")
+    want = _read(spark, n_rows=5_000, num_partitions=4)
+    assert got.count() == 5_000
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
