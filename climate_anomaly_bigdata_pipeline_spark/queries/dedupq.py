@@ -544,3 +544,73 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         n=_SHINGLE_N,
     )
+
+
+# ---- dedup survivor selection: clusters -> keep one per component -----------
+
+_KEEP_ORACLE = """
+WITH RECURSIVE corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+    FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 2000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+    FROM embeddings WHERE vec_id % 4 = 0
+),
+pairs AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+),
+edges AS (
+    SELECT id1 AS src, id2 AS dst FROM pairs
+    UNION
+    SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+    SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT c.vec_id,
+       coalesce(l.cluster_id, c.vec_id) AS cluster_id,
+       (coalesce(l.cluster_id, c.vec_id) = c.vec_id) AS keep
+FROM corpus c LEFT JOIN labels l ON c.vec_id = l.node
+"""
+
+
+@query("dedup_keep_representatives", oracle=_KEEP_ORACLE)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of the near-dup pipeline: pairs -> connected
+    components -> ONE survivor per component. Every corpus row gets its
+    cluster id (its own id when it paired with nothing — singletons are
+    implicitly their own cluster, which the left join encodes without a
+    second pass) and a keep flag marking the component-minimum
+    representative. Downstream training-data selection is then
+    ``filter(keep)``. Candidate pairs come from the lossless
+    grid-blocked cosine join; the labels join is groups-sized."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+        .unionByName(emb.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
+    )
+    pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99, block_dims=2)
+    labels = DD.connected_components(pairs, "id1", "id2").withColumnRenamed(
+        "node", "vec_id"
+    )
+    out = corpus.select("vec_id").join(labels, "vec_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).alias("keep"),
+    )
