@@ -210,3 +210,32 @@ def test_linreg_partial_aggregation_and_pruned_scan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     read = [line for line in plan.splitlines() if "ReadSchema" in line]
     assert read and "l_orderkey" not in read[0] and "l_shipdate" not in read[0], plan
+
+
+def test_session_window_single_exchange(spark, sf_dir):
+    """Native session windows: one shuffle by the grouping key; the
+    gap-merge is exchange-local (that's the whole scale model)."""
+    import re
+
+    plan = plan_of(QUERIES["session_window_stats"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    """Prefix filtering exists to avoid the quadratic join: the plan
+    must contain only keyed joins — no cartesian/broadcast-nested-loop
+    stage anywhere."""
+    plan = plan_of(QUERIES["prefix_jaccard_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_grid_blocked_neardup_no_cartesian(spark, sf_dir):
+    """block_dims=2 replaces the cross join with a cell equi-join."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    plan = plan_of(DD.embedding_neardup_pairs(emb, threshold=0.99, block_dims=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
