@@ -459,24 +459,25 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("src_label").alias("nbr_label"))
         )
+        # Fold the convergence flag into the same projection that
+        # computes the new label: the old label is already on the row,
+        # so no second join is needed to detect change — one join +
+        # one bounded count per round instead of two joins + a count.
+        new_label = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+        )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                new_label.alias("cluster_id"),
+                (new_label < F.col("cluster_id")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("cluster_id"))
