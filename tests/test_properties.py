@@ -209,3 +209,38 @@ def test_pack_sequences_monotone_and_bounded(spark, sizes, budget):
     for r, s in zip(out, sizes):
         assert r.pack_id == cum // budget
         cum += s
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "common"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_jaccard_complete_on_random_corpora(spark, docs, threshold):
+    """Prefix filtering must equal the quadratic word-set definition on
+    arbitrary corpora — including all-identical and fully-disjoint
+    extremes the strategy generates."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"])
+        for r in DD.prefix_filtered_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    sets = {i: set(w) for i, w in enumerate(docs)}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
+    }
+    assert got == want
