@@ -466,3 +466,44 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize the corpus."""
     docs = Catalog(spark, sf_dir).documents
     return R.temperature_mix(docs, "source", alpha=0.5)
+
+
+# ---- key-skew diagnostics (the pre-join profile every 100 TB run needs) -----
+
+_SKEW_PROFILE_ORACLE = """
+WITH per_key AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+)
+SELECT
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(max(cnt) AS BIGINT) AS max_cnt,
+    round(avg(cnt), 4) AS avg_cnt,
+    round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+    round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+    round(max(cnt) / avg(cnt), 4) AS skew_ratio
+FROM per_key
+"""
+
+
+@query("key_skew_profile_events", oracle=_SKEW_PROFILE_ORACLE)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics for events.user_id: per-key counts
+    reduced to (n_keys, max, avg, p50, p99, max/avg ratio) — the
+    profile that decides salting vs AQE-skew-join vs broadcast before a
+    big shuffle. Two aggregations, both map-side partial: the per-key
+    count is the same shuffle the real join would pay, and the summary
+    is groups-sized. skew_ratio >> p99/avg flags a single hot key
+    (salt it); p99/avg >> 1 flags a heavy tail (AQE handles it)."""
+    ev = Catalog(spark, sf_dir).events
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )

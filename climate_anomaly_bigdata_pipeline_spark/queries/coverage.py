@@ -497,3 +497,61 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_5pct"),
     )
     return per_out.unionByName(total_out)
+
+
+# ---- deterministic weighted sampling (Efraimidis-Spirakis A-ES) -------------
+
+_WEIGHTED_SAMPLE_K = 100
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal,
+           ln((CAST(concat('0x', substr(md5(concat('ws:',
+                   CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0)
+              / 4294967296.0) / c_acctbal AS k
+    FROM customer
+    WHERE c_acctbal > 0
+)
+SELECT c_custkey, c_acctbal
+FROM keyed
+ORDER BY round(k, 9) DESC, c_custkey
+LIMIT {_WEIGHTED_SAMPLE_K}
+"""
+
+
+@query("weighted_sample_customers", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys: each row draws u from a deterministic md5 stream
+    and ranks by ln(u)/w — the top-k under that key is an exact
+    weighted sample, computed as one scan + TakeOrdered (no shuffle of
+    the full table, no rejection loop; reproducible at any
+    parallelism because u depends only on the key). Keys are rounded
+    to 9 decimals with a c_custkey tiebreak so cross-engine float
+    ordering can't flip the selection."""
+    c = Catalog(spark, sf_dir).customer.filter(F.col("c_acctbal") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ws:"), F.col("c_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 1.0
+        )
+        / F.lit(4294967296.0)
+    )
+    keyed = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.round(F.log(u) / F.col("c_acctbal"), 9).alias("__k"),
+    )
+    return (
+        keyed.orderBy(F.col("__k").desc(), "c_custkey")
+        .limit(_WEIGHTED_SAMPLE_K)
+        .drop("__k")
+    )
