@@ -202,7 +202,7 @@ mad AS (
 )
 SELECT e.event_id, e.event_type, e.value,
        CASE WHEN mad.d <> 0
-            THEN round(0.6745 * (e.value - med.m) / mad.d, 4)
+            THEN CAST(round(CAST(CAST(0.6745 * (e.value - med.m) / mad.d AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)
             ELSE NULL END AS robust_z
 FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 """

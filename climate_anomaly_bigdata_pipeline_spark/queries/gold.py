@@ -171,8 +171,7 @@ WITH monthly AS (
         user_id,
         year(CAST(ts AS TIMESTAMP))  AS year,
         month(CAST(ts AS TIMESTAMP)) AS month,
-        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-              / CAST(count(value) AS DOUBLE), 4) AS base_anomaly
+        CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS base_anomaly
     FROM events
     GROUP BY 1, 2, 3
 ), keyed AS (
@@ -187,7 +186,7 @@ WITH monthly AS (
              ELSE ((h % 200) - 100) / 50.0 END AS local_noise
     FROM keyed
 ), an AS (
-    SELECT *, round(base_anomaly + local_noise, 2) AS anomaly FROM nz
+    SELECT *, CAST(round(CAST(CAST(base_anomaly + local_noise AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS anomaly FROM nz
 ), sc AS (
     SELECT *,
         CAST(sum(CAST(anomaly AS DECIMAL(15,4))) OVER w AS DOUBLE) AS s1,
@@ -202,8 +201,7 @@ SELECT user_id, year, month, base_anomaly, local_noise, anomaly,
          WHEN local_noise < -10 THEN -5.0
          WHEN n < 2
            OR sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0)) = 0 THEN 0.0
-         ELSE round((anomaly - s1 / n)
-                    / sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0)), 3)
+         ELSE CAST(round(CAST(CAST((anomaly - s1 / n) / sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1), 0.0)) AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE)
     END AS z_score
 FROM sc
 """
