@@ -596,3 +596,62 @@ def ewma_by_key(
         return pd.DataFrame([row])
 
     return df.groupBy(*keys).applyInPandas(smooth, schema=schema)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    band_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join — the two-sided generalization of
+    :func:`range_join` (point-in-range): pairs where
+    ``[l_start, l_end)`` and ``[r_start, r_end)`` overlap, i.e.
+    ``l_start < r_end AND r_start < l_end``.
+
+    A raw inequality join plans a nested loop (quadratic). Instead both
+    sides explode into the ``band_seconds`` buckets their interval
+    covers, the join is an EQUI-join on the bucket, and the exact
+    overlap predicate re-filters; overlapping intervals must share at
+    least one covered bucket, so coverage is complete, and a distinct
+    on the pair keys collapses multi-bucket matches. Fan-out is
+    interval_length/band_seconds rows per side — pick the band near the
+    typical interval length, exactly like the range join's band. At
+    100 TB both explodes are row-local and the single shuffle is keyed
+    by bucket.
+
+    Output: all left columns + all right columns (names must not
+    collide) + ``overlap_seconds``.
+    """
+    def bands(start: str, end: str):
+        lo = F.floor(F.unix_micros(F.col(start)) / (band_seconds * 1_000_000))
+        # end is exclusive: an interval ending exactly on a boundary
+        # does not cover the next band.
+        hi = F.floor(
+            (F.unix_micros(F.col(end)) - 1) / (band_seconds * 1_000_000)
+        )
+        return F.explode(F.sequence(lo, F.greatest(hi, lo))).alias("__band")
+
+    lcols, rcols = left.columns, right.columns
+    lb = left.select("*", bands(left_start, left_end))
+    rb = right.select("*", bands(right_start, right_end))
+    joined = (
+        lb.join(rb, "__band")
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .drop("__band")
+        .distinct()
+    )
+    overlap_us = F.least(
+        F.unix_micros(F.col(left_end)), F.unix_micros(F.col(right_end))
+    ) - F.greatest(
+        F.unix_micros(F.col(left_start)), F.unix_micros(F.col(right_start))
+    )
+    return joined.select(
+        *lcols, *rcols, (overlap_us / 1_000_000.0).alias("overlap_seconds")
+    )

@@ -237,3 +237,52 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(
         emb, query_id=_QUERY_ID, k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE
     )
+
+
+# ---- per-label embedding centroids (the k-means / IVF training step) --------
+
+_CENTROID_ORACLE = """
+WITH exploded AS (
+    SELECT label,
+           unnest(list_transform(embedding, x -> CAST(x AS DECIMAL(25,10))))
+               AS x,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE) AS VARCHAR)
+                       AS DECIMAL(38,18)), 6) AS DOUBLE) AS centroid_val,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM exploded
+GROUP BY label, pos
+"""
+
+
+@query("embedding_centroids_by_label", oracle=_CENTROID_ORACLE)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long (label, pos, value) form —
+    the training primitive behind k-means / IVF codebooks: one
+    posexplode + one grouped mean per dimension, fully map-side
+    partial. Components sum in DECIMAL (order-independent) and divide
+    in double with the shortest-repr rounding contract, so the result
+    is bit-identical across engines; long form keeps the hashed
+    contract scalar. At 100 TB: one shuffle keyed (label, pos) — dims
+    multiply the rows, not the shuffle count; Lloyd iterations repeat
+    this plan with labels from the previous assignment."""
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").cast("decimal(25,10)").alias("x"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )

@@ -498,3 +498,74 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+# --- Interval×interval overlap join (banded; two-sided range join) -----------
+
+_OVERLAP_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us,
+        CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                  > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sess AS (
+    SELECT user_id,
+           min(ts_us) AS s_start,
+           max(ts_us) + INTERVAL 1 MINUTE AS s_end
+    FROM (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    GROUP BY user_id, sid
+), days AS (
+    SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                         + INTERVAL 12 HOUR AS TIMESTAMP) AS m_start,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                + INTERVAL 13 HOUR AS TIMESTAMP) AS m_end
+    FROM events
+)
+SELECT s.user_id, s.s_start, s.s_end, d.m_start, d.m_end,
+       (least(epoch_us(s.s_end), epoch_us(d.m_end))
+        - greatest(epoch_us(s.s_start), epoch_us(d.m_start))) / 1000000.0
+           AS overlap_seconds
+FROM sess s JOIN days d
+  ON s.s_start < d.m_end AND d.m_start < s.s_end
+"""
+
+
+@query("interval_overlap_sessions_noon", oracle=_OVERLAP_ORACLE)
+def interval_overlap_sessions_noon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlap the daily 12:00-13:00 window, and by
+    how much — an interval×interval overlap join (banded equi-join +
+    exact refilter; the oracle runs the quadratic inequality join).
+    Left intervals are 30-min-gap sessions padded 1 minute past the
+    last event; right intervals are one noon hour per active day."""
+    ev = Catalog(spark, sf_dir).events
+    sess = TS.sessionize(ev, "ts", "user_id", gap_minutes=30, tiebreak_col="event_id")
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        (F.timestamp_micros(F.unix_micros(F.max("ts")) + 60_000_000)).alias("s_end"),
+    ).drop("session_id")
+    days = (
+        ev.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .select(
+            F.timestamp_micros(F.unix_micros(F.col("d")) + 12 * 3600 * 1_000_000).alias(
+                "m_start"
+            ),
+            F.timestamp_micros(F.unix_micros(F.col("d")) + 13 * 3600 * 1_000_000).alias(
+                "m_end"
+            ),
+        )
+    )
+    return TS.interval_overlap_join(
+        sessions, days, "s_start", "s_end", "m_start", "m_end", band_seconds=3600
+    )

@@ -109,3 +109,29 @@ def test_range_join_column_collision_raises(spark):
     df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k int, ts timestamp")
     with pytest.raises(ValueError, match="collision"):
         TS.range_join(df, df, ["k"], "ts", "ts", 0.0, 60.0)
+
+
+def test_interval_overlap_join_edges(spark):
+    """[start, end) semantics: touching intervals don't overlap; a pair
+    spanning several bands appears once; boundary-exact ends stay out
+    of the next band."""
+    import datetime as dtm
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS2
+
+    t = lambda h, m=0: dtm.datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [(1, t(1), t(5)), (2, t(10), t(11))],
+        "lid long, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, t(2), t(3)),   # inside interval 1 (multi-band left span)
+         (200, t(5), t(6)),   # touches interval 1 at 05:00 -> no overlap
+         (300, t(10, 30), t(12))],  # overlaps interval 2 by 30 min
+        "rid long, r_start timestamp, r_end timestamp",
+    )
+    out = TS2.interval_overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end", band_seconds=3600
+    )
+    got = {(r["lid"], r["rid"]): r["overlap_seconds"] for r in out.collect()}
+    assert got == {(1, 100): 3600.0, (2, 300): 1800.0}
