@@ -507,3 +507,87 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
     )
+
+
+# ---- market-basket co-occurrence with lift ----------------------------------
+
+_BASKET_ORACLE = """
+WITH io AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+tot AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM io
+),
+pc AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM io GROUP BY 1
+),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM io a JOIN io b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+SELECT p1, p2, n_both,
+       CAST(round(CAST(CAST(
+            (n_both * tot.n) / (c1.c * c2.c)
+        AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS lift
+FROM pairs, tot
+JOIN pc c1 ON pairs.p1 = c1.l_partkey
+JOIN pc c2 ON pairs.p2 = c2.l_partkey
+"""
+
+
+@query("market_basket_lift", oracle=_BASKET_ORACLE)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-occurring in >= 2 orders, with lift
+    (P(ab)/(P(a)P(b))) — market-basket / feature-co-occurrence
+    analysis. Pairs are expanded IN-ROW from each order's sorted
+    distinct item array (baskets are bounded, so the expansion is
+    O(basket²) per row — no self-join of the item table, which is the
+    quadratic trap; the oracle runs exactly that join). Item supports
+    and the order total join back groups-sized."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R  # noqa: F401
+
+    io = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = io.select("l_orderkey").distinct().count()
+    baskets = io.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("items") - 2, F.lit(0))),
+            lambda i: F.transform(
+                F.slice(
+                    F.col("items"),
+                    i + F.lit(2),
+                    F.greatest(F.size("items") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    F.col("items")[i].alias("p1"), y.alias("p2")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(F.size("items") >= 2)
+        .select(F.explode(pair_structs).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    pc = io.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    out = (
+        pairs.join(pc.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(pc.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
+    )
+    lift = (F.col("n_both") * F.lit(float(n_orders))) / (F.col("c1") * F.col("c2"))
+    return out.select(
+        "p1", "p2", "n_both", F.round(lift, 6).alias("lift")
+    )

@@ -217,3 +217,53 @@ def robust_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events never shuffle."""
     ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
     return A.robust_zscore(ev, "value", ["event_type"])
+
+
+# ---- seasonal-baseline anomaly (day-of-week × hour profile) -----------------
+
+_SEASONAL_CTE, _SEASONAL_Z = _moment_zscore_sql(
+    "ev",
+    ["dow", "hr"],
+    "value",
+    ["event_id", "dow", "hr", "value"],
+)
+
+# DuckDB dayofweek is 0-6 (Sun=0); Spark is 1-7 (Sun=1) — shift to match.
+_SEASONAL_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id,
+           CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+           value
+    FROM events
+),
+{_SEASONAL_CTE.lstrip()},
+scored AS (
+    SELECT event_id, dow, hr, value, {_SEASONAL_Z} AS seasonal_z FROM stats
+)
+SELECT event_id, dow, hr, value, seasonal_z,
+       abs(seasonal_z) >= 3.0 AS is_seasonal_outlier
+FROM scored
+"""
+
+
+@query("seasonal_zscore_events", oracle=_SEASONAL_ORACLE)
+def seasonal_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly: each event scored against the
+    (day-of-week × hour-of-day) profile instead of a per-entity one —
+    the fourth anomaly family (mean/std, IQR, median/MAD, now
+    seasonal), catching values normal globally but abnormal for
+    3 AM Sunday. The profile has at most 168 cells, so the exact-moment
+    window shuffle is tiny and at 100 TB the profile would broadcast
+    back instead; z is bit-identical across engines via the DECIMAL
+    moment recipe shared with the flagship."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        "value",
+    )
+    scored = A.zscore_exact(ev, "value", ["dow", "hr"], z_name="seasonal_z")
+    return scored.withColumn(
+        "is_seasonal_outlier", F.abs(F.col("seasonal_z")) >= 3.0
+    )
