@@ -591,3 +591,107 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p1", "p2", "n_both", F.round(lift, 6).alias("lift")
     )
+
+
+# ---- CDC snapshot diff (changed-column detection) ---------------------------
+
+_CDC_ORACLE = """
+WITH snap_a AS (
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 97 <> 0
+),
+snap_b AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 13 = 0 THEN concat(c_name, ' jr') ELSE c_name
+           END AS c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+                ELSE round(c_acctbal, 2) END AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 9000000, c_name, c_nationkey, round(c_acctbal, 2)
+    FROM customer WHERE c_custkey % 101 = 0
+),
+j AS (
+    SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+           a.c_custkey IS NOT NULL AS in_a, b.c_custkey IS NOT NULL AS in_b,
+           a.c_name IS DISTINCT FROM b.c_name AS d_name,
+           a.c_nationkey IS DISTINCT FROM b.c_nationkey AS d_nation,
+           a.c_acctbal IS DISTINCT FROM b.c_acctbal AS d_acctbal
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (c_custkey)
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_a THEN 'insert'
+            WHEN NOT in_b THEN 'delete'
+            ELSE 'update' END AS change_type,
+       concat_ws(',',
+           CASE WHEN in_a AND in_b AND d_name THEN 'c_name' END,
+           CASE WHEN in_a AND in_b AND d_nation THEN 'c_nationkey' END,
+           CASE WHEN in_a AND in_b AND d_acctbal THEN 'c_acctbal' END
+       ) AS changed_cols
+FROM j
+WHERE NOT in_a OR NOT in_b OR d_name OR d_nation OR d_acctbal
+"""
+
+
+@query("cdc_snapshot_diff", oracle=_CDC_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: one full-outer
+    join on the key classifies every row as insert / delete / update
+    and names exactly which columns changed (null-safe comparison per
+    column — the payload a MERGE INTO or downstream cache invalidation
+    needs). Snapshots are deterministic mutants of customer (renames,
+    balance bumps, deletes, inserts). One shuffle by key; per-column
+    diffs are row-local expressions, so width scales free."""
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    snap_a = c.filter(F.col("c_custkey") % 97 != 0)
+    snap_b = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.concat(F.col("c_name"), F.lit(" jr")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 101 == 0).select(
+            (F.col("c_custkey") + 9000000).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    a = snap_a.select(
+        "c_custkey", *[F.col(x).alias(f"a_{x}") for x in ["c_name", "c_nationkey", "c_acctbal"]]
+    )
+    b = snap_b.select(
+        "c_custkey", *[F.col(x).alias(f"b_{x}") for x in ["c_name", "c_nationkey", "c_acctbal"]]
+    )
+    j = a.join(b, "c_custkey", "full_outer")
+    # presence proxy: snapshot payload columns are non-null by
+    # construction, so all-null payload == side absent (at scale, carry
+    # an explicit presence literal per side instead)
+    in_a = F.col("a_c_name").isNotNull() | F.col("a_c_nationkey").isNotNull() | F.col(
+        "a_c_acctbal"
+    ).isNotNull()
+    in_b = F.col("b_c_name").isNotNull() | F.col("b_c_nationkey").isNotNull() | F.col(
+        "b_c_acctbal"
+    ).isNotNull()
+    diffs = {
+        x: ~F.col(f"a_{x}").eqNullSafe(F.col(f"b_{x}"))
+        for x in ["c_name", "c_nationkey", "c_acctbal"]
+    }
+    change = (
+        F.when(~in_a, "insert").when(~in_b, "delete").otherwise("update")
+    )
+    changed_cols = F.concat_ws(
+        ",", *[F.when(in_a & in_b & d, F.lit(x)) for x, d in diffs.items()]
+    )
+    any_diff = diffs["c_name"] | diffs["c_nationkey"] | diffs["c_acctbal"]
+    return j.filter(~in_a | ~in_b | any_diff).select(
+        "c_custkey", change.alias("change_type"), changed_cols.alias("changed_cols")
+    )
