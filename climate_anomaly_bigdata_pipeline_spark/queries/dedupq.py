@@ -614,3 +614,63 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster.alias("cluster_id"),
         (cluster == F.col("vec_id")).alias("keep"),
     )
+
+
+# ---- entity-resolution pipeline: fuzzy pairs -> clusters -> survivors -------
+
+_ER_ORACLE = """
+WITH RECURSIVE pairs AS (
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 2
+),
+edges AS (
+    SELECT id1 AS src, id2 AS dst FROM pairs
+    UNION
+    SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+    SELECT node, min(lab) AS entity_id FROM reach GROUP BY node
+)
+SELECT c.c_custkey,
+       coalesce(l.entity_id, c.c_custkey) AS entity_id,
+       (coalesce(l.entity_id, c.c_custkey) = c.c_custkey) AS keep
+FROM customer c LEFT JOIN labels l ON c.c_custkey = l.node
+"""
+
+
+@query("entity_resolution_customers", oracle=_ER_ORACLE)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over customer names: blocked
+    edit-distance pairs (<= 2 edits within a (nation, segment) block)
+    feed connected components, and every customer gets its entity id
+    plus a keep flag for the component-minimum canonical record —
+    composing three verified operators (edit_distance_pairs,
+    connected_components, the left-join survivor step) into the
+    dedupe-a-CRM pipeline. Same shuffle envelope as its parts: block
+    join + O(diameter) label rounds + one groups-sized join."""
+    cust = Catalog(spark, sf_dir).customer
+    pairs = DD.edit_distance_pairs(
+        cust.select("c_nationkey", "c_mktsegment", "c_custkey", "c_name"),
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_dist=2,
+    )
+    labels = DD.connected_components(pairs, "id1", "id2").withColumnRenamed(
+        "node", "c_custkey"
+    )
+    out = cust.select("c_custkey").join(labels, "c_custkey", "left")
+    entity = F.coalesce(F.col("cluster_id"), F.col("c_custkey"))
+    return out.select(
+        "c_custkey",
+        entity.alias("entity_id"),
+        (entity == F.col("c_custkey")).alias("keep"),
+    )
