@@ -353,3 +353,114 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced to its portable core)."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     return TX.unigram_lm_scores(docs)
+
+
+# ---- term-distribution drift between sources (Jensen-Shannon) ---------------
+
+_JSD_ORACLE = r"""
+WITH toks AS (
+    SELECT source, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT source, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+tot AS (
+    SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM tf GROUP BY 1
+),
+p AS (
+    SELECT tf.source, tok, tf.c / tot.n AS p
+    FROM tf JOIN tot ON tf.source = tot.source
+),
+src_pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM (SELECT DISTINCT source FROM tf) a
+    JOIN (SELECT DISTINCT source FROM tf) b ON a.source < b.source
+),
+terms AS (
+    SELECT sp.source_a, sp.source_b, t.tok,
+           coalesce(pa.p, 0.0) AS pa, coalesce(pb.p, 0.0) AS pb
+    FROM src_pairs sp
+    JOIN (SELECT DISTINCT tok FROM tf) t ON TRUE
+    LEFT JOIN p pa ON pa.source = sp.source_a AND pa.tok = t.tok
+    LEFT JOIN p pb ON pb.source = sp.source_b AND pb.tok = t.tok
+),
+contrib AS (
+    SELECT source_a, source_b,
+           CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END
+           + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END
+               AS term_js
+    FROM terms
+    WHERE pa > 0 OR pb > 0
+)
+SELECT source_a, source_b,
+       CAST(round(CAST(CAST(
+           CAST(sum(CAST(term_js AS DECIMAL(25,15))) AS DOUBLE) * 0.5
+       AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS js_divergence
+FROM contrib
+GROUP BY source_a, source_b
+"""
+
+
+@query("term_drift_js_divergence", oracle=_JSD_ORACLE)
+def term_drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source pair's term
+    distribution — the drift monitor a training-mix pipeline runs when
+    a new crawl lands (JS is symmetric and finite even on disjoint
+    vocabularies, unlike KL). Term probabilities come from one grouped
+    count per source; pairs×vocabulary fan-out is (sources² × vocab) —
+    both bounded — and the per-term contributions sum in DECIMAL so
+    the result is order-independent and bit-identical across engines."""
+    toks = (
+        Catalog(spark, sf_dir)
+        .documents.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    p = tf.join(tot, "source").select(
+        "source", "tok", (F.col("c") / F.col("n")).alias("p")
+    )
+    sources = tf.select("source").distinct()
+    src_pairs = (
+        sources.select(F.col("source").alias("source_a"))
+        .join(
+            sources.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    vocab = tf.select("tok").distinct()
+    terms = (
+        src_pairs.crossJoin(vocab)
+        .join(
+            p.select(F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")),
+            ["source_a", "tok"],
+            "left",
+        )
+        .join(
+            p.select(F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")),
+            ["source_b", "tok"],
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+        .filter((F.col("pa") > 0) | (F.col("pb") > 0))
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term_js = F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(
+        0.0
+    ) + F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)).otherwise(0.0)
+    return (
+        terms.withColumn("term_js", term_js.cast("decimal(25,15)"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.sum("term_js").cast("double") * 0.5, 6).alias("js_divergence")
+        )
+    )
