@@ -555,3 +555,68 @@ def weighted_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WEIGHTED_SAMPLE_K)
         .drop("__k")
     )
+
+
+# ---- Count-Min sketch heavy hitters -----------------------------------------
+
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+_CMS_ORACLE = """
+WITH counts AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY user_id
+)
+SELECT user_id, exact_cnt, TRUE AS within_bound
+FROM counts
+ORDER BY exact_cnt DESC, user_id
+LIMIT 10
+"""
+
+
+@query("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters certified by a Count-Min sketch: the exact top-10
+    event users, each annotated with whether the CMS estimate respects
+    the sketch contract (never under, over by at most eps*N). The
+    sketch is mergeable constant-size state built in one pass
+    (df.stat.countMinSketch — Spark merges per-partition sketches);
+    point queries are driver-side against the bounded sketch, the
+    same shape a streaming heavy-hitter monitor serves. The estimate
+    itself is hash-seed-specific, so the hashed contract is the exact
+    count + the bound certificate (the approx_distinct pattern)."""
+    ev = Catalog(spark, sf_dir).events.select("user_id")
+    n_total = ev.count()
+    # Distributed one-pass sketch build: count_min_sketch is a true
+    # aggregate (per-partition sketches merged), returning the sketch
+    # bytes; point queries read them via the JVM sketch class.
+    sk_bytes = ev.agg(
+        F.count_min_sketch(
+            "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk")
+    ).first()["sk"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    slack = int(_CMS_EPS * n_total) + 1
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(10)
+        .collect()
+    )
+    rows = []
+    for r in top:
+        est = cms.estimateCount(r["user_id"])
+        rows.append(
+            (
+                r["user_id"],
+                r["exact_cnt"],
+                bool(r["exact_cnt"] <= est <= r["exact_cnt"] + slack),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "user_id long, exact_cnt long, within_bound boolean"
+    )
