@@ -431,9 +431,10 @@ def connected_components(
     The per-round convergence check is a bounded count action, and the
     label lineage is truncated with ``localCheckpoint`` so the plan
     doesn't grow by one join per round (the classic iterative-Spark
-    trap); at 100 TB swap in reliable ``checkpoint`` and the
-    large-star/small-star variant (Kiveris et al.) that bounds the
-    high-degree-node fan-in.
+    trap); at 100 TB swap in reliable ``checkpoint``. For graphs whose
+    DIAMETER is large (chains, meshes — not the near-clique dedup
+    case), use :func:`connected_components_star`, which converges in
+    O(log^2 n) rounds regardless of diameter.
     """
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -481,6 +482,100 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same contract as :func:`connected_components`
+    ((node, cluster_id = component min) for every node appearing in
+    ``pairs``), but convergence is O(log^2 n) ROUNDS INDEPENDENT OF
+    GRAPH DIAMETER, where plain min-label propagation needs O(diameter)
+    rounds and silently truncates a long chain at ``max_iter``.
+
+    Per round, on the current edge set E (kept oriented large->small,
+    distinct, self-loop-free):
+
+    * **large-star**: for each node u with neighborhood G(u) (E read
+      bidirectionally), let m = min(G(u) + {u}); emit (v, m) for every
+      neighbor v > u. Strictly-larger neighbors re-attach to the local
+      minimum, halving long paths.
+    * **small-star**: group the (large->small) edges by head u, let
+      m = min of its smaller neighbors; re-point u and all those
+      neighbors at m. This flattens each local star.
+
+    Both steps are one groupBy + one self-join (two key shuffles); no
+    step materializes a neighborhood in memory, so high-degree nodes
+    spill to the shuffle, not the heap. Lineage is truncated per round
+    with ``localCheckpoint`` (swap for reliable ``checkpoint`` on a
+    cluster). At the fixpoint E is exactly the star set
+    {(v, min_of_component)}, which is read off as the label table.
+
+    Used by the dedup pipeline when cluster shapes are unknown;
+    property-tested equal to the propagation variant on random graphs
+    and on a 10k-node chain where propagation's default cap truncates
+    (``tests/test_round4_ops.py``).
+    """
+    nodes = (
+        pairs.select(F.col(src_col).alias("node"))
+        .union(pairs.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # -- large-star ----------------------------------------------------
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # emitted as (larger, smaller): v > u >= m
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small-star ----------------------------------------------------
+        small_mins = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            large.join(small_mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small_mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Fixpoint when the (distinct) edge sets are identical — two
+        # bounded anti-join probes, each short-circuited by limit(1).
+        grew = new_edges.subtract(edges).limit(1).count()
+        shrank = edges.subtract(new_edges).limit(1).count() if grew == 0 else 1
+        edges = new_edges
+        if grew == 0 and shrank == 0:
+            break
+
+    # At the fixpoint every edge is (member, component_min); the min
+    # itself and isolated nodes (self-pairs) label themselves.
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id")
+        )
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:

@@ -37,10 +37,11 @@ def with_quality_metrics(
     without a second pass over the data.
     """
     obs = Observation(name)
-    any_null = None
+    # Empty `required` means nothing can be rejected — F.when(None, ...)
+    # would TypeError, so start from a literal False predicate.
+    any_null: Column = F.lit(False)
     for c in required:
-        cond = F.col(c).isNull()
-        any_null = cond if any_null is None else (any_null | cond)
+        any_null = any_null | F.col(c).isNull()
     metrics: list[Column] = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(any_null, 1).otherwise(0)).alias("n_rejected"),

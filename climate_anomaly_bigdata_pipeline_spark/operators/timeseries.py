@@ -616,8 +616,11 @@ def interval_overlap_join(
     sides explode into the ``band_seconds`` buckets their interval
     covers, the join is an EQUI-join on the bucket, and the exact
     overlap predicate re-filters; overlapping intervals must share at
-    least one covered bucket, so coverage is complete, and a distinct
-    on the pair keys collapses multi-bucket matches. Fan-out is
+    least one covered bucket, so coverage is complete. Each pair is
+    emitted exactly once — only from the FIRST band both intervals
+    cover (the greater of the two start bands) — so no dedup pass is
+    needed and genuinely duplicate input rows keep their
+    multiplicity (a full-row distinct would merge them). Fan-out is
     interval_length/band_seconds rows per side — pick the band near the
     typical interval length, exactly like the range join's band. At
     100 TB both explodes are row-local and the single shuffle is keyed
@@ -635,6 +638,9 @@ def interval_overlap_join(
         )
         return F.explode(F.sequence(lo, F.greatest(hi, lo))).alias("__band")
 
+    def lo_band(start: str):
+        return F.floor(F.unix_micros(F.col(start)) / (band_seconds * 1_000_000))
+
     lcols, rcols = left.columns, right.columns
     lb = left.select("*", bands(left_start, left_end))
     rb = right.select("*", bands(right_start, right_end))
@@ -643,9 +649,12 @@ def interval_overlap_join(
         .filter(
             (F.col(left_start) < F.col(right_end))
             & (F.col(right_start) < F.col(left_end))
+            # Emit each overlapping pair from exactly one band: the first
+            # band both intervals cover, i.e. the later of the two start
+            # bands. Every other shared band is filtered out row-locally.
+            & (F.col("__band") == F.greatest(lo_band(left_start), lo_band(right_start)))
         )
         .drop("__band")
-        .distinct()
     )
     overlap_us = F.least(
         F.unix_micros(F.col(left_end)), F.unix_micros(F.col(right_end))

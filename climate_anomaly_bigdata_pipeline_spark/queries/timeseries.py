@@ -504,7 +504,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OVERLAP_ORACLE = """
 WITH flagged AS (
-    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us,
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us,
         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                OR epoch_us(CAST(ts AS TIMESTAMP))
                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
@@ -519,7 +519,11 @@ WITH flagged AS (
     FROM (
         SELECT user_id, ts_us,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts_us
+                   -- event_id tiebreak mirrors the flagged CTE and the
+                   -- Spark sessionize(tiebreak_col="event_id") ordering, so
+                   -- duplicate timestamps at a session boundary can't flip
+                   -- session assignment between the two engines.
+                   PARTITION BY user_id ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged

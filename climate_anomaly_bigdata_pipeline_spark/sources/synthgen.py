@@ -131,12 +131,20 @@ class SynthEventsStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Bounded stream: advance one batch at a time up to n_rows.
         # (An unbounded generator would just keep advancing.)
-        self._latest = getattr(self, "_latest", 0)
-        self._latest = min(self._latest + self.rows_per_batch, self._r.n_rows)
+        # Progress is clamped to the last offset Spark has handed back
+        # (via partitions/commit): a reader re-created from a checkpoint
+        # starts with _latest=0 and would otherwise return an offset
+        # BELOW the committed start, stalling the stream with empty or
+        # regressive batches.
+        floor = max(getattr(self, "_latest", 0), getattr(self, "_committed", 0))
+        self._latest = min(floor + self.rows_per_batch, self._r.n_rows)
         return {"row": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["row"], end["row"]
+        # Spark replays the checkpointed start here on restart — treat it
+        # as a committed floor so latestOffset never regresses below it.
+        self._committed = max(getattr(self, "_committed", 0), lo)
         if hi <= lo:
             return [_RangePartition(lo, lo, self._r.seed)]
         per = -(-(hi - lo) // self._r.num_partitions)

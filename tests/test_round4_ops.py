@@ -1,0 +1,84 @@
+"""Unit tests for round-4 operators: large-star/small-star connected
+components, trained IVF codebook, PNG decode, mergeable quantile
+rollup, CMS fallback."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators import dedup as D
+
+
+# ---- large-star / small-star connected components ---------------------------
+
+
+def _labels(df):
+    return {r.node: r.cluster_id for r in df.collect()}
+
+
+def _cc_oracle(edges):
+    """Driver-side union-find ground truth for small graphs."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = component min; path-compress fully
+    return {x: find(x) for x in parent}
+
+
+def test_star_cc_matches_propagation_and_oracle_on_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 60 + trial * 40
+        m = n + rng.randrange(n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        want = _cc_oracle(edges)
+        got_star = _labels(D.connected_components_star(df))
+        got_prop = _labels(D.connected_components(df, max_iter=100))
+        assert got_star == want, f"trial {trial}: star != union-find"
+        assert got_prop == want, f"trial {trial}: propagation != union-find"
+
+
+def test_star_cc_converges_on_10k_chain_where_propagation_truncates(spark):
+    """A 10k-node path graph has diameter 9999: min-label propagation at
+    its default max_iter=20 CANNOT finish (labels move <=1 hop per
+    round), while the star algorithm needs only O(log^2 n) rounds."""
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    out = D.connected_components_star(chain, max_iter=50)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.max("cluster_id").alias("mx"),
+    ).collect()[0]
+    assert (agg.n, agg.k, agg.mx) == (n, 1, 0)
+
+    # and the truncation it replaces is real: propagation at the default
+    # cap leaves the chain split into many labels
+    trunc = D.connected_components(chain)  # max_iter=20
+    k_trunc = trunc.agg(F.countDistinct("cluster_id")).collect()[0][0]
+    assert k_trunc > 1
+
+
+def test_star_cc_handles_self_pairs_and_isolated_nodes(spark):
+    df = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "id1 long, id2 long"
+    )
+    got = _labels(D.connected_components_star(df))
+    assert got == {5: 5, 1: 1, 2: 1, 3: 1}
