@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "knn_join",
     "ivf_knn_join",
+    "train_ivf_codebook",
     "dot_expr",
     "cosine_expr",
 ]
@@ -207,6 +208,7 @@ def ivf_knn_join(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """Self-KNN over the whole corpus, IVF-celled — the scale path for
     "top-k neighbors of every document" (embedding dedup, retrieval
@@ -221,7 +223,10 @@ def ivf_knn_join(
     Σ_cells |probe(cell)|·|cell| ≈ nprobe/n_centroids of it, and no
     task ever sees more than one cell's candidates. Recall < 1 by
     design (documented ANN trade-off); ranking ties break by
-    (cosine desc, neighbor id).
+    (cosine desc, neighbor id). ``train_iters`` Lloyd iterations refine
+    the codebook before assignment (:func:`train_ivf_codebook`) —
+    trained cells track the data's clusters, so the same nprobe buys
+    strictly better recall.
     """
     from pyspark.sql import Window
 
@@ -229,30 +234,14 @@ def ivf_knn_join(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
 
-    cents = [
-        (r[0], list(r[1]))
-        for r in e.select(id_col, "v").orderBy(id_col).limit(n_centroids).collect()
-    ]
-
-    def _cos_to(cvec: list[float]) -> Column:
-        import math
-
-        cnorm = math.sqrt(_py_dot(cvec, cvec))
-        return dot_expr(F.col("v"), _lit_vec(cvec)) / (F.col("norm") * F.lit(cnorm))
+    cents = train_ivf_codebook(
+        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
 
     # (cosine, cid) structs sorted desc: element 0 is the home cell,
     # the first nprobe are the probe set. Same tie-break as ivf_topk
     # (larger cid wins on equal cosine — struct comparison is (c, i)).
-    cell_structs = F.reverse(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(_cos_to(cv).alias("c"), F.lit(cid).cast("long").alias("i"))
-                    for cid, cv in cents
-                ]
-            )
-        )
-    )
+    cell_structs = F.reverse(F.array_sort(_cell_assign_structs(cents)))
     assigned = e.withColumn("__cells", cell_structs).withColumn(
         "cell", F.col("__cells")[0].getField("i")
     )
@@ -300,6 +289,91 @@ def ivf_knn_join(
     )
 
 
+def _cell_assign_structs(cents: list[tuple[int, list[float]]]) -> Column:
+    """(cosine, cid) structs per centroid against columns ``v``/``norm``;
+    ``array_max`` over them is the coarse-quantizer assignment (ties
+    break toward the larger cid — struct comparison is (c, i))."""
+    import math
+
+    def _cos_to(cvec: list[float]) -> Column:
+        cnorm = math.sqrt(_py_dot(cvec, cvec))
+        return dot_expr(F.col("v"), _lit_vec(cvec)) / (F.col("norm") * F.lit(cnorm))
+
+    return F.array(
+        *[
+            F.struct(_cos_to(cv).alias("c"), F.lit(cid).cast("long").alias("i"))
+            for cid, cv in cents
+        ]
+    )
+
+
+def train_ivf_codebook(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer codebook for the IVF operators: the
+    ``n_centroids`` lowest-id vectors as seeds, refined by ``n_iters``
+    deterministic Lloyd iterations (k-means with cosine assignment and
+    arithmetic-mean update). Returns ``[(cell_id, centroid_vector)]``
+    with cell ids fixed to the seed vectors' ids across iterations.
+
+    Determinism contract (what keeps an external oracle in lockstep):
+
+    * assignment ties break toward the larger cell id — the same
+      ``(cosine, cid)`` struct-max used at serving time;
+    * per-cell per-dimension means sum in DECIMAL(25,10) (exact,
+      order-independent — a double sum would depend on partition
+      order) and divide in double, so the refined centroids are
+      bit-identical in any engine that follows the same recipe
+      (mirrored in ``queries/similarityq.py``'s iteration CTEs);
+    * a cell that captures no vectors keeps its previous centroid.
+
+    Each iteration is one corpus pass: row-local assignment against
+    codebook literals (no shuffle), posexplode, one (cell, pos)-keyed
+    aggregation — the :func:`embedding_centroids_by_label` shape — and
+    a bounded O(n_centroids x dim) driver collect (the coordinator-side
+    quantizer update of a real IVF build). The corpus itself never
+    shuffles; at 100 TB run the update on a sample, which changes only
+    which rows feed the mean."""
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+
+    cents = [
+        (r[0], list(r[1]))
+        for r in e.select(id_col, "v").orderBy(id_col).limit(n_centroids).collect()
+    ]
+    for _ in range(n_iters):
+        assigned = e.withColumn(
+            "cell", F.array_max(_cell_assign_structs(cents)).getField("i")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(25,10)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                cid,
+                [by_cell[cid][p] for p in range(len(old))] if cid in by_cell else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def _py_dot(a: list[float], b: list[float]) -> float:
     """Sequential left-fold dot product — the same IEEE operation order
     as :func:`dot_expr` and DuckDB's list_dot_product, so driver-side
@@ -318,19 +392,21 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` cells nearest the
     query, brute-force cosine within them.
 
-    The codebook is the ``n_centroids`` lowest-id vectors (a
-    deterministic seed codebook — at scale you'd train sampled k-means;
-    the *serving* plan is identical either way). Codebook + query vector
-    are collected driver-side (a bounded O(n_centroids) read — the
-    coordinator-side "quantizer" of a real IVF index) and embedded as
-    literals, so cell assignment is a row-local expression: the corpus
-    never shuffles, the scan prunes to ``nprobe/n_centroids`` of the
-    data once cells are a partition key on write. Ties in cell
+    The codebook is the ``n_centroids`` lowest-id vectors, refined by
+    ``train_iters`` deterministic Lloyd iterations
+    (:func:`train_ivf_codebook` — 0 keeps the raw seed codebook; the
+    *serving* plan is identical either way). Codebook + query vector
+    are collected driver-side (a bounded O(n_centroids x dim) read —
+    the coordinator-side "quantizer" of a real IVF index) and embedded
+    as literals, so cell assignment is a row-local expression: the
+    corpus never shuffles, the scan prunes to ``nprobe/n_centroids`` of
+    the data once cells are a partition key on write. Ties in cell
     assignment break toward the larger centroid id; final ranking by
     (cosine desc, id asc).
     """
@@ -340,29 +416,16 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
 
-    cents = [
-        (r[0], list(r[1]))
-        for r in e.select(id_col, "v").orderBy(id_col).limit(n_centroids).collect()
-    ]
+    cents = train_ivf_codebook(
+        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
     qrow = e.filter(F.col(id_col) == query_id).select("v").first()
     qv = list(qrow[0])
     qnorm = math.sqrt(_py_dot(qv, qv))
 
     # Row-local cell assignment: array_max over (cosine, cid) structs.
-    def _cos_to(cvec: list[float]) -> Column:
-        cnorm = math.sqrt(_py_dot(cvec, cvec))
-        return dot_expr(F.col("v"), _lit_vec(cvec)) / (F.col("norm") * F.lit(cnorm))
-
     assigned = e.withColumn(
-        "cell",
-        F.array_max(
-            F.array(
-                *[
-                    F.struct(_cos_to(cv).alias("c"), F.lit(cid).cast("long").alias("i"))
-                    for cid, cv in cents
-                ]
-            )
-        ).getField("i"),
+        "cell", F.array_max(_cell_assign_structs(cents)).getField("i")
     )
 
     # Driver-side probe selection (same float ops as the engine).

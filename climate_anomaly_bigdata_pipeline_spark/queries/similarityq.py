@@ -92,15 +92,59 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_CENTROIDS = 16
 _NPROBE = 2
+_TRAIN_ITERS = 2
+
+
+def _lloyd_ctes(n_iters: int) -> str:
+    """CTE chain mirroring ``train_ivf_codebook`` exactly: seed = lowest-id
+    vectors, then per iteration (1) assign every vector to its max-cosine
+    cell with ties to the larger cid, (2) recompute each cell's centroid
+    as the per-dimension mean — summed in DECIMAL(25,10) so the result
+    is order-independent and bit-identical to Spark's decimal sum, then
+    divided in double — keeping a cell's previous centroid when it
+    captured no vectors. Ends with ``c(cid, cv)`` = the trained codebook."""
+    cos = _COSINE_SQL.format(a="e.v", b="c.cv")
+    parts = [
+        f"c0 AS (\n    SELECT vec_id AS cid, v AS cv FROM e"
+        f" ORDER BY vec_id LIMIT {_N_CENTROIDS}\n)"
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""a{i} AS (
+    SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, c.cid, {cos} AS cos
+        FROM e, c{i - 1} c
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+m{i} AS (
+    SELECT cell, pos,
+           CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+    FROM (
+        SELECT cell,
+               unnest(list_transform(v, x -> CAST(x AS DECIMAL(25,10)))) AS x,
+               generate_subscripts(v, 1) - 1 AS pos
+        FROM a{i}
+    )
+    GROUP BY cell, pos
+),
+c{i} AS (
+    SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+    FROM c{i - 1} p LEFT JOIN (
+        SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cell
+    ) n ON n.cid = p.cid
+)"""
+        )
+    parts.append(f"c AS (SELECT cid, cv FROM c{n_iters})")
+    return ",\n".join(parts)
+
 
 _IVF_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
-c AS (
-    SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_N_CENTROIDS}
-),
+{_lloyd_ctes(_TRAIN_ITERS)},
 pairs AS (
     SELECT e.vec_id, e.v, c.cid,
            {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
@@ -174,9 +218,7 @@ WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
-c AS (
-    SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_N_CENTROIDS}
-),
+{_lloyd_ctes(_TRAIN_ITERS)},
 pairs AS (
     SELECT e.vec_id, e.v, c.cid,
            {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
@@ -218,24 +260,28 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector's top-5 approximate neighbors via a plain equi-join on
     the cell id — the co-partitioned 100 TB shape of "neighbors of
     everything" (retrieval index build / embedding dedup), replacing
-    the O(N²) cross join with Σ|cell|·|probe(cell)|."""
+    the O(N²) cross join with Σ|cell|·|probe(cell)|. Codebook = 2
+    deterministic Lloyd iterations (oracle mirrors the training CTEs)."""
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ivf_knn_join(
-        emb, k=_KNN_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE
+        emb, k=_KNN_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+        train_iters=_TRAIN_ITERS,
     )
 
 
 @query("ivf_ann_topk", oracle=_IVF_ORACLE)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: deterministic 16-cell coarse quantizer (lowest-id
-    seed codebook), nprobe=2. Cell assignment is a row-local
-    array_max over (cosine, cid) structs with the codebook embedded as
-    literals — zero shuffle of the corpus; at 100 TB the cell is a
-    partition key on write, so the probe prunes the scan to
-    nprobe/n_centroids of the data."""
+    """IVF ANN top-10: 16-cell coarse quantizer trained with 2
+    deterministic Lloyd iterations (decimal-sum means, ties to larger
+    cid — the oracle reruns the identical training in SQL), nprobe=2.
+    Cell assignment is a row-local array_max over (cosine, cid) structs
+    with the codebook embedded as literals — zero shuffle of the
+    corpus; at 100 TB the cell is a partition key on write, so the
+    probe prunes the scan to nprobe/n_centroids of the data."""
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ivf_topk(
-        emb, query_id=_QUERY_ID, k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE
+        emb, query_id=_QUERY_ID, k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+        train_iters=_TRAIN_ITERS,
     )
 
 

@@ -82,3 +82,43 @@ def test_star_cc_handles_self_pairs_and_isolated_nodes(spark):
     )
     got = _labels(D.connected_components_star(df))
     assert got == {5: 5, 1: 1, 2: 1, 3: 1}
+
+
+# ---- trained IVF codebook ---------------------------------------------------
+
+
+def test_trained_ivf_codebook_beats_seed_recall(spark, sf_oracle_dir):
+    """2 Lloyd iterations move centroids onto the label clusters the
+    generator builds into `embeddings`, so the same nprobe recalls more
+    of the brute-force top-k than the raw first-k seed codebook."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, sf_oracle_dir).embeddings
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_join(emb, query_pred=F.lit(True), k=5).collect()
+    }
+
+    def recall(iters: int) -> float:
+        got = SIM.ivf_knn_join(
+            emb, k=5, n_centroids=16, nprobe=2, train_iters=iters
+        )
+        hits = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        return len(hits & truth) / len(truth)
+
+    r_seed, r_trained = recall(0), recall(2)
+    assert r_trained >= r_seed, (r_seed, r_trained)
+
+
+def test_train_ivf_codebook_zero_iters_is_seed(spark, sf_oracle_dir):
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, sf_oracle_dir).embeddings
+    seeds = SIM.train_ivf_codebook(emb, n_centroids=4, n_iters=0)
+    assert [cid for cid, _ in seeds] == sorted(cid for cid, _ in seeds)
+    trained = SIM.train_ivf_codebook(emb, n_centroids=4, n_iters=1)
+    # ids stable across iterations; vectors move
+    assert [cid for cid, _ in trained] == [cid for cid, _ in seeds]
+    assert any(a != b for (_, a), (_, b) in zip(seeds, trained))
