@@ -316,6 +316,280 @@ def edit_distance_pairs(
     )
 
 
+def _common_prefix_len(df: DataFrame, text_col: str) -> int:
+    """Length of the prefix shared by EVERY value of ``text_col`` —
+    the LCP of the lexicographic min and max equals the LCP of the
+    whole column, so this is one bounded 2-row aggregate, not a scan
+    collect."""
+    row = df.agg(F.min(text_col).alias("lo"), F.max(text_col).alias("hi")).first()
+    lo, hi = row["lo"] or "", row["hi"] or ""
+    n = 0
+    for a, b in zip(lo, hi):
+        if a != b:
+            break
+        n += 1
+    return n
+
+
+def _even_split(total: Column, nseg: int, i: int) -> tuple[Column, Column]:
+    """1-based start and length of segment ``i`` when a string of length
+    ``total`` is split into ``nseg`` contiguous segments, the first
+    ``total % nseg`` of them one char longer. Must be identical on the
+    index and probe sides — both compute it from the INDEX string's
+    length."""
+    base, rem = F.floor(total / nseg).cast("int"), (total % nseg).cast("int")
+    start = F.lit(i) * base + F.least(F.lit(i), rem) + 1
+    length = base + F.when(F.lit(i) < rem, 1).otherwise(0)
+    return start.cast("int"), length.cast("int")
+
+
+def _offset_tuple_feasible(ds: tuple[int, ...], delta: int, k: int) -> bool:
+    """Whether a tuple of per-segment shifts is realizable by ≤k edits.
+
+    The cumulative shift (insertions-so-far − deletions-so-far) walks
+    0 → d_1 → … → d_m → −Δ in ±1 steps; an interleaving with ``ups``
+    up-steps needs ups insertions and ups+Δ deletions, total cost
+    2·ups + Δ ≤ k. So the tuple is feasible iff the walk's minimum
+    up-step count is ≤ ⌊(k−Δ)/2⌋ — an exact filter (e.g. it rejects
+    (+1,−1): one segment shifted right and a later one left needs 2
+    insertions + 2 deletions). Enumerating only feasible tuples cuts
+    both probe fan-out and false candidates."""
+    seq = [0, *ds, -delta]
+    ups = sum(max(b - a, 0) for a, b in zip(seq, seq[1:]))
+    return ups <= (k - delta) // 2
+
+
+def segment_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 2,
+    prefix_len: int | None = None,
+    n_segments: int | None = None,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Distinct candidate pairs from :func:`_segment_candidates_raw` —
+    use this to inspect/count the candidate set; the verifying join in
+    :func:`edit_distance_pairs_segmented` uses the raw form and
+    dedupes after the DP filter."""
+    return _segment_candidates_raw(
+        df, id_col, text_col, block_cols, max_dist=max_dist,
+        prefix_len=prefix_len, n_segments=n_segments, min_matches=min_matches,
+    ).distinct()
+
+
+def _segment_candidates_raw(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 2,
+    prefix_len: int | None = None,
+    n_segments: int | None = None,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Lossless candidate generator for :func:`edit_distance_pairs_segmented`
+    — the PassJoin partition scheme (Li, Deng, Wang & Feng, "PassJoin: a
+    partition-based method for similarity joins", VLDB 2011) with three
+    adaptations:
+
+    1. **Common-prefix stripping.** Levenshtein distance is invariant
+       under removing a prefix shared by both strings, and a prefix
+       shared by the WHOLE column (auto-detected from the min/max
+       aggregate, or pinned via ``prefix_len``) is shared by every
+       pair. Stripping it first matters on ID-like corpora
+       ("Customer#000000042") where even-split segments would otherwise
+       land on the constant prefix and match everything.
+    2. **Tight shift windows.** For a pair with index length L, probe
+       length M, Δ = L−M and cost ≤ k: insertions I and deletions D in
+       an optimal alignment satisfy D − I = Δ and D + I ≤ k, so
+       I ≤ ⌊(k−Δ)/2⌋ and D ≤ Δ + ⌊(k−Δ)/2⌋. An unbroken segment's
+       occurrence shifts by (I_before − D_before) ∈ [−D_max, +I_max] —
+       a window of ≤ k+1 offsets instead of the naive 2k+1.
+    3. **Multi-segment pigeonhole.** ``n_segments`` (default k+1)
+       contiguous segments and ≤k edits leave ≥ n_segments − k
+       unbroken; with ``min_matches = m ≤ n_segments − k`` a true pair
+       must match on some m-COMBINATION of segments, each within its
+       window. The join key is that combination's concatenated
+       contents — m segments multiply key entropy, which is what prunes
+       low-entropy columns (short digit suffixes) that defeat any
+       single-segment key.
+
+    Completeness: each edit in an optimal alignment breaks at most one
+    segment (a substitution/deletion edits a char inside one segment;
+    an insertion lands strictly inside at most one segment's span), so
+    ≥ n_segments − k ≥ m segments occur verbatim in the partner at
+    offsets inside the windows above — and that
+    (segment-combination, contents, L) key is emitted by both sides.
+    Hence every true pair is a candidate.
+
+    Cost: C(nseg, m) index rows and Σ_Δ C(nseg, m)·W(Δ)^m probe rows
+    per string (k=2, nseg=4, m=2: 6 and 132), joined on high-entropy
+    composite keys — at 100 TB this replaces the Σ|block|² quadratic
+    candidate set with near-linear emissions, the same trade as the
+    LSH band join. Returns (block_cols…, id1 < id2, s1, s2) with
+    original (unstripped) texts, each candidate pair once.
+    """
+    from itertools import combinations, product
+
+    k = max_dist
+    nseg = n_segments if n_segments is not None else k + 1
+    m = min_matches
+    if nseg - k < m:
+        raise ValueError(
+            f"n_segments={nseg} with max_dist={k} guarantees only "
+            f"{nseg - k} unbroken segments; min_matches={m} would miss pairs"
+        )
+    combos = list(combinations(range(nseg), m))
+    p = _common_prefix_len(df, text_col) if prefix_len is None else prefix_len
+
+    base = df.select(
+        *block_cols,
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_s"),
+        F.substring(F.col(text_col), p + 1, 2_000_000_000).alias("_u"),
+    ).withColumn("_len", F.length("_u"))
+
+    # The (combo, offsets) enumeration is emitted as a LITERAL
+    # descriptor array and the substrings are computed AFTER the
+    # explode by one small parametric expression. Inlining one struct
+    # expression per emission (k=2, nseg=4, m=2: 96 of them) was
+    # measured ~10x slower — the giant projection falls out of
+    # whole-stage codegen; the descriptor form keeps a single
+    # JIT-compiled expression evaluated per exploded row.
+    def _seg_key(partner_len, emit):
+        """(valid, txt) for one emission descriptor against ``_u``."""
+        seg_base = F.floor(partner_len / nseg).cast("int")
+        seg_rem = (partner_len % nseg).cast("int")
+        valid = F.lit(True)
+        parts = []
+        for j in range(m):
+            i = emit.getField(f"i{j}")
+            start = i * seg_base + F.least(i, seg_rem) + 1
+            length = seg_base + F.when(i < seg_rem, 1).otherwise(0)
+            pos = start + emit.getField(f"d{j}")
+            valid = valid & (pos >= 1) & (pos + length - 1 <= F.col("_len"))
+            parts.append(F.substring(F.col("_u"), pos, length))
+        return valid, F.concat_ws("", *parts)
+
+    def _descriptor(ci, combo, ds, dl):
+        fields = [F.lit(dl).cast("int").alias("dl"), F.lit(ci).cast("int").alias("ci")]
+        for j in range(m):
+            fields.append(F.lit(combo[j]).cast("int").alias(f"i{j}"))
+            fields.append(F.lit(ds[j]).cast("int").alias(f"d{j}"))
+        return F.struct(*fields)
+
+    # Index side: the (potentially) longer string of a pair emits the
+    # concatenated contents of each m-combination of its segments,
+    # keyed by (combination id, contents, own length).
+    zeros = tuple(0 for _ in range(m))
+    idx_desc = F.array(
+        *[_descriptor(ci, combo, zeros, 0) for ci, combo in enumerate(combos)]
+    )
+    index = base.withColumn("_e", F.explode(idx_desc))
+    _, idx_txt = _seg_key(F.col("_len"), F.col("_e"))
+    index = index.select(
+        *block_cols,
+        F.col("_id").alias("_id_a"),
+        F.col("_s").alias("_s_a"),
+        F.col("_len").alias("_len_a"),
+        F.col("_e.ci").alias("_seg"),
+        idx_txt.alias("_txt"),
+    )
+
+    # Probe side: the shorter string emits, for every partner length
+    # L in [len, len+k] and every segment combination of a length-L
+    # string, the same-length substrings at every feasible offset
+    # tuple inside the tight windows.
+    probe_desc = []
+    for delta in range(k + 1):
+        ins_max = (k - delta) // 2
+        del_max = delta + ins_max
+        offsets = range(-del_max, ins_max + 1)
+        for ds in product(offsets, repeat=m):
+            if not _offset_tuple_feasible(ds, delta, k):
+                continue
+            for ci, combo in enumerate(combos):
+                probe_desc.append(_descriptor(ci, combo, ds, delta))
+    # Partner lengths that don't occur in the data can't match anything:
+    # prune those emissions right after the explode, before any
+    # substring work or shuffle. The distinct-length set is a bounded
+    # driver-side collect (strings have few distinct lengths); on an
+    # equal-length corpus this drops every Δ>0 emission (k=2, nseg=4,
+    # m=2: 54 of 96 per row).
+    real_lens = [
+        r[0] for r in base.select(F.col("_len")).distinct().limit(10_000).collect()
+    ]
+    probe = base.withColumn("_e", F.explode(F.array(*probe_desc)))
+    partner_len = F.col("_len") + F.col("_e.dl")
+    if len(real_lens) < 10_000:
+        probe = probe.filter(partner_len.isin(real_lens))
+    p_valid, p_txt = _seg_key(partner_len, F.col("_e"))
+    probe = probe.filter(p_valid).select(
+        *block_cols,
+        F.col("_id").alias("_id_b"),
+        F.col("_s").alias("_s_b"),
+        partner_len.cast("long").alias("_len_a"),
+        F.col("_e.ci").alias("_seg"),
+        p_txt.alias("_txt"),
+    )
+
+    # Both sides are corpus-sized after their explodes — Spark's size
+    # estimate of the exploded probe can still look broadcastable and
+    # OOM the driver, so pin a shuffled hash join on the composite key.
+    cand = index.hint("shuffle_hash").join(
+        probe, [*block_cols, "_len_a", "_seg", "_txt"]
+    ).filter(F.col("_id_a") != F.col("_id_b"))
+    # Normalize to id1 < id2 (equal-length pairs arrive in both roles);
+    # callers dedupe multi-combination matches (segment_candidates
+    # distincts here; edit_distance_pairs_segmented first knocks
+    # candidates out with the cheap thresholded DP so the dedup
+    # shuffle carries only surviving pairs).
+    return cand.select(
+        *block_cols,
+        F.least("_id_a", "_id_b").alias("id1"),
+        F.greatest("_id_a", "_id_b").alias("id2"),
+        F.when(F.col("_id_a") < F.col("_id_b"), F.col("_s_a"))
+        .otherwise(F.col("_s_b"))
+        .alias("s1"),
+        F.when(F.col("_id_a") < F.col("_id_b"), F.col("_s_b"))
+        .otherwise(F.col("_s_a"))
+        .alias("s2"),
+    )
+
+
+def edit_distance_pairs_segmented(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 2,
+    prefix_len: int | None = None,
+    n_segments: int | None = None,
+    min_matches: int = 1,
+) -> DataFrame:
+    """:func:`edit_distance_pairs` with PassJoin segment pre-blocking —
+    the SAME pair set (see :func:`segment_candidates` for the proof),
+    but the thresholded Levenshtein DP runs only on segment-matched
+    candidates instead of every within-block pair. On ID-like name
+    columns the candidate set shrinks by ~an order of magnitude
+    (more with ``n_segments``/``min_matches`` raised on low-entropy
+    strings), and unlike the attribute block alone it keeps shrinking
+    as blocks grow (a 100× bigger block grows candidates ~100×, not
+    10,000×)."""
+    cand = _segment_candidates_raw(
+        df, id_col, text_col, block_cols, max_dist=max_dist,
+        prefix_len=prefix_len, n_segments=n_segments, min_matches=min_matches,
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s1", "s2", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select(*block_cols, "id1", "id2", "s1", "s2", "dist")
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

