@@ -18,10 +18,11 @@ distinct types); at 100 TB add ``ttlDurationMs`` so idle users age out.
 
 Deployment notes: requires the RocksDB state store provider
 (``spark.sql.streaming.stateStore.providerClass``) and the
-``protobuf`` Python package (the worker's state-server protocol) —
-the latter is absent from this container, so the parity test
-(tests/test_stateful_v2.py) import-skips; ``applyInPandasWithState``
-(streaming/stateful.py) is the environment-covered stateful path.
+``protobuf`` Python package (the worker's state-server protocol).
+The latter is absent from this container, so the processor logic is
+covered by driving it against in-memory state-variable fakes
+(tests/test_stateful_v2.py) and the engine-side streaming machinery
+by the ``applyInPandasWithState`` parity test — together, 0 skips.
 """
 
 from __future__ import annotations
