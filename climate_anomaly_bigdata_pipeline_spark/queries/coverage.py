@@ -499,6 +499,69 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_out.unionByName(total_out)
 
 
+# ---- mergeable quantile-digest rollup ---------------------------------------
+
+_QDIGEST_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '__total__' AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM events
+"""
+
+
+@query("quantile_digest_rollup", oracle=_QDIGEST_ORACLE)
+def quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup — the quantile member of the sketch
+    family (HLL: hll_sketch_rollup, CMS: cms_heavy_hitters). Per-type
+    fixed-edge histogram digests are built in one scan and the
+    GRAND-TOTAL quantiles come from MERGING those digests (sum counts
+    by bin) — the property percentile_approx lacks, since Spark never
+    exposes its GK partials as values. Estimates carry a DETERMINISTIC
+    value-space bound (≤ bin width; 512 bins), so the hashed contract
+    is the exact quantile + an always-true certificate flag
+    (|digest − exact| ≤ 3 bins ≪ the bound's safety margin), the
+    approx_distinct pattern. At 100 TB: digests stored per
+    partition/day, merged at query time — no raw re-scan."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import sketches as SK
+
+    ev = Catalog(spark, sf_dir).events
+    est = SK.quantile_digest_rollup(
+        ev, "event_type", "value", quantiles=[0.5, 0.95], n_bins=512
+    )
+    row = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).first()
+    tol = 3 * (float(row["mx"]) - float(row["mn"])) / 512
+
+    per = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.expr("percentile(value, 0.5)").alias("p50x"),
+        F.expr("percentile(value, 0.95)").alias("p95x"),
+    )
+    tot = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50x"),
+        F.expr("percentile(value, 0.95)").alias("p95x"),
+    ).select(F.lit("__total__").alias("g"), "p50x", "p95x")
+    exact = per.unionByName(tot)
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.round("p50x", 4).alias("p50_exact"),
+        F.round("p95x", 4).alias("p95_exact"),
+        (F.abs(F.col("q_50") - F.col("p50x")) <= tol).alias("p50_within_tol"),
+        (F.abs(F.col("q_95") - F.col("p95x")) <= tol).alias("p95_within_tol"),
+    )
+
+
 # ---- deterministic weighted sampling (Efraimidis-Spirakis A-ES) -------------
 
 _WEIGHTED_SAMPLE_K = 100
@@ -586,19 +649,21 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape a streaming heavy-hitter monitor serves. The estimate
     itself is hash-seed-specific, so the hashed contract is the exact
     count + the bound certificate (the approx_distinct pattern)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import sketches as SK
+
     ev = Catalog(spark, sf_dir).events.select("user_id")
     n_total = ev.count()
     # Distributed one-pass sketch build: count_min_sketch is a true
     # aggregate (per-partition sketches merged), returning the sketch
-    # bytes; point queries read them via the JVM sketch class.
+    # bytes; point queries read them via the JVM sketch class behind a
+    # guarded wrapper — if the private `_jvm` surface moves in a Spark
+    # minor, the estimates rebuild from a portable DataFrame CMS with
+    # the same contract (operators/sketches.py).
     sk_bytes = ev.agg(
         F.count_min_sketch(
             "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
         ).alias("sk")
     ).first()["sk"]
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk_bytes)
-    )
     slack = int(_CMS_EPS * n_total) + 1
     top = (
         ev.groupBy("user_id")
@@ -607,16 +672,23 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .collect()
     )
-    rows = []
-    for r in top:
-        est = cms.estimateCount(r["user_id"])
-        rows.append(
-            (
-                r["user_id"],
-                r["exact_cnt"],
-                bool(r["exact_cnt"] <= est <= r["exact_cnt"] + slack),
-            )
+    est = SK.cms_estimates(
+        spark,
+        sk_bytes,
+        [r["user_id"] for r in top],
+        fallback=(ev, "user_id"),
+        eps=_CMS_EPS,
+        confidence=_CMS_CONF,
+        seed=_CMS_SEED,
+    )
+    rows = [
+        (
+            r["user_id"],
+            r["exact_cnt"],
+            bool(r["exact_cnt"] <= est[r["user_id"]] <= r["exact_cnt"] + slack),
         )
+        for r in top
+    ]
     return spark.createDataFrame(
         rows, "user_id long, exact_cnt long, within_bound boolean"
     )

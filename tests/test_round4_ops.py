@@ -180,6 +180,104 @@ def test_segmented_candidates_prune_vs_quadratic(spark):
     assert (n_cand - n_true) * 5 <= (quad - n_true), (n_cand, n_true, quad)
 
 
+# ---- mergeable quantile digest ----------------------------------------------
+
+
+def test_quantile_digest_rollup_bound_and_merge(spark, sf_oracle_dir):
+    """Digest estimates stay within the deterministic one-bin value
+    bound of the exact quantiles, and the __total__ row (merged from
+    per-group digests, no raw re-scan) equals a digest built over the
+    ungrouped data."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import sketches as SK
+
+    ev = Catalog(spark, sf_oracle_dir).events
+    est = SK.quantile_digest_rollup(
+        ev, "event_type", "value", quantiles=[0.5, 0.95], n_bins=512
+    )
+    row = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).first()
+    binw = (float(row["mx"]) - float(row["mn"])) / 512
+
+    exact = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in ev.groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    exact["__total__"] = tuple(
+        ev.agg(
+            F.expr("percentile(value, 0.5)"), F.expr("percentile(value, 0.95)")
+        ).first()
+    )
+    got = {r["g"]: r for r in est.collect()}
+    assert set(got) == set(exact)
+    for g, (p50, p95) in exact.items():
+        assert abs(got[g]["q_50"] - p50) <= 2 * binw, (g, got[g]["q_50"], p50)
+        assert abs(got[g]["q_95"] - p95) <= 2 * binw, (g, got[g]["q_95"], p95)
+
+    # merged __total__ digest == digest of the ungrouped data
+    single = SK.quantile_digest_rollup(
+        ev.withColumn("one", F.lit("x")), "one", "value",
+        quantiles=[0.5, 0.95], n_bins=512,
+    )
+    srow = single.filter(F.col("g") == "x").first()
+    trow = got["__total__"]
+    assert srow["q_50"] == trow["q_50"] and srow["q_95"] == trow["q_95"]
+
+
+# ---- Count-Min fallback estimator -------------------------------------------
+
+
+def test_cms_dataframe_fallback_respects_sketch_contract(spark, sf_oracle_dir):
+    """The portable DataFrame CMS never under-counts and stays within
+    eps*N of the exact counts for the heavy hitters — the same
+    certificate the JVM sketch path asserts."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import sketches as SK
+
+    ev = Catalog(spark, sf_oracle_dir).events.select("user_id")
+    n_total = ev.count()
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id").limit(10).collect()
+    }
+    est = SK.cms_estimates_df(
+        ev, "user_id", list(exact), eps=0.001, confidence=0.99, seed=42
+    )
+    slack = int(0.001 * n_total) + 1
+    for uid, cnt in exact.items():
+        assert cnt <= est[uid] <= cnt + slack, (uid, cnt, est[uid])
+    # and a never-seen item estimates (close to) zero, never negative
+    ghost = SK.cms_estimates_df(ev, "user_id", [10**12], eps=0.001,
+                                confidence=0.99, seed=42)
+    assert 0 <= ghost[10**12] <= slack
+
+
+def test_cms_estimates_uses_fallback_when_jvm_unreachable(spark, sf_oracle_dir):
+    """cms_estimates must survive the private `_jvm` surface breaking:
+    garbage sketch bytes force the JVM reader to throw, and the
+    fallback (DataFrame CMS) must still produce contract-valid
+    estimates."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import sketches as SK
+
+    ev = Catalog(spark, sf_oracle_dir).events.select("user_id")
+    top = [r["user_id"] for r in ev.groupBy("user_id").count()
+           .orderBy(F.col("count").desc(), "user_id").limit(3).collect()]
+    est = SK.cms_estimates(
+        spark, b"not-a-sketch", top, fallback=(ev, "user_id"),
+        eps=0.001, confidence=0.99, seed=42,
+    )
+    exact = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count()
+             .filter(F.col("user_id").isin(top)).collect()}
+    for uid in top:
+        assert est[uid] >= exact[uid]
+
+
 def test_train_ivf_codebook_zero_iters_is_seed(spark, sf_oracle_dir):
     from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
     from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
