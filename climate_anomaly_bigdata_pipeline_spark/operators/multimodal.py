@@ -11,8 +11,9 @@ only where a compressed codec library would be required:
 
 * :func:`decode_image` / :func:`resize_image` — real numpy decode /
   nearest-neighbor resize for binary PNM images (P5 graymap, P6
-  pixmap); compressed formats (PNG/JPEG) fall through to a
-  clearly-marked PIL stub.
+  pixmap) AND for 8-bit grey/RGB PNG (:func:`decode_png_bytes` —
+  stdlib zlib, all five scanline filters, no imaging library); lossy
+  formats (JPEG) fall through to a clearly-marked PIL stub.
 * :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV
   (rate/channels/duration/RMS); compressed audio falls through to a
   stub.
@@ -167,6 +168,152 @@ def decode_pnm_bytes(b: bytes) -> tuple[str, int, int, np.ndarray]:
     return mode, w, h, arr.reshape((h, w, 3) if mode == "RGB" else (h, w))
 
 
+# ---- PNG codec (stdlib zlib — no imaging library) ---------------------------
+#
+# Critical chunks only (IHDR/IDAT/IEND), 8-bit greyscale (color type 0)
+# and truecolor RGB (color type 2), no interlace — the subset that
+# covers losslessly-compressed training images without PIL. All five
+# scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
+# implemented in BOTH directions so foreign encoders' output decodes,
+# not just our own. JPEG/FLAC stay behind the honest _require stub:
+# lossy codecs need their libraries.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_scanline(f: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(cur))
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_scanline(f: int, cur: bytearray, prev: bytes, bpp: int) -> None:
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) >> 1
+        elif f == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        cur[i] = (cur[i] + pred) & 0xFF
+
+
+def encode_png(arr: np.ndarray, filters: int | str = 0) -> bytes:
+    """Encode (h, w) or (h, w, 3) uint8 as PNG. ``filters``: a fixed
+    filter type 0-4 for every scanline, or ``"cycle"`` to rotate
+    through all five (exercises every decoder path; the image is
+    identical either way — PNG filtering is lossless)."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        color, bpp = 2, 3
+    elif a.ndim == 2:
+        color, bpp = 0, 1
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y in range(h):
+        cur = a[y].tobytes()
+        f = (y % 5) if filters == "cycle" else int(filters)
+        raw += bytes([f]) + _filter_scanline(f, cur, prev, bpp)
+        prev = cur
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(b: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Decode PNG bytes → (mode, width, height, array). Supports 8-bit
+    greyscale ('L') and RGB, non-interlaced, any scanline filters,
+    multiple IDAT chunks; ancillary chunks are skipped."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError(f"not a PNG payload (magic {b[:8]!r})")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+        raise NotImplementedError(
+            "STUB: only 8-bit grey/RGB non-interlaced PNG decodes natively "
+            f"(got depth={depth} color={color} interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 1
+    mode = "RGB" if color == 2 else "L"
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        _unfilter_scanline(f, cur, prev, bpp)
+        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = bytes(cur)
+    return mode, w, h, out.reshape((h, w, 3) if color == 2 else (h, w))
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """Encode int16 PCM samples ((n,) mono or (n, channels)) as WAV."""
     s = np.asarray(samples, dtype="<i2")
@@ -211,11 +358,23 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, payload binary"
 _LUMA = np.array([0.299, 0.587, 0.114])
 
 
+def _decode_any_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Dispatch on magic: PNM (P5/P6) and PNG decode natively; anything
+    else needs a lossy-codec library → honest PIL stub."""
+    if b[:2] in (b"P5", b"P6"):
+        return decode_pnm_bytes(b)
+    if b[:8] == _PNG_MAGIC:
+        return decode_png_bytes(b)
+    _require("PIL", f"decoding magic {b[:4]!r}")
+    raise AssertionError("unreachable")  # _require always raises here
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode image payloads to (mode, width, height, mean_luma).
 
-    REAL for binary PNM (P5/P6) via :func:`decode_pnm_bytes`; any other
-    magic needs a compressed-format codec → PIL stub. Arrow-batched
+    REAL for binary PNM (P5/P6) via :func:`decode_pnm_bytes` AND for
+    8-bit grey/RGB PNG via :func:`decode_png_bytes` (stdlib zlib); any
+    other magic needs a lossy-codec library → PIL stub. Arrow-batched
     ``mapInPandas``: one Python invocation per batch, not per row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,10 +382,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = {"doc_id": [], "mode": [], "width": [], "height": [],
                    "mean_luma": []}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
-                if b[:2] not in (b"P5", b"P6"):
-                    _require("PIL", f"decoding magic {b[:2]!r}")
-                mode, w, h, arr = decode_pnm_bytes(b)
+                mode, w, h, arr = _decode_any_image(bytes(payload))
                 luma = arr @ _LUMA if mode == "RGB" else arr
                 out["doc_id"].append(doc_id)
                 out["mode"].append(mode)
@@ -248,10 +404,7 @@ def resize_image(df: DataFrame, width: int, height: int,
         for pdf in it:
             ids, payloads = [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
-                if b[:2] not in (b"P5", b"P6"):
-                    _require("PIL", f"resizing magic {b[:2]!r}")
-                _, w, h, arr = decode_pnm_bytes(b)
+                _, w, h, arr = _decode_any_image(bytes(payload))
                 ys = (np.arange(height) * h // height)
                 xs = (np.arange(width) * w // width)
                 ids.append(doc_id)

@@ -47,3 +47,52 @@ def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("payload")).alias("min_bytes"),
         F.max(F.length("payload")).alias("max_bytes"),
     )
+
+
+# ---- PNG encode→decode profile ----------------------------------------------
+
+# Deterministic synthetic images: each doc renders a constant greyscale
+# image whose dims/level derive from doc_id, so the DECODED profile is
+# SQL-predictable and the whole compressed-codec path (zlib deflate →
+# inflate, scanline filters cycling through all five types) sits under
+# a hash-exact oracle. Constant integer pixels make mean_luma exact
+# (integer sums — no FP rounding hazard).
+_PNG_DECODE_ORACLE = """
+SELECT doc_id,
+       'L' AS mode,
+       CAST(8 + doc_id % 9 AS INTEGER) AS width,
+       CAST(4 + doc_id % 5 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+FROM documents
+"""
+
+
+@query("png_decode_profile", oracle=_PNG_DECODE_ORACLE)
+def png_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode, end to end on the executors: every doc
+    renders a deterministic greyscale PNG (stdlib-zlib encoder, scanline
+    filter type cycling by row so all five filters are exercised), and
+    ``decode_image`` (Arrow-batched mapInPandas) inflates + unfilters it
+    back to (mode, width, height, mean_luma). The oracle predicts the
+    decoded profile in SQL — the round trip is lossless, so the decoded
+    dims and constant-image luma are exact. The real-corpus analog:
+    payloads come off parquet instead of being rendered; the decode
+    plumbing is identical."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 9, 4 + doc_id % 5
+                arr = np.full((h, w), doc_id % 256, dtype=np.uint8)
+                payloads.append(MM.encode_png(arr, filters="cycle"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return MM.decode_image(images)

@@ -35,6 +35,74 @@ def test_pnm_header_comments():
     assert arr.tolist() == [[0, 50], [100, 200]]
 
 
+def test_png_roundtrip_all_filters():
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (6, 9), dtype=np.uint8)
+    for img, want_mode in [(rgb, "RGB"), (gray, "L")]:
+        for filters in [0, 1, 2, 3, 4, "cycle"]:
+            mode, w, h, arr = MM.decode_png_bytes(MM.encode_png(img, filters))
+            assert (mode, w, h) == (want_mode, img.shape[1], img.shape[0])
+            assert np.array_equal(arr, img), (want_mode, filters)
+
+
+def test_png_decode_parity_with_ppm_roundtrip(spark):
+    """The same pixels through the PNG path (deflate + filters) and the
+    PNM path must produce identical decode_image rows."""
+    rng = np.random.RandomState(4)
+    imgs = [
+        rng.randint(0, 256, (5, 8, 3), dtype=np.uint8),
+        rng.randint(0, 256, (4, 4), dtype=np.uint8),
+    ]
+    ppm = spark.createDataFrame(
+        [(i, MM.encode_ppm(a)) for i, a in enumerate(imgs)],
+        "doc_id long, payload binary",
+    )
+    png = spark.createDataFrame(
+        [(i, MM.encode_png(a, filters="cycle")) for i, a in enumerate(imgs)],
+        "doc_id long, payload binary",
+    )
+    a = sorted(map(tuple, MM.decode_image(ppm).collect()))
+    b = sorted(map(tuple, MM.decode_image(png).collect()))
+    assert a == b
+
+
+def test_png_resize_composes(spark):
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, 2:] = 30
+    df = spark.createDataFrame(
+        [(0, MM.encode_png(img))], "doc_id long, payload binary"
+    )
+    [row] = MM.resize_image(df, width=2, height=2).collect()
+    _, w, h, arr = MM.decode_pnm_bytes(bytes(row["payload"]))
+    assert (w, h) == (2, 2) and arr[1, 1, 0] == 30
+
+
+def test_lossy_codecs_still_stub(spark):
+    jpeg = spark.createDataFrame(
+        [(0, b"\xff\xd8\xff\xe0rest-of-a-jpeg")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        MM.decode_image(jpeg).collect()
+    assert "STUB" in str(ei.value)
+
+
+def test_png_unsupported_features_raise_stub():
+    # 16-bit depth PNG header → NotImplementedError, not silent garbage
+    import struct as st
+    import zlib
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    b = (
+        MM._PNG_MAGIC
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_png_bytes(b)
+
+
 def test_decode_image_real(spark):
     solid = np.full((4, 6, 3), 100, dtype=np.uint8)  # luma == 100
     gray = np.full((2, 2), 7, dtype=np.uint8)
