@@ -681,3 +681,47 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity.alias("entity_id"),
         (entity == F.col("c_custkey")).alias("keep"),
     )
+
+
+# ---- diameter-robust connected components (large-star/small-star) -----------
+
+_CHAIN_CC_ORACLE = """
+SELECT event_id,
+       CAST(min(event_id) OVER (PARTITION BY user_id) AS BIGINT)
+           AS component_label
+FROM events
+"""
+
+
+@query("chain_components_star", oracle=_CHAIN_CC_ORACLE)
+def chain_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a LONG-CHAIN graph: each user's events
+    are linked consecutively in (ts, event_id) order, giving path
+    graphs ~67 hops deep at sf0.01 — the adversarial diameter case for
+    min-label propagation, whose default 20-round cap silently
+    truncates such chains. Labels come from
+    ``connected_components_star`` (Kiveris et al. SoCC'14): alternating
+    large-star/small-star halves path lengths every round, so
+    convergence is O(log^2 n) rounds INDEPENDENT of diameter — the
+    100 TB answer for web-graph-shaped dedup clusters. The oracle
+    states the ground truth relationally: one component per user, the
+    min event id as its label."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_id", F.lag("event_id").over(w))
+        .filter(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("id1"), F.col("event_id").alias("id2"))
+    )
+    labels = DD.connected_components_star(edges, max_iter=50)
+    out = ev.select("event_id").join(
+        labels.withColumnRenamed("node", "event_id"), "event_id", "left"
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("cluster_id"), F.col("event_id")).alias(
+            "component_label"
+        ),
+    )
