@@ -692,3 +692,101 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, exact_cnt long, within_bound boolean"
     )
+
+
+# ---- NTILE deciles without the single-task sort -----------------------------
+
+_NTILE_ORACLE = """
+WITH t AS (
+    SELECT o_orderkey, o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS min_total,
+       round(max(o_totalprice), 2) AS max_total
+FROM t GROUP BY decile
+"""
+
+
+@query("ntile_deciles_orders", oracle=_NTILE_ORACLE)
+def ntile_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment with exact NTILE semantics but NO single-task
+    sort: a global-window ntile() plans every row through one
+    partition, so instead the engine's distributed zipWithIndex
+    (stable_global_index: range exchange + bounded offset collect)
+    produces the global rank and NTILE's tile arithmetic — the first
+    n%k tiles one row larger — is a row-local expression on it. Values
+    are identical to the oracle's ntile(); every stage stays parallel
+    at 100 TB."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    orders = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+    idx = R.stable_global_index(
+        orders, ["o_totalprice", "o_orderkey"], out_col="idx"
+    )
+    n = orders.count()
+    k = 10
+    q, r = n // k, n % k
+    big = q + 1
+    decile = (
+        F.when(F.col("idx") < r * big, F.floor(F.col("idx") / big))
+        .otherwise(r + F.floor((F.col("idx") - r * big) / q))
+        + 1
+    )
+    return (
+        idx.withColumn("decile", decile.cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_total"),
+            F.round(F.max("o_totalprice"), 2).alias("max_total"),
+        )
+    )
+
+
+# ---- order-independent table fingerprint ------------------------------------
+
+# Row repr uses only integer-exact pieces (keys, codes, epoch micros,
+# integer cents) so the concatenated string is byte-identical across
+# engines — no double formatting in the hash input.
+_FINGERPRINT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(concat('0x', substr(md5(concat('0:',
+            CAST(o_orderkey AS VARCHAR), '|',
+            CAST(o_custkey AS VARCHAR), '|',
+            o_orderstatus, '|',
+            o_orderpriority, '|',
+            CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), '|',
+            CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+       )), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+FROM orders
+"""
+
+
+@query("table_fingerprint_orders", oracle=_FINGERPRINT_ORACLE)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: sum of a portable 32-bit md5
+    over a canonical per-row string — one scan, no sort, partials
+    combine map-side, so two replicas/snapshots compare with one scalar
+    each at any scale (the anti-entropy check behind CDC validation and
+    migration sign-off; compose with cdc_snapshot_diff to locate rows
+    once a mismatch fires). Doubles enter the hash as integer cents —
+    engine-neutral bytes, no float formatting."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.dedup import md5_hash32
+
+    o = Catalog(spark, sf_dir).orders
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.unix_micros("o_orderdate").cast("string"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+    )
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(md5_hash32(row_repr, 0)).cast("long").alias("checksum"),
+    )
