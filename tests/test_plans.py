@@ -254,3 +254,48 @@ def test_audit_plan_counts_nodes_and_filters(spark, sf_dir):
 
     c = audit_plan(QUERIES["zscore_events"](spark, sf_dir))
     assert c["n_windows"] == 1 and c["n_exchanges"] == 1
+
+
+def test_segment_candidates_plan_no_cartesian(spark, sf_dir):
+    """The PassJoin candidate join must plan as a shuffled hash join on
+    the composite segment key — never a cartesian/BNL join, and never a
+    broadcast of the (size-misestimated) exploded probe side."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as D
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment", "c_custkey", "c_name"
+    )
+    cand = D.segment_candidates(
+        cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"],
+        max_dist=2, n_segments=4, min_matches=2,
+    )
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_star_cc_round_plan_no_cartesian(spark):
+    """One large-star/small-star round is window aggregates + unions —
+    any cartesian or nested-loop join in the round plan would explode
+    at scale."""
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as D
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    out = D.connected_components_star(edges, max_iter=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ntile_deciles_no_single_partition_sort(spark, sf_dir):
+    """The NTILE query must NOT contain a global one-task window sort:
+    the global rank comes from the distributed zipWithIndex (range
+    exchange), so no Window over SinglePartition may appear."""
+    plan = plan_of(QUERIES["ntile_deciles_orders"](spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
