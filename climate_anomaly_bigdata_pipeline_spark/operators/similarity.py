@@ -59,7 +59,14 @@ def hyperplane_weights(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
 
 
 def _lit_vec(weights: list[float]) -> Column:
-    return F.array(*[F.lit(w) for w in weights])
+    # One ArrayType Literal node, not CreateArray(64 Literals): with 16
+    # centroid vectors in one expression the single-node form keeps
+    # Catalyst's per-action optimization walk off a ~1000-node tree
+    # (measured ~0.3 s planning tax per action at 16x64).
+    try:
+        return F.lit(list(weights))
+    except Exception:  # older Spark without container literals
+        return F.array(*[F.lit(w) for w in weights])
 
 
 def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
@@ -209,6 +216,7 @@ def ivf_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Self-KNN over the whole corpus, IVF-celled — the scale path for
     "top-k neighbors of every document" (embedding dedup, retrieval
@@ -230,20 +238,28 @@ def ivf_knn_join(
     """
     from pyspark.sql import Window
 
-    e = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    # One materialization of (id, v, norm) shared by training passes
+    # and serving — the norm fold over the corpus isn't recomputed per
+    # Lloyd iteration.
+    e = _normed(df, id_col, vec_col).localCheckpoint()
 
     cents = train_ivf_codebook(
-        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col,
+        sample_mod=train_sample_mod, normed=e,
     )
 
     # (cosine, cid) structs sorted desc: element 0 is the home cell,
     # the first nprobe are the probe set. Same tie-break as ivf_topk
     # (larger cid wins on equal cosine — struct comparison is (c, i)).
     cell_structs = F.reverse(F.array_sort(_cell_assign_structs(cents)))
-    assigned = e.withColumn("__cells", cell_structs).withColumn(
-        "cell", F.col("__cells")[0].getField("i")
+    # The corpus branch and the probe branch below both read the cell
+    # assignment — materialize it once (localCheckpoint = executor-local
+    # cache, not a shuffle) or the 16-cosine fold runs over the corpus
+    # twice.
+    assigned = (
+        e.withColumn("__cells", cell_structs)
+        .withColumn("cell", F.col("__cells")[0].getField("i"))
+        .localCheckpoint()
     )
     # The corpus is spread over all cores BEFORE scoring: the cell key
     # has only n_centroids distinct values, so joining on it directly
@@ -307,12 +323,20 @@ def _cell_assign_structs(cents: list[tuple[int, list[float]]]) -> Column:
     )
 
 
+def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+
+
 def train_ivf_codebook(
     df: DataFrame,
     n_centroids: int = 8,
     n_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    normed: DataFrame | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Coarse-quantizer codebook for the IVF operators: the
     ``n_centroids`` lowest-id vectors as seeds, refined by ``n_iters``
@@ -331,23 +355,26 @@ def train_ivf_codebook(
       (mirrored in ``queries/similarityq.py``'s iteration CTEs);
     * a cell that captures no vectors keeps its previous centroid.
 
-    Each iteration is one corpus pass: row-local assignment against
-    codebook literals (no shuffle), posexplode, one (cell, pos)-keyed
-    aggregation — the :func:`embedding_centroids_by_label` shape — and
-    a bounded O(n_centroids x dim) driver collect (the coordinator-side
-    quantizer update of a real IVF build). The corpus itself never
-    shuffles; at 100 TB run the update on a sample, which changes only
-    which rows feed the mean."""
-    e = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    Each iteration is one training-set pass: row-local assignment
+    against codebook literals (no shuffle), posexplode, one
+    (cell, pos)-keyed aggregation — the
+    :func:`embedding_centroids_by_label` shape — and a bounded
+    O(n_centroids x dim) driver collect (the coordinator-side quantizer
+    update of a real IVF build). The corpus itself never shuffles.
+    ``sample_mod`` trains on the deterministic ``id % sample_mod == 0``
+    subset — the 100 TB posture (the update needs a representative
+    sample, not the corpus) AND still oracle-mirrorable as a WHERE
+    clause. ``normed`` lets callers share one checkpointed
+    (id, v, norm) projection between training and serving."""
+    e = _normed(df, id_col, vec_col) if normed is None else normed
 
     cents = [
         (r[0], list(r[1]))
         for r in e.select(id_col, "v").orderBy(id_col).limit(n_centroids).collect()
     ]
+    train = e if sample_mod is None else e.filter(F.col(id_col) % sample_mod == 0)
     for _ in range(n_iters):
-        assigned = e.withColumn(
+        assigned = train.withColumn(
             "cell", F.array_max(_cell_assign_structs(cents)).getField("i")
         )
         means = (
@@ -393,6 +420,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` cells nearest the
@@ -412,12 +440,11 @@ def ivf_topk(
     """
     import math
 
-    e = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    e = _normed(df, id_col, vec_col).localCheckpoint()
 
     cents = train_ivf_codebook(
-        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col,
+        sample_mod=train_sample_mod, normed=e,
     )
     qrow = e.filter(F.col(id_col) == query_id).select("v").first()
     qv = list(qrow[0])

@@ -695,3 +695,92 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(~in_a | ~in_b | any_diff).select(
         "c_custkey", change.alias("change_type"), changed_cols.alias("changed_cols")
     )
+
+
+# ---- PageRank over the purchase graph ---------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unrolled-iteration SQL twin of ``graph.pagerank`` (same recipe
+    as the IVF training CTEs): DECIMAL contribution sums, double
+    damping arithmetic — bit-identical per iteration."""
+    d = _PR_DAMPING
+    ctes = [
+        """base AS (
+    SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS (
+    SELECT nodes.node,
+           (1 - {d}) / (SELECT n FROM nn)
+           + {d} * COALESCE(CAST(s.s AS DOUBLE), 0.0) AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS node,
+               sum(CAST(r.rank / d.outdeg AS DECIMAL(30,18))) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON s.node = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node,
+       CAST(round(CAST(CAST(rank AS VARCHAR) AS DECIMAL(38,18)), 10)
+            AS DOUBLE) AS rank
+FROM r{n_iter}
+ORDER BY rank DESC, node
+LIMIT {_PR_TOPK}"""
+    )
+
+
+@query("pagerank_purchase_graph", oracle=_pagerank_oracle(_PR_ITERS))
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the bipartite customer↔supplier
+    purchase graph (edges both directions, so no dangling mass): which
+    suppliers sit at the center of the order flow. 3 synchronous
+    iterations of ``graph.pagerank`` — the canonical iterative-Spark
+    loop (join + keyed sum per round, lazily checkpointed lineage),
+    with DECIMAL contribution sums making every iteration bit-identical
+    to the oracle's unrolled SQL twin. Top-20 by (rank, node)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import graph as G
+
+    c = Catalog(spark, sf_dir)
+    base = (
+        c.orders.join(
+            c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    ranks = G.pagerank(
+        edges, damping=_PR_DAMPING, n_iter=_PR_ITERS
+    )
+    return (
+        ranks.select("node", F.round(F.col("rank"), 10).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(_PR_TOPK)
+    )

@@ -93,16 +93,20 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 16
 _NPROBE = 2
 _TRAIN_ITERS = 2
+_TRAIN_SAMPLE_MOD = 4
 
 
 def _lloyd_ctes(n_iters: int) -> str:
     """CTE chain mirroring ``train_ivf_codebook`` exactly: seed = lowest-id
-    vectors, then per iteration (1) assign every vector to its max-cosine
-    cell with ties to the larger cid, (2) recompute each cell's centroid
-    as the per-dimension mean — summed in DECIMAL(25,10) so the result
-    is order-independent and bit-identical to Spark's decimal sum, then
-    divided in double — keeping a cell's previous centroid when it
-    captured no vectors. Ends with ``c(cid, cv)`` = the trained codebook."""
+    vectors, then per iteration (1) assign the deterministic
+    ``vec_id % {mod} = 0`` TRAINING SAMPLE to its max-cosine cell with
+    ties to the larger cid (sampling the update is the at-scale
+    posture and costs a fraction of a full corpus pass), (2) recompute
+    each cell's centroid as the per-dimension mean — summed in
+    DECIMAL(25,10) so the result is order-independent and
+    bit-identical to Spark's decimal sum, then divided in double —
+    keeping a cell's previous centroid when it captured no vectors.
+    Ends with ``c(cid, cv)`` = the trained codebook."""
     cos = _COSINE_SQL.format(a="e.v", b="c.cv")
     parts = [
         f"c0 AS (\n    SELECT vec_id AS cid, v AS cv FROM e"
@@ -114,6 +118,7 @@ def _lloyd_ctes(n_iters: int) -> str:
     SELECT vec_id, v, cid AS cell FROM (
         SELECT e.vec_id, e.v, c.cid, {cos} AS cos
         FROM e, c{i - 1} c
+        WHERE e.vec_id % {_TRAIN_SAMPLE_MOD} = 0
     )
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
 ),
@@ -265,7 +270,7 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ivf_knn_join(
         emb, k=_KNN_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
-        train_iters=_TRAIN_ITERS,
+        train_iters=_TRAIN_ITERS, train_sample_mod=_TRAIN_SAMPLE_MOD,
     )
 
 
@@ -281,7 +286,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ivf_topk(
         emb, query_id=_QUERY_ID, k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
-        train_iters=_TRAIN_ITERS,
+        train_iters=_TRAIN_ITERS, train_sample_mod=_TRAIN_SAMPLE_MOD,
     )
 
 
