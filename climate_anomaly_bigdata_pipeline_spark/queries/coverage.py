@@ -790,3 +790,74 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(md5_hash32(row_repr, 0)).cast("long").alias("checksum"),
     )
+
+
+# ---- sliding distinct-users from merged tumbling HLL sketches ---------------
+
+_HLL_SLIDING_ORACLE = """
+WITH hours AS (
+    SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events
+)
+SELECT h.h AS window_start,
+       CAST((
+           SELECT count(DISTINCT e.user_id) FROM events e
+           WHERE CAST(e.ts AS TIMESTAMP) >= h.h
+             AND CAST(e.ts AS TIMESTAMP) < h.h + INTERVAL 2 HOUR
+       ) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM hours h
+"""
+
+
+@query("hll_sliding_from_tumbling", oracle=_HLL_SLIDING_ORACLE)
+def hll_sliding_from_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts WITHOUT rescanning: store one HLL
+    sketch per tumbling hour, then answer every 2-hour sliding window
+    by MERGING the two adjacent hourly sketches (``hll_union``) — the
+    time-axis twin of hll_sketch_rollup's group-axis merge, and the
+    reason mergeable sketches beat approx_count_distinct for telemetry
+    (store per hour once, answer any window later). The left join keeps
+    hours whose successor hour is silent (window = one sketch).
+    Contract: exact distinct count + a within-5% certificate on the
+    merged estimate (lgK=12 ≈ 1.6% rse)."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    nxt = hourly.select(
+        (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"),
+        F.col("sk").alias("sk_next"),
+    )
+    merged = hourly.join(nxt, "h", "left").select(
+        F.col("h").alias("window_start"),
+        F.when(
+            F.col("sk_next").isNull(), F.hll_sketch_estimate("sk")
+        ).otherwise(
+            F.hll_sketch_estimate(F.hll_union("sk", "sk_next"))
+        ).alias("est"),
+    )
+    # Exact side stays keyed (no inequality join): an event in hour h
+    # belongs to exactly the sliding windows starting at h and h-1h —
+    # explode to those two starts, keep starts that are observed hours
+    # (the oracle's window set), one countDistinct by window.
+    hour = F.date_trunc("hour", F.col("ts"))
+    cover = ev.select(
+        "user_id",
+        F.explode(
+            F.array(hour, hour - F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start"),
+    )
+    observed = ev.select(hour.alias("window_start")).distinct()
+    exact = (
+        cover.join(observed, "window_start", "left_semi")
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return exact.join(merged, "window_start").select(
+        "window_start",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
