@@ -1,4 +1,4 @@
-"""Iterative graph analytics on DataFrames: PageRank.
+"""Iterative graph analytics on DataFrames: PageRank, triangle counting.
 
 Connected components (the dedup workhorse) lives in
 ``operators/dedup.py``; this module adds the rank-propagation family.
@@ -85,3 +85,61 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangles_per_node(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list, via the
+    degree-ordered orientation (Suri & Vassilvitskii's MR triangle
+    counting): orient every edge from the endpoint with smaller
+    ``(degree, id)`` to the larger, so each node's out-degree is
+    O(√m) and the wedge join (out-edges ⋈ out-edges on the pivot)
+    touches Σ outdeg(a)² = O(m^1.5) rows instead of Σ deg(a)² — the
+    bound that makes triangle counting feasible on a 100 TB edge set.
+    A wedge a→b, a→c closes iff the oriented edge b→c exists; each
+    triangle is found exactly once, then exploded to its 3 vertices.
+
+    All three steps are equi-joins / keyed aggregations (shuffle on
+    node id); no cross join, no driver-side collection. Returns
+    ``(node, n_triangles)`` for nodes in ≥1 triangle.
+    """
+    e = edges.select(
+        F.least(u_col, v_col).alias("u"), F.greatest(u_col, v_col).alias("v")
+    ).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient by (deg, id): lower endpoint → higher endpoint.
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.d").alias("d"))
+    )
+    w1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    w2 = oriented.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    # NB: union is positional — keep both branches in (b, c) column order.
+    closing = oriented.select(F.col("s").alias("b"), F.col("d").alias("c")).union(
+        oriented.select(F.col("d").alias("b"), F.col("s").alias("c"))
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1,0 +1,385 @@
+"""Round-4 advanced analytics: TPC-H-style correlated-subquery join
+shapes (Q15/Q17/Q21 analogues on the synthetic star schema), triangle
+counting on the co-purchase graph, cumulative distinct users, per-user
+modal behavior, and a Welch two-sample t-test.
+
+The reference's analytics stop at single-join rollups
+(``jobs/03_silver_to_gold.py:26-156``); these queries add the
+decorrelated-subquery and graph shapes a warehouse user reaches for
+next, each expressed so Catalyst picks the scalable physical plan
+(broadcast the per-group aggregate, semi/anti joins instead of
+row-at-a-time EXISTS, degree-ordered orientation instead of an
+unbounded wedge join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark import functions as FN
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import graph as G
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+# ---- triangle counting on the part co-purchase graph ------------------------
+
+_TRIANGLE_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM po a JOIN po b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""
+
+
+@query("triangle_parts_copurchase", oracle=_TRIANGLE_ORACLE)
+def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the co-purchase graph (parts are
+    adjacent when they appear in ≥2 common orders). The Spark side
+    runs the degree-ordered-orientation algorithm — O(m^1.5) wedge
+    work, every step an equi-join — while the oracle brute-forces the
+    a<b<c triple join; the triangle set is orientation-invariant, so
+    both enumerate exactly the same triangles."""
+    li = Catalog(spark, sf_dir).lineitem
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .drop("w")
+    )
+    return G.triangles_per_node(edges).select(
+        F.col("node").alias("p_partkey"), "n_triangles"
+    )
+
+
+# ---- TPC-H Q17 analogue: small-quantity part revenue by brand ---------------
+
+# The 0.2·avg(qty) threshold is decorrelated into a per-part aggregate
+# join; the inequality is cross-multiplied (5·qty·cnt < Σqty) so every
+# operand is an integer-valued double — exact, no float-division edge.
+_SMALL_QTY_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS cnt_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN per_part pp ON pp.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity * pp.cnt_qty * 5 < pp.sum_qty
+GROUP BY p.p_brand
+"""
+
+
+@query("small_qty_brand_revenue", oracle=_SMALL_QTY_ORACLE)
+def small_qty_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average, rolled up by brand. The correlated
+    scalar subquery becomes one per-part aggregate joined back on
+    partkey (both sides shuffle on l_partkey once; the part dim is
+    broadcast), the canonical decorrelation at any scale."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") * F.col("cnt_qty") * 5 < F.col("sum_qty"))
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---- TPC-H Q21 analogue: sole-supplier finished orders ----------------------
+
+_SOLE_SUPPLIER_ORACLE = """
+WITH cand AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+sole AS (
+    SELECT c.l_orderkey, c.l_suppkey
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = c.l_orderkey
+          AND l2.l_suppkey <> c.l_suppkey
+    )
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_sole_orders
+FROM sole
+JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("sole_supplier_orders", oracle=_SOLE_SUPPLIER_ORACLE)
+def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, finished orders where it was the
+    ONLY supplier. The NOT EXISTS correlated subquery becomes a
+    left-anti self-join of candidates against other-supplier
+    lineitems of the same order — both sides keyed on l_orderkey, one
+    shuffle, no per-row subquery execution."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    fin = F.broadcast(
+        cat.orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    )
+    cand = (
+        li.join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    sole = cand.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_sole_orders"))
+        .join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_sole_orders")
+    )
+
+
+# ---- TPC-H Q15 analogue: top suppliers by quarterly revenue -----------------
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS r
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(rev.r, 2) AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)
+"""
+
+
+@query("top_revenue_suppliers", oracle=_TOP_SUPPLIER_ORACLE)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue over
+    1996Q1 shipments. The scalar max-of-aggregate subquery is an
+    empty-partition window max over the (tiny) per-supplier revenue
+    table — one extra pass over |suppliers| rows, not over lineitem.
+    Revenue in exact decimal so the argmax is order-independent."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(FN.revenue_expr().cast("decimal(18,6)")).alias("r"))
+    )
+    top = rev.withColumn("mr", F.max("r").over(Window.partitionBy())).where(
+        F.col("r") == F.col("mr")
+    )
+    return top.join(
+        F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("r"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+# ---- cumulative distinct users per day --------------------------------------
+
+_CUM_USERS_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT date_trunc('day', first_ts) AS day,
+           CAST(count(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+FROM per_day
+"""
+
+
+@query("cumulative_distinct_users", oracle=_CUM_USERS_ORACLE)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, by day. The naive
+    form (COUNT(DISTINCT) over an expanding window) rescans history
+    per day; reducing each user to a first-seen event makes it one
+    aggregation + a cumsum over |days| rows — the only shape whose
+    cost doesn't grow with history length at 100 TB."""
+    ev = Catalog(spark, sf_dir).events
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    per_day = first.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+# ---- per-user modal event type ----------------------------------------------
+
+_MODAL_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS modal_type, n_events
+FROM counts WHERE rn = 1
+"""
+
+
+@query("modal_event_type_per_user", oracle=_MODAL_ORACLE)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped mode: each user's most frequent event
+    type, ties broken lexicographically (a plain MODE() aggregate is
+    tie-nondeterministic across engines). Count-then-rank keeps it
+    two keyed shuffles with map-side partial aggregation."""
+    ev = Catalog(spark, sf_dir).events
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n_events")
+    )
+
+
+# ---- Welch two-sample t-test: purchase vs click values ----------------------
+
+_TTEST_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           avg(value) AS m,
+           var_samp(value) AS v
+    FROM events
+    WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    GROUP BY event_type
+),
+p AS (SELECT n, m, v FROM g WHERE event_type = 'purchase'),
+c AS (SELECT n, m, v FROM g WHERE event_type = 'click')
+SELECT p.n AS n_purchase, c.n AS n_click,
+       p.m - c.m AS mean_diff,
+       (p.m - c.m) / sqrt(p.v / p.n + c.v / c.n) AS t_stat,
+       power(p.v / p.n + c.v / c.n, 2)
+           / (power(p.v / p.n, 2) / (p.n - 1)
+              + power(c.v / c.n, 2) / (c.n - 1)) AS dof
+FROM p, c
+"""
+
+
+@query("welch_ttest_purchase_click", oracle=_TTEST_ORACLE)
+def welch_ttest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and click
+    event values, with the Welch–Satterthwaite degrees of freedom —
+    the A/B-test primitive. One grouped aggregation produces both
+    arms; the scalar algebra runs on the 2-row result via a pivot
+    (conditional aggregation), never a driver-side collect."""
+    ev = Catalog(spark, sf_dir).events
+    g = (
+        ev.where(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .groupBy()
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nc"),
+            F.avg(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ).alias("mp"),
+            F.avg(
+                F.when(F.col("event_type") == "click", F.col("value"))
+            ).alias("mc"),
+            F.var_samp(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ).alias("vp"),
+            F.var_samp(
+                F.when(F.col("event_type") == "click", F.col("value"))
+            ).alias("vc"),
+        )
+    )
+    se2 = F.col("vp") / F.col("np") + F.col("vc") / F.col("nc")
+    return g.select(
+        F.col("np").alias("n_purchase"),
+        F.col("nc").alias("n_click"),
+        (F.col("mp") - F.col("mc")).alias("mean_diff"),
+        ((F.col("mp") - F.col("mc")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            F.pow(se2, F.lit(2))
+            / (
+                F.pow(F.col("vp") / F.col("np"), F.lit(2)) / (F.col("np") - 1)
+                + F.pow(F.col("vc") / F.col("nc"), F.lit(2)) / (F.col("nc") - 1)
+            )
+        ).alias("dof"),
+    )
