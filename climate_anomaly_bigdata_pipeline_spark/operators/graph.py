@@ -143,3 +143,48 @@ def triangles_per_node(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Single-source shortest hop-distances over an undirected edge
+    list, bounded at ``max_hops`` — synchronous frontier BFS, the
+    Pregel iteration as DataFrames. Per round: one equi-join of the
+    current frontier onto the (bidirectional) edge list + one
+    left-anti join against the visited set; both shuffle on node id,
+    so pre-partitioning edges by node makes rounds exchange-free.
+    Work per round is O(edges touched by the frontier), never O(V²);
+    ``localCheckpoint`` truncates lineage so the plan stays flat.
+
+    Returns ``(node, dist)`` for every node within ``max_hops``.
+    """
+    bidir = edges.select(
+        F.col(u_col).alias("s"), F.col(v_col).alias("d")
+    ).union(edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("d")))
+    bidir = bidir.where(F.col("s") != F.col("d")).distinct().localCheckpoint()
+
+    visited = (
+        bidir.sparkSession.range(1)
+        .select(F.lit(source).alias("node"), F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(bidir, frontier["node"] == bidir["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

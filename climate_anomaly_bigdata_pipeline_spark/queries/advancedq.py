@@ -77,6 +77,133 @@ def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- BFS hop distances on the co-purchase graph -----------------------------
+
+_BFS_ORACLE = """
+WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM po a JOIN po b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+bidir AS (SELECT u AS s, v AS d FROM edges UNION SELECT v, u FROM edges),
+src AS (SELECT min(s) AS s0 FROM bidir),
+walk(node, dist) AS (
+    SELECT s0, 0 FROM src
+    UNION
+    SELECT b.d, w.dist + 1
+    FROM walk w JOIN bidir b ON b.s = w.node
+    WHERE w.dist < 6
+)
+SELECT node AS p_partkey, CAST(min(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@query("bfs_copurchase_distances", oracle=_BFS_ORACLE)
+def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the lowest-keyed part to every part within 6
+    hops of the co-purchase graph — synchronous frontier BFS (per
+    round one frontier⋈edges equi-join + one anti-join against
+    visited; work proportional to edges touched, the shape that holds
+    on a 100 TB graph). The oracle walks the same graph with a
+    recursive CTE and takes min(dist) — identical semantics, viable
+    only at oracle scale."""
+    li = Catalog(spark, sf_dir).lineitem
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .drop("w")
+        .localCheckpoint()
+    )
+    # Deterministic source: the smallest node id in the edge set
+    # (bounded one-row collect, same convention as the IVF codebook).
+    source = edges.agg(
+        F.min(F.least("u", "v")).alias("s0")
+    ).collect()[0]["s0"]
+    return G.bfs_distances(edges, source).select(
+        F.col("node").alias("p_partkey"), "dist"
+    )
+
+
+# ---- item-item co-occurrence cosine similarity ------------------------------
+
+_ITEM_SIM_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT l_partkey, count(*) AS n FROM po GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM po a JOIN po b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+w AS (
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM pairs GROUP BY part_a, part_b HAVING count(*) >= 2
+)
+SELECT w.part_a, w.part_b, w.n_common,
+       w.n_common / sqrt(na.n * nb.n) AS cosine
+FROM w
+JOIN n_ord na ON na.l_partkey = w.part_a
+JOIN n_ord nb ON nb.l_partkey = w.part_b
+"""
+
+
+@query("item_cooccurrence_similarity", oracle=_ITEM_SIM_ORACLE)
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores: cosine similarity of
+    parts over the order-incidence matrix, n_common/√(n_a·n_b), kept
+    for pairs sharing ≥2 orders. The ≥2 support floor IS the scale
+    control — it prunes the quadratic co-occurrence tail before the
+    join against per-part order counts (cf. Twitter's DIMSUM; here
+    exact because support already bounds the candidate set)."""
+    li = Catalog(spark, sf_dir).lineitem
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    w = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+    na = n_ord.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("na")
+    )
+    nb = n_ord.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")
+    )
+    return (
+        w.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_common",
+            (F.col("n_common") / F.sqrt(F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
 # ---- TPC-H Q17 analogue: small-quantity part revenue by brand ---------------
 
 # The 0.2·avg(qty) threshold is decorrelated into a per-part aggregate

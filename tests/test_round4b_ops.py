@@ -57,3 +57,75 @@ def test_triangle_free_graph_returns_empty(spark):
     cyc = [(i, (i + 1) % 6) for i in range(6)]
     df = spark.createDataFrame(cyc, "u long, v long")
     assert G.triangles_per_node(df).count() == 0
+
+
+def _brute_bfs(edges, source, max_hops):
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {source: 0}
+    frontier = [source]
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for x in frontier:
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = hop
+                    nxt.append(y)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_brute_force_on_random_graphs(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40 + trial * 20
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)
+        ]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r.node: r.dist for r in G.bfs_distances(df, 0).collect()}
+        assert got == _brute_bfs(edges, 0, 6), f"trial {trial}"
+
+
+def test_bfs_early_exits_and_respects_hop_cap(spark):
+    # Path 0-1-2-...-9: with max_hops=4 only nodes 0..4 are reachable.
+    path = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(path, "u long, v long")
+    got = {
+        r.node: r.dist
+        for r in G.bfs_distances(df, 0, max_hops=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+# ---- plan gates for the decorrelated join shapes ----------------------------
+
+
+def test_sole_supplier_uses_anti_join(spark, sf_dir):
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+    from tests.test_plans import plan_of
+
+    text = plan_of(QUERIES["sole_supplier_orders"](spark, sf_dir))
+    assert "LeftAnti" in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_small_qty_broadcasts_part_dim(spark, sf_dir):
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+    from tests.test_plans import plan_of
+
+    text = plan_of(QUERIES["small_qty_brand_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_triangle_plan_has_no_cartesian_product(spark, sf_dir):
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+    from tests.test_plans import plan_of
+
+    text = plan_of(QUERIES["triangle_parts_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
