@@ -441,6 +441,113 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- changepoint score: rolling mean shift per event type -------------------
+
+_MEAN_SHIFT_ORACLE = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS m
+    FROM events GROUP BY 1, 2
+),
+sh AS (
+    SELECT event_type, day,
+           avg(m) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS m_after,
+           count(*) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS n_after,
+           avg(m) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m_before,
+           count(*) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_before
+    FROM daily
+)
+SELECT event_type, day, m_after - m_before AS shift
+FROM sh WHERE n_after = 3 AND n_before = 3
+"""
+
+
+@query("mean_shift_scores", oracle=_MEAN_SHIFT_ORACLE)
+def mean_shift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint scoring: for each (event_type, day), the difference
+    between the trailing-3-day and leading-3-day means of the daily
+    value series — a windowed mean-shift statistic (the
+    non-recursive cousin of CUSUM, so it stays inside ANSI window
+    frames and whole-stage codegen instead of a stateful UDF).
+    Pre-aggregating to days first bounds every window at 7 rows per
+    series regardless of raw event volume."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("m"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    after = w.rowsBetween(1, 3)
+    before = w.rowsBetween(-3, -1)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.avg("m").over(after).alias("m_after"),
+            F.count(F.lit(1)).over(after).alias("n_after"),
+            F.avg("m").over(before).alias("m_before"),
+            F.count(F.lit(1)).over(before).alias("n_before"),
+        )
+        .where((F.col("n_after") == 3) & (F.col("n_before") == 3))
+        .select(
+            "event_type",
+            "day",
+            (F.col("m_after") - F.col("m_before")).alias("shift"),
+        )
+    )
+
+
+# ---- per-dimension embedding standardization --------------------------------
+
+_DIM_SCALE_ORACLE = """
+WITH longf AS (
+    SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+           CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS x
+    FROM embeddings, range(256) t(i)
+    WHERE t.i < len(embedding)
+),
+stats AS (
+    SELECT dim, min(x) AS lo, max(x) AS hi
+    FROM longf GROUP BY dim
+)
+SELECT l.vec_id, l.dim, (l.x - s.lo) / (s.hi - s.lo) AS scaled
+FROM longf l JOIN stats s ON s.dim = l.dim
+WHERE l.vec_id < 32
+"""
+
+
+@query("embedding_dim_scale", oracle=_DIM_SCALE_ORACLE)
+def embedding_dim_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max scaling of the embedding matrix (the
+    feature-scaling pass before clustering/ANN): posexplode to long
+    form, one 64-group min/max aggregation, broadcast the 64-row
+    stats back onto the long form. Min/max are selections — unlike
+    mean/stddev they are bit-exact under any accumulation order, so
+    the scaled output is engine-identical without decimal machinery.
+    Output restricted to the first 32 vectors to keep the oracle diff
+    small; the plan is output-size-independent."""
+    emb = Catalog(spark, sf_dir).embeddings
+    longf = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("vec_id", "dim", F.col("val").cast("double").alias("x"))
+    stats = longf.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    return (
+        longf.join(F.broadcast(stats), "dim")
+        .where(F.col("vec_id") < 32)
+        .select(
+            "vec_id",
+            "dim",
+            ((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "scaled"
+            ),
+        )
+    )
+
+
 # ---- Welch two-sample t-test: purchase vs click values ----------------------
 
 _TTEST_ORACLE = """
