@@ -617,3 +617,145 @@ def welch_ttest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dof"),
     )
+
+# ---- k-anonymity audit over quasi-identifiers -------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+    SELECT n.n_name, c.c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+)
+SELECT n_name, c_mktsegment, group_size, group_size < 5 AS below_k
+FROM g
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (nation, market-segment)
+    quasi-identifier: equivalence-class sizes with a below-k=5 flag —
+    the privacy gate a training corpus runs before release. One
+    keyed aggregation with map-side partials; the nation dim is
+    broadcast."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < 5).alias("below_k"),
+        )
+    )
+
+
+# ---- referential-integrity audit across the star schema ---------------------
+
+_RI_ORACLE = """
+SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+"""
+
+
+@query("referential_integrity_audit", oracle=_RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key counts for every edge of the star schema —
+    the cross-table extension of the single-table quality profile
+    (SURVEY §2.2 P5/P6). Each relationship is one left-anti join
+    keyed on the FK; dimension sides are broadcast so the fact table
+    is scanned, never shuffled."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+
+    def orphans(child: DataFrame, key_col: str, parent: DataFrame,
+                pkey: str, label: str) -> DataFrame:
+        return (
+            child.select(F.col(key_col))
+            .join(
+                F.broadcast(parent.select(F.col(pkey).alias(key_col))),
+                key_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", cat.orders, "o_orderkey", "lineitem->orders")
+        .union(
+            orphans(
+                cat.orders, "o_custkey", cat.customer, "c_custkey",
+                "orders->customer",
+            )
+        )
+        .union(orphans(li, "l_partkey", cat.part, "p_partkey", "lineitem->part"))
+        .union(
+            orphans(
+                li, "l_suppkey", cat.supplier, "s_suppkey",
+                "lineitem->supplier",
+            )
+        )
+    )
+
+
+# ---- top event-type trigrams per volume -------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+    SELECT event_type || '>' || t2 || '>' || t3 AS trigram
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY trigram
+"""
+
+
+@query("top_event_trigrams", oracle=_TRIGRAM_ORACLE)
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-step path mining: counts of consecutive
+    event-type trigrams per user stream (the 3-gram extension of the
+    transition matrix). lead() over the per-user time order keeps it
+    one shuffle; the event_id tiebreak makes duplicate timestamps
+    deterministic."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
