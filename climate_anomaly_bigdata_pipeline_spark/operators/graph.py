@@ -87,6 +87,52 @@ def pagerank(
     return ranks
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Weighted co-occurrence edge list: ``(u, v, w)`` where u < v are
+    items sharing a group and ``w`` counts the shared groups, kept at
+    ``w >= min_support``. Built by collecting each group's distinct
+    sorted item set and exploding its C(n,2) combinations — one keyed
+    shuffle, versus two for the naive distinct + self-join on the
+    group key (and the array form never materializes the join's hash
+    table of the whole item set per key). Per-group work is C(n,2);
+    pathological groups (a group containing 1% of all items) should
+    be capped upstream, same as the LSH bucket-overflow guard.
+    """
+    sets = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("it")).alias("items"))
+        .where(F.size("items") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"), i + 2, F.size(F.col("items"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("u"), y.alias("v")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_support)
+    )
+
+
 def triangles_per_node(
     edges: DataFrame, u_col: str = "u", v_col: str = "v"
 ) -> DataFrame:

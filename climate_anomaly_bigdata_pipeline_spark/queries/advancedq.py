@@ -57,21 +57,9 @@ def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c triple join; the triangle set is orientation-invariant, so
     both enumerate exactly the same triangles."""
     li = Catalog(spark, sf_dir).lineitem
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        po.alias("a")
-        .join(po.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-    )
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .drop("w")
-    )
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).drop("w")
     return G.triangles_per_node(edges).select(
         F.col("node").alias("p_partkey"), "n_triangles"
     )
@@ -111,19 +99,8 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE and takes min(dist) — identical semantics, viable
     only at oracle scale."""
     li = Catalog(spark, sf_dir).lineitem
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        po.alias("a")
-        .join(po.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-    )
     edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
         .drop("w")
         .localCheckpoint()
     )
@@ -170,19 +147,12 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     po = li.select("l_orderkey", "l_partkey").distinct()
     n_ord = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        po.alias("a")
-        .join(po.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-    )
-    w = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .where(F.col("n_common") >= 2)
+    w = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("w").alias("n_common"),
     )
     na = n_ord.select(
         F.col("l_partkey").alias("part_a"), F.col("n").alias("na")
