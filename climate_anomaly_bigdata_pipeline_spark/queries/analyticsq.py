@@ -773,11 +773,19 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # base is distinct and the reversed copy can't collide with the
+    # forward one (src/dst id spaces are disjoint by the +1000000
+    # offset), so the union is already duplicate-free — the oracle's
+    # UNION DISTINCT dedups nothing and Spark needn't shuffle for it.
     edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).distinct()
+    )
+    # The rank table is |customers|+|suppliers| rows — dimension-sized,
+    # inside the broadcast threshold at any SF this engine targets per
+    # executor; the operator's shuffle-join default remains the
+    # unbounded-|V| path.
     ranks = G.pagerank(
-        edges, damping=_PR_DAMPING, n_iter=_PR_ITERS
+        edges, damping=_PR_DAMPING, n_iter=_PR_ITERS, broadcast_ranks=True
     )
     return (
         ranks.select("node", F.round(F.col("rank"), 10).alias("rank"))
