@@ -1,0 +1,291 @@
+"""Distributional statistics queries: degree assortativity of the
+co-purchase graph, per-group Gini concentration, a Benford first-digit
+audit, and percent-of-parent revenue shares.
+
+Each is a one-or-two-aggregation shape whose inputs are made
+order-independent (integer-exact doubles, DECIMAL money sums, or pure
+counts) so the scalar statistic is bit-identical in any engine — the
+same parity recipe as the moments/PageRank queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import graph as G
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+
+# ---- degree assortativity of the co-purchase graph --------------------------
+
+# Newman's degree assortativity = Pearson correlation of endpoint
+# degrees over the (directed-both-ways) edge list. Degrees are small
+# integers, so every sum below is integer-valued and exact in double:
+# the final r is deterministic scalar algebra.
+_ASSORT_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM po a JOIN po b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+bidir AS (SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT s AS node, CAST(count(*) AS DOUBLE) AS k FROM bidir GROUP BY s),
+ends AS (
+    SELECT ds.k AS ks, dd.k AS kd
+    FROM bidir b
+    JOIN deg ds ON ds.node = b.s
+    JOIN deg dd ON dd.node = b.d
+),
+m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(ks) AS sx, sum(kd) AS sy,
+           sum(ks * kd) AS sxy, sum(ks * ks) AS sxx, sum(kd * kd) AS syy
+    FROM ends
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           AS assortativity
+FROM m
+"""
+
+
+@query("copurchase_degree_assortativity", oracle=_ASSORT_ORACLE)
+def copurchase_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman degree assortativity of the part co-purchase graph: do
+    high-degree parts co-occur with other high-degree parts? Degrees
+    join onto both endpoints of the symmetrized edge list (two
+    dimension-sized joins), then one global aggregation of
+    integer-exact products — bit-deterministic without decimals."""
+    li = Catalog(spark, sf_dir).lineitem
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    bidir = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = bidir.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("k")
+    )
+    ends = (
+        bidir.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("s"), F.col("k").alias("ks"))
+            ),
+            "s",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("d"), F.col("k").alias("kd"))
+            ),
+            "d",
+        )
+        .select("ks", "kd")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ks").alias("sx"),
+        F.sum("kd").alias("sy"),
+        F.sum(F.col("ks") * F.col("kd")).alias("sxy"),
+        F.sum(F.col("ks") * F.col("ks")).alias("sxx"),
+        F.sum(F.col("kd") * F.col("kd")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        n.cast("long").alias("n_edge_ends"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("assortativity"),
+    )
+
+
+# ---- Gini concentration of order value per nation ---------------------------
+
+# Gini from the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+# ascending-sorted values. Money rides DECIMAL; ranks are exact; the
+# (value, orderkey) sort key makes equal totals deterministic.
+_GINI_ORACLE = """
+WITH o AS (
+    SELECT n.n_name,
+           CAST(o.o_totalprice AS DECIMAL(18,6)) AS x,
+           row_number() OVER (PARTITION BY n.n_name
+                              ORDER BY o.o_totalprice, o.o_orderkey) AS i
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+g AS (
+    SELECT n_name, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(x * i) AS DOUBLE) AS sxi
+    FROM o GROUP BY n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+       2.0 * sxi / (n * sx) - (n + 1.0) / n AS gini
+FROM g
+"""
+
+
+@query("gini_order_value_by_nation", oracle=_GINI_ORACLE)
+def gini_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per nation — the
+    inequality metric for spend distribution. One window rank per
+    nation partition + one grouped aggregation; money sums in exact
+    DECIMAL with a deterministic (value, orderkey) tiebreak so the
+    rank-weighted sum is engine-identical."""
+    cat = Catalog(spark, sf_dir)
+    o = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("o_totalprice").cast("decimal(18,6)").alias("x"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).cast("double").alias("sxi"),
+    )
+    n = F.col("n")
+    return g.select(
+        "n_name",
+        n.cast("long").alias("n_orders"),
+        (2.0 * F.col("sxi") / (n * F.col("sx")) - (n + 1.0) / n).alias("gini"),
+    )
+
+
+# ---- Benford first-digit audit of order totals ------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT digit, n,
+       n / total AS observed_p,
+       log10(1.0 + 1.0 / digit) AS benford_p,
+       n / total - log10(1.0 + 1.0 / digit) AS deviation
+FROM c, t
+"""
+
+
+@query("benford_first_digit_orders", oracle=_BENFORD_ORACLE)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit
+    frequencies against log10(1+1/d) — the fraud/synthetic-data
+    smell test. Digit extraction is string slicing of the integer
+    part (no float log tricks, so the bucketing is exact); one 9-row
+    aggregation plus a scalar total attached by cross join of a
+    1-row aggregate."""
+    o = Catalog(spark, sf_dir).orders
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    benford_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("total")).alias("observed_p"),
+        benford_p.alias("benford_p"),
+        (F.col("n") / F.col("total") - benford_p).alias("deviation"),
+    )
+
+
+# ---- percent-of-parent revenue shares ---------------------------------------
+
+_SHARE_ORACLE = """
+WITH r AS (
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS rev
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+)
+SELECT n_name, yr,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(round(rev, 2) AS DOUBLE)
+           / CAST(round(sum(rev) OVER (PARTITION BY n_name), 2) AS DOUBLE)
+           AS share_of_nation,
+       CAST(round(rev, 2) AS DOUBLE)
+           / CAST(round(sum(rev) OVER (), 2) AS DOUBLE) AS share_of_total
+FROM r
+"""
+
+
+@query("revenue_share_nation_year", oracle=_SHARE_ORACLE)
+def revenue_share_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent analysis: each (nation, year) revenue cell's
+    share within its nation and of the grand total — two window sums
+    over the ALREADY-AGGREGATED groups-sized table (never a second
+    pass over lineitem). DECIMAL revenue keeps the parent sums exact,
+    so the shares are deterministic double division."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (1 - F.col("l_discount").cast("decimal(18,6)"))
+            ).alias("rev")
+        )
+    )
+    w_nation = Window.partitionBy("n_name")
+    w_all = Window.partitionBy()
+    # Scale-2 decimals convert to double exactly (cents < 2^53), so the
+    # shares are identical-double division; the raw scale-12 sums need
+    # >53 mantissa bits and their double conversion can differ by an
+    # ulp between engines.
+    r2 = F.round("rev", 2).cast("double")
+    return rev.select(
+        "n_name",
+        "yr",
+        r2.alias("revenue"),
+        (
+            r2 / F.round(F.sum("rev").over(w_nation), 2).cast("double")
+        ).alias("share_of_nation"),
+        (
+            r2 / F.round(F.sum("rev").over(w_all), 2).cast("double")
+        ).alias("share_of_total"),
+    )
