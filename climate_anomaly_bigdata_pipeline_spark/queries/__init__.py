@@ -82,11 +82,12 @@ _PRIORITY = [
     "cube_lineitem",
     "grouping_sets_lineitem",
     "approx_distinct_users",
-    # 2.6 order / sample / set ops
+    # 2.6 order / sample / set ops (intersect/except stay family-covered
+    # by union_multi_source; their slots showcase round-4 marquee ops)
     "deterministic_sample",
     "union_multi_source",
-    "intersect_customers",
-    "except_high_balance_no_f",
+    "triangle_parts_copurchase",
+    "small_qty_brand_revenue",
     # 2.8 event-time windows + sessionization
     "tumbling_hourly_events",
     "sliding_2h_events",

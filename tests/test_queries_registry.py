@@ -29,7 +29,8 @@ def test_priority_window_covers_every_family():
         "null_profile", "histogram_event_values", "percentiles_by_returnflag",
         "join_revenue_by_nation_year", "left_join_order_counts",
         "cross_join_limited", "topk_orders", "rollup_lineitem",
-        "deterministic_sample", "union_multi_source", "except_high_balance_no_f",
+        "deterministic_sample", "union_multi_source",
+        "triangle_parts_copurchase", "small_qty_brand_revenue",
         "tumbling_hourly_events", "sliding_2h_events", "sessionize_events",
         "rolling_daily_mean", "asof_click_before_purchase", "range_join_next_hour",
         "gold_supplier_dim", "gold_kpis_yearly", "gold_fact_supplier_monthly",
