@@ -101,6 +101,40 @@ def test_bfs_early_exits_and_respects_hop_cap(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
 
 
+def test_cooccurrence_edges_match_self_join(spark):
+    """The in-row C(n,2) expansion must emit exactly the pairs the
+    naive distinct+self-join would."""
+    rng = random.Random(5)
+    rows = [
+        (rng.randrange(30), rng.randrange(15)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g long, it long")
+    got = {
+        (r.u, r.v, r.w)
+        for r in G.cooccurrence_edges(df, "g", "it", min_support=2).collect()
+    }
+    po = df.distinct()
+    joined = (
+        po.alias("a")
+        .join(po.alias("b"), "g")
+        .where(F.col("a.it") < F.col("b.it"))
+        .groupBy(F.col("a.it").alias("u"), F.col("b.it").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    want = {(r.u, r.v, r.w) for r in joined.collect()}
+    assert got == want
+
+
+def test_cooccurrence_edges_plan_has_no_join(spark):
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 2)], "g long, it long")
+    from tests.test_plans import plan_of
+
+    text = plan_of(G.cooccurrence_edges(df, "g", "it"))
+    for marker in ("Join", "CartesianProduct"):
+        assert marker not in text, text
+
+
 # ---- plan gates for the decorrelated join shapes ----------------------------
 
 
