@@ -109,6 +109,8 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = edges.agg(
         F.min(F.least("u", "v")).alias("s0")
     ).collect()[0]["s0"]
+    if source is None:  # no qualifying edges at this SF: empty result
+        return spark.createDataFrame([], "p_partkey long, dist int")
     return G.bfs_distances(edges, source).select(
         F.col("node").alias("p_partkey"), "dist"
     )

@@ -96,3 +96,114 @@ def png_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return MM.decode_image(images)
+
+
+# ---- WAV encode→decode profile ----------------------------------------------
+
+# Deterministic synthetic audio: each doc renders a constant-amplitude
+# 16-bit PCM mono clip whose amplitude/length derive from doc_id, so
+# the DECODED profile is SQL-predictable. Constant samples make
+# rms == amplitude exactly (sqrt of a perfect square); sample counts
+# are multiples of 16 so duration_s = k/1000 carries no rounding
+# hazard at round(·, 6).
+_WAV_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(160 + 16 * (doc_id % 41) AS BIGINT) AS n_samples,
+       (10 + doc_id % 41) / 1000.0 AS duration_s,
+       CAST(doc_id % 1000 AS DOUBLE) AS rms
+FROM documents
+"""
+
+
+@query("wav_decode_profile", oracle=_WAV_DECODE_ORACLE)
+def wav_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode, end to end on the executors: every doc renders a
+    deterministic constant-amplitude PCM WAV (stdlib ``wave`` writer)
+    and ``decode_audio`` (Arrow-batched mapInPandas) parses it back to
+    (sample_rate, channels, n_samples, duration_s, rms). The oracle
+    predicts the decoded profile in SQL — PCM is lossless and the
+    constant signal makes rms integer-exact. Same plumbing a real
+    audio corpus would flow through, minus the compressed-codec stub."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 160 + 16 * (doc_id % 41)
+                amp = doc_id % 1000
+                samples = np.full(n, amp, dtype=np.int16)
+                payloads.append(MM.encode_wav(samples, sample_rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return MM.decode_audio(clips)
+
+
+# ---- raw-video frame sampling profile ---------------------------------------
+
+# Deterministic synthetic clips: n frames of (h, w, 3) constant color,
+# sampled every 3rd frame. The per-doc profile of the KEPT frames is
+# pure integer arithmetic — kept = ceil(n/3), frame indices are
+# 0,3,6,..., and each re-encoded P6 payload is exactly
+# 11 + 3·w·h bytes (single-digit dims) — so the whole demux → sample →
+# re-encode path sits under a hash-exact SQL oracle.
+_FRAME_SAMPLE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           4 + doc_id % 3 AS w,
+           3 + doc_id % 2 AS h,
+           6 + doc_id % 10 AS n
+    FROM documents
+),
+k AS (SELECT doc_id, w, h, (n + 2) // 3 AS kept FROM p)
+SELECT doc_id,
+       CAST(kept AS BIGINT) AS n_frames_kept,
+       CAST(3 * kept * (kept - 1) / 2 AS BIGINT) AS sum_frame_idx,
+       CAST(11 + 3 * w * h AS BIGINT) AS frame_bytes
+FROM k
+"""
+
+
+@query("video_frame_sample_profile", oracle=_FRAME_SAMPLE_ORACLE)
+def video_frame_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, end to end on the executors: every doc
+    renders a deterministic raw-RGB clip (6-15 constant-color frames),
+    ``sample_frames`` demuxes and keeps every 3rd frame re-encoded as
+    a standalone P6 payload, and the query profiles the kept frames
+    per doc (count, index sum, per-frame byte size). All-integer
+    outputs, SQL-predicted — the multimodal pipeline's demux/sample
+    stage under the same oracle discipline as the PNG/WAV codecs."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 4 + doc_id % 3, 3 + doc_id % 2
+                n = 6 + doc_id % 10
+                frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+                for i in range(n):
+                    frames[i] = (doc_id + i) % 256
+                payloads.append(MM.encode_raw_video(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    kept = MM.sample_frames(clips, every_n=3)
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_kept"),
+        F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+        F.max(F.length("payload")).cast("long").alias("frame_bytes"),
+    )
