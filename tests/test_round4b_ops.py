@@ -163,3 +163,51 @@ def test_triangle_plan_has_no_cartesian_product(spark, sf_dir):
     text = plan_of(QUERIES["triangle_parts_copurchase"](spark, sf_dir))
     assert "CartesianProduct" not in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+# ---- distributional statistics invariants -----------------------------------
+
+
+def test_gini_matches_numpy_and_stays_in_unit_interval(spark, sf_dir):
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["gini_order_value_by_nation"](spark, sf_dir).collect()
+    assert rows, "expected one row per nation"
+    got = {r.n_name: (r.n_orders, r.gini) for r in rows}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    ref = con.execute(
+        """SELECT n_name, list(o_totalprice ORDER BY o_totalprice, o_orderkey)
+           FROM orders o JOIN customer c ON c.c_custkey=o.o_custkey
+           JOIN nation n ON n.n_nationkey=c.c_nationkey GROUP BY n_name"""
+    ).fetchall()
+    for name, xs in ref:
+        x = np.sort(np.asarray(xs, dtype=float))
+        n = len(x)
+        want = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+        n_got, g_got = got[name]
+        assert n_got == n
+        assert abs(g_got - want) < 1e-9
+        assert 0.0 <= g_got < 1.0
+
+
+def test_assortativity_within_bounds(spark, sf_dir):
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    row = QUERIES["copurchase_degree_assortativity"](spark, sf_dir).collect()
+    assert len(row) == 1
+    assert -1.0 <= row[0].assortativity <= 1.0
+    assert row[0].n_edge_ends > 0
