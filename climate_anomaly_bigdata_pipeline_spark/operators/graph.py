@@ -155,14 +155,25 @@ def triangles_per_node(
     bound that makes triangle counting feasible on a 100 TB edge set.
     A wedge a→b, a→c closes iff the oriented edge b→c exists; each
     triangle is found exactly once, then exploded to its 3 vertices.
+    Self-loops are dropped up front (an oriented u→u would otherwise
+    fabricate a wedge that "closes" through any real neighbor).
 
     All three steps are equi-joins / keyed aggregations (shuffle on
-    node id); no cross join, no driver-side collection. Returns
-    ``(node, n_triangles)`` for nodes in ≥1 triangle.
+    node id); no cross join, no driver-side collection. The canonical
+    edge set and the oriented set are each consumed by several plan
+    branches, so both are lineage-truncated with ``localCheckpoint``
+    (otherwise the upstream edge construction replays per branch).
+    Returns ``(node, n_triangles)`` for nodes in ≥1 triangle.
     """
-    e = edges.select(
-        F.least(u_col, v_col).alias("u"), F.greatest(u_col, v_col).alias("v")
-    ).distinct()
+    e = (
+        edges.select(
+            F.least(u_col, v_col).alias("u"),
+            F.greatest(u_col, v_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -185,6 +196,7 @@ def triangles_per_node(
             .alias("o")
         )
         .select(F.col("o.s").alias("s"), F.col("o.d").alias("d"))
+        .localCheckpoint()
     )
     w1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
     w2 = oriented.select(F.col("s").alias("a"), F.col("d").alias("c"))

@@ -24,14 +24,24 @@ from climate_anomaly_bigdata_pipeline_spark.queries import query
 
 # ---- triangle counting on the part co-purchase graph ------------------------
 
-_TRIANGLE_ORACLE = """
-WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Shared oracle prologue: the weighted co-purchase edge list — ONE
+# definition interpolated into every graph-query oracle so the edge
+# semantics (distinct order-part incidence, a<b canonical pairs,
+# support >= 2) can never drift between oracles or away from
+# G.cooccurrence_edges.
+COPURCHASE_CTE = """po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
     SELECT a.l_partkey AS u, b.l_partkey AS v
     FROM po a JOIN po b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+edges AS (
+    SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+    FROM pairs GROUP BY u, v HAVING count(*) >= 2
+)"""
+
+_TRIANGLE_ORACLE = f"""
+WITH {COPURCHASE_CTE},
 tri AS (
     SELECT e1.u AS a, e1.v AS b, e2.v AS c
     FROM edges e1
@@ -67,18 +77,14 @@ def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- BFS hop distances on the co-purchase graph -----------------------------
 
-_BFS_ORACLE = """
-WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
-    SELECT a.l_partkey AS u, b.l_partkey AS v
-    FROM po a JOIN po b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+_BFS_ORACLE = f"""
+WITH RECURSIVE {COPURCHASE_CTE},
 bidir AS (SELECT u AS s, v AS d FROM edges UNION SELECT v, u FROM edges),
 src AS (SELECT min(s) AS s0 FROM bidir),
 walk(node, dist) AS (
-    SELECT s0, 0 FROM src
+    -- the IS NOT NULL guard mirrors the Spark side's empty-edge-set
+    -- return: min() over zero edges yields a NULL seed, not a walk
+    SELECT s0, 0 FROM src WHERE s0 IS NOT NULL
     UNION
     SELECT b.d, w.dist + 1
     FROM walk w JOIN bidir b ON b.s = w.node
@@ -118,23 +124,14 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- item-item co-occurrence cosine similarity ------------------------------
 
-_ITEM_SIM_ORACLE = """
-WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-n_ord AS (SELECT l_partkey, count(*) AS n FROM po GROUP BY l_partkey),
-pairs AS (
-    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-    FROM po a JOIN po b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-w AS (
-    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_common
-    FROM pairs GROUP BY part_a, part_b HAVING count(*) >= 2
-)
-SELECT w.part_a, w.part_b, w.n_common,
-       w.n_common / sqrt(na.n * nb.n) AS cosine
-FROM w
-JOIN n_ord na ON na.l_partkey = w.part_a
-JOIN n_ord nb ON nb.l_partkey = w.part_b
+_ITEM_SIM_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+n_ord AS (SELECT l_partkey, count(*) AS n FROM po GROUP BY l_partkey)
+SELECT e.u AS part_a, e.v AS part_b, e.n_common,
+       e.n_common / sqrt(na.n * nb.n) AS cosine
+FROM edges e
+JOIN n_ord na ON na.l_partkey = e.u
+JOIN n_ord nb ON nb.l_partkey = e.v
 """
 
 
@@ -417,7 +414,9 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEAN_SHIFT_ORACLE = """
 WITH daily AS (
-    SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS m
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) / count(value)
+               AS m
     FROM events GROUP BY 1, 2
 ),
 sh AS (
@@ -447,9 +446,17 @@ def mean_shift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pre-aggregating to days first bounds every window at 7 rows per
     series regardless of raw event volume."""
     ev = Catalog(spark, sf_dir).events
+    # Daily mean from an exact DECIMAL sum (the rolling_daily_mean
+    # recipe): a plain double avg is accumulation-order-dependent and
+    # can drift an ulp between engines/parallelism levels.
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.avg("value").alias("m"))
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(19,4)")).cast("double")
+            / F.count("value")
+        ).alias("m")
+    )
     w = Window.partitionBy("event_type").orderBy("day")
     after = w.rowsBetween(1, 3)
     before = w.rowsBetween(-3, -1)
@@ -523,14 +530,19 @@ def embedding_dim_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Welch two-sample t-test: purchase vs click values ----------------------
 
 _TTEST_ORACLE = """
-WITH g AS (
+WITH g0 AS (
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           avg(value) AS m,
-           var_samp(value) AS v
+           CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(value * value AS DECIMAL(25,4))) AS DOUBLE) AS s2
     FROM events
     WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
     GROUP BY event_type
+),
+g AS (
+    SELECT event_type, n, s1 / n AS m,
+           (s2 - s1 * s1 / n) / (n - 1) AS v
+    FROM g0
 ),
 p AS (SELECT n, m, v FROM g WHERE event_type = 'purchase'),
 c AS (SELECT n, m, v FROM g WHERE event_type = 'click')
@@ -552,6 +564,17 @@ def welch_ttest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms; the scalar algebra runs on the 2-row result via a pivot
     (conditional aggregation), never a driver-side collect."""
     ev = Catalog(spark, sf_dir).events
+    # Moments from exact DECIMAL sums (order-independent — the repo's
+    # engine-parity recipe) with the scalar algebra in double; plain
+    # avg/var_samp merge partials in shuffle-fetch order and can drift
+    # an ulp between engines.
+    val = F.col("value")
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+
+    def _sum(cond, col, scale):
+        return F.sum(F.when(cond, col).cast(scale)).cast("double")
+
     g = (
         ev.where(
             F.col("event_type").isin("purchase", "click")
@@ -559,19 +582,25 @@ def welch_ttest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy()
         .agg(
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("nc"),
-            F.avg(
-                F.when(F.col("event_type") == "purchase", F.col("value"))
-            ).alias("mp"),
-            F.avg(
-                F.when(F.col("event_type") == "click", F.col("value"))
-            ).alias("mc"),
-            F.var_samp(
-                F.when(F.col("event_type") == "purchase", F.col("value"))
+            F.count(F.when(is_p, 1)).alias("np"),
+            F.count(F.when(is_c, 1)).alias("nc"),
+            _sum(is_p, val, "decimal(19,4)").alias("s1p"),
+            _sum(is_c, val, "decimal(19,4)").alias("s1c"),
+            _sum(is_p, val * val, "decimal(25,4)").alias("s2p"),
+            _sum(is_c, val * val, "decimal(25,4)").alias("s2c"),
+        )
+        .select(
+            "np",
+            "nc",
+            (F.col("s1p") / F.col("np")).alias("mp"),
+            (F.col("s1c") / F.col("nc")).alias("mc"),
+            (
+                (F.col("s2p") - F.col("s1p") * F.col("s1p") / F.col("np"))
+                / (F.col("np") - 1)
             ).alias("vp"),
-            F.var_samp(
-                F.when(F.col("event_type") == "click", F.col("value"))
+            (
+                (F.col("s2c") - F.col("s1c") * F.col("s1c") / F.col("nc"))
+                / (F.col("nc") - 1)
             ).alias("vc"),
         )
     )

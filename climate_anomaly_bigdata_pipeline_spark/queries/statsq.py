@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import graph as G
 from climate_anomaly_bigdata_pipeline_spark.queries import query
+from climate_anomaly_bigdata_pipeline_spark.queries.advancedq import (
+    COPURCHASE_CTE,
+)
 
 # ---- degree assortativity of the co-purchase graph --------------------------
 
@@ -23,14 +26,8 @@ from climate_anomaly_bigdata_pipeline_spark.queries import query
 # degrees over the (directed-both-ways) edge list. Degrees are small
 # integers, so every sum below is integer-valued and exact in double:
 # the final r is deterministic scalar algebra.
-_ASSORT_ORACLE = """
-WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
-    SELECT a.l_partkey AS u, b.l_partkey AS v
-    FROM po a JOIN po b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+_ASSORT_ORACLE = f"""
+WITH {COPURCHASE_CTE},
 bidir AS (SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges),
 deg AS (SELECT s AS node, CAST(count(*) AS DOUBLE) AS k FROM bidir GROUP BY s),
 ends AS (
@@ -64,8 +61,12 @@ def copurchase_degree_assortativity(
     integer-exact products — bit-deterministic without decimals."""
     li = Catalog(spark, sf_dir).lineitem
     e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
-    bidir = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
-        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    # The symmetrized edge list feeds the degree agg AND both endpoint
+    # joins — checkpoint it so the lineitem aggregation runs once.
+    bidir = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .union(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint()
     )
     deg = bidir.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("k")

@@ -32,16 +32,25 @@ def test_triangles_match_brute_force_on_random_graphs(spark):
     for trial in range(4):
         n = 20 + trial * 10
         m = 3 * n
+        # Self-loops stay IN the input: the operator must ignore them
+        # (the brute-force oracle drops them in its canonicalization).
         edges = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(m)
         ]
-        edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "u long, v long")
         got = {
             r.node: r.n_triangles
             for r in G.triangles_per_node(df).collect()
         }
         assert got == _brute_triangles_per_node(edges), f"trial {trial}"
+
+
+def test_triangles_ignore_self_loops_on_tree(spark):
+    # A tree plus a self-loop has no triangles; an oriented self-loop
+    # 1->1 would fabricate wedge (1,1,2) closing through real edge 1->2.
+    edges = [(1, 1), (1, 2), (2, 3), (2, 4), (2, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert G.triangles_per_node(df).count() == 0
 
 
 def test_triangles_count_each_triangle_once_regardless_of_duplicates(spark):
