@@ -316,33 +316,6 @@ def edit_distance_pairs(
     )
 
 
-def _common_prefix_len(df: DataFrame, text_col: str) -> int:
-    """Length of the prefix shared by EVERY value of ``text_col`` —
-    the LCP of the lexicographic min and max equals the LCP of the
-    whole column, so this is one bounded 2-row aggregate, not a scan
-    collect."""
-    row = df.agg(F.min(text_col).alias("lo"), F.max(text_col).alias("hi")).first()
-    lo, hi = row["lo"] or "", row["hi"] or ""
-    n = 0
-    for a, b in zip(lo, hi):
-        if a != b:
-            break
-        n += 1
-    return n
-
-
-def _even_split(total: Column, nseg: int, i: int) -> tuple[Column, Column]:
-    """1-based start and length of segment ``i`` when a string of length
-    ``total`` is split into ``nseg`` contiguous segments, the first
-    ``total % nseg`` of them one char longer. Must be identical on the
-    index and probe sides — both compute it from the INDEX string's
-    length."""
-    base, rem = F.floor(total / nseg).cast("int"), (total % nseg).cast("int")
-    start = F.lit(i) * base + F.least(F.lit(i), rem) + 1
-    length = base + F.when(F.lit(i) < rem, 1).otherwise(0)
-    return start.cast("int"), length.cast("int")
-
-
 def _offset_tuple_feasible(ds: tuple[int, ...], delta: int, k: int) -> bool:
     """Whether a tuple of per-segment shifts is realizable by ≤k edits.
 
@@ -442,7 +415,28 @@ def _segment_candidates_raw(
             f"{nseg - k} unbroken segments; min_matches={m} would miss pairs"
         )
     combos = list(combinations(range(nseg), m))
-    p = _common_prefix_len(df, text_col) if prefix_len is None else prefix_len
+    # ONE pre-pass over the corpus computes both driver-side scalars:
+    # the lexicographic min/max (whose LCP is the whole column's LCP)
+    # and the distinct raw-text lengths (bounded to 10k via sort+slice;
+    # stripped lengths are derived by subtracting p afterwards) —
+    # previously two separate full-scan jobs.
+    row = df.agg(
+        F.min(text_col).alias("lo"),
+        F.max(text_col).alias("hi"),
+        F.slice(
+            F.array_sort(F.collect_set(F.length(text_col))), 1, 10_001
+        ).alias("lens"),
+    ).first()
+    if prefix_len is None:
+        lo, hi = row["lo"] or "", row["hi"] or ""
+        p = 0
+        for a, b in zip(lo, hi):
+            if a != b:
+                break
+            p += 1
+    else:
+        p = prefix_len
+    raw_lens = list(row["lens"] or [])
 
     base = df.select(
         *block_cols,
@@ -514,16 +508,13 @@ def _segment_candidates_raw(
                 probe_desc.append(_descriptor(ci, combo, ds, delta))
     # Partner lengths that don't occur in the data can't match anything:
     # prune those emissions right after the explode, before any
-    # substring work or shuffle. The distinct-length set is a bounded
-    # driver-side collect (strings have few distinct lengths); on an
-    # equal-length corpus this drops every Δ>0 emission (k=2, nseg=4,
-    # m=2: 54 of 96 per row).
-    real_lens = [
-        r[0] for r in base.select(F.col("_len")).distinct().limit(10_000).collect()
-    ]
+    # substring work or shuffle (on an equal-length corpus this drops
+    # every Δ>0 emission — k=2, nseg=4, m=2: 54 of 96 per row). The
+    # length set rode the single pre-pass aggregate above.
+    real_lens = [ln - p for ln in raw_lens]
     probe = base.withColumn("_e", F.explode(F.array(*probe_desc)))
     partner_len = F.col("_len") + F.col("_e.dl")
-    if len(real_lens) < 10_000:
+    if 0 < len(real_lens) <= 10_000:
         probe = probe.filter(partner_len.isin(real_lens))
     p_valid, p_txt = _seg_key(partner_len, F.col("_e"))
     probe = probe.filter(p_valid).select(
@@ -851,6 +842,16 @@ def connected_components_star(
             )
             if non_star == 0:
                 break
+    else:
+        # Truncated output would be silently WRONG (labels one or more
+        # hops from the component minimum, possibly contradictory rows
+        # per node) — unlike plain propagation there is no partial-
+        # progress interpretation, so refuse loudly.
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} rounds; raise max_iter "
+            f"(O(log^2 n) rounds suffice for any graph)"
+        )
 
     # At the fixpoint every edge is (member, component_min); the min
     # itself and isolated nodes (self-pairs) label themselves.

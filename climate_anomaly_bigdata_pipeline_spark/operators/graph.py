@@ -61,6 +61,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty edge list: empty rank table, not a ZeroDivision
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Degree rides the edge table through the loop (computed once).
     ed = e.join(deg, "src").localCheckpoint()

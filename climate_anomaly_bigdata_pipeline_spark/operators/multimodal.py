@@ -201,42 +201,64 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _filter_scanline(f: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
-    out = bytearray(len(cur))
-    for i in range(len(cur)):
-        a = cur[i - bpp] if i >= bpp else 0
-        b = prev[i]
-        c = prev[i - bpp] if i >= bpp else 0
-        if f == 0:
-            pred = 0
-        elif f == 1:
-            pred = a
-        elif f == 2:
-            pred = b
-        elif f == 3:
-            pred = (a + b) >> 1
-        else:
-            pred = _paeth(a, b, c)
-        out[i] = (cur[i] - pred) & 0xFF
-    return bytes(out)
+    """FILTER (encode) one scanline — fully vectorized: every predictor
+    reads RAW bytes of cur/prev (no recurrence on encode), so all five
+    filter types are one numpy expression over the scanline."""
+    c = np.frombuffer(cur, dtype=np.uint8).astype(np.int16)
+    p = np.frombuffer(prev, dtype=np.uint8).astype(np.int16)
+    a = np.zeros_like(c)
+    a[bpp:] = c[:-bpp]
+    cc = np.zeros_like(p)
+    cc[bpp:] = p[:-bpp]
+    if f == 0:
+        pred = np.zeros_like(c)
+    elif f == 1:
+        pred = a
+    elif f == 2:
+        pred = p
+    elif f == 3:
+        pred = (a + p) >> 1
+    else:
+        q = a + p - cc
+        pa, pb, pc = np.abs(q - a), np.abs(q - p), np.abs(q - cc)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, p, cc))
+    return ((c - pred) & 0xFF).astype(np.uint8).tobytes()
 
 
 def _unfilter_scanline(f: int, cur: bytearray, prev: bytes, bpp: int) -> None:
-    for i in range(len(cur)):
+    """UNFILTER (decode) one scanline in place. None/Up are pure
+    elementwise ops and Sub is a per-channel running sum (cumsum mod
+    256) — all vectorized. Average and Paeth carry a true sequential
+    dependency through the just-reconstructed left neighbor, so they
+    keep the per-byte loop (the price of those two filter types, not
+    of the codec)."""
+    n = len(cur)
+    if f == 0:
+        return
+    if f == 2:
+        out = (
+            np.frombuffer(bytes(cur), dtype=np.uint8).astype(np.int16)
+            + np.frombuffer(prev, dtype=np.uint8).astype(np.int16)
+        ) & 0xFF
+        cur[:] = out.astype(np.uint8).tobytes()
+        return
+    if f == 1:
+        # x[i] = f[i] + x[i-bpp]  ==  per-channel cumsum mod 256.
+        arr = np.frombuffer(bytes(cur), dtype=np.uint8)
+        pad = (-n) % bpp
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+        ch = arr.reshape(-1, bpp).astype(np.int64)
+        out = (np.cumsum(ch, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        cur[:] = out[:n].tobytes()
+        return
+    if f not in (3, 4):
+        raise ValueError(f"unknown PNG filter type {f}")
+    for i in range(n):
         a = cur[i - bpp] if i >= bpp else 0
         b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
-        if f == 0:
-            pred = 0
-        elif f == 1:
-            pred = a
-        elif f == 2:
-            pred = b
-        elif f == 3:
-            pred = (a + b) >> 1
-        elif f == 4:
-            pred = _paeth(a, b, c)
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
+        pred = (a + b) >> 1 if f == 3 else _paeth(a, b, c)
         cur[i] = (cur[i] + pred) & 0xFF
 
 

@@ -84,6 +84,8 @@ def cms_estimates_df(
             probes.setdefault(
                 (d, _md5_bucket_py(str(it), seed + d, width)), []
             ).append(it)
+    if not probes:  # no items: nothing to probe (reduce() would raise)
+        return {}
     cond = functools.reduce(
         operator.or_,
         [(F.col("d") == d) & (F.col("b") == b) for d, b in probes],
@@ -107,6 +109,7 @@ def quantile_digest_rollup(
     quantiles: list[float],
     n_bins: int = 512,
     total_label: str = "__total__",
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Mergeable quantile digests with a per-group + grand-total rollup
     — the quantile member of the sketch family next to HLL
@@ -134,11 +137,16 @@ def quantile_digest_rollup(
     """
     from pyspark.sql import Window
 
-    row = df.agg(
-        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
-    ).first()
-    mn, mx = float(row["mn"]), float(row["mx"])
-    w = (mx - mn) / n_bins if mx > mn else 1.0
+    if bounds is None:
+        row = df.agg(
+            F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+        ).first()
+        bounds = (row["mn"], row["mx"])
+    if bounds[0] is None:  # empty/all-null input: empty digest, not a crash
+        mn, w = 0.0, 1.0
+    else:
+        mn, mx = float(bounds[0]), float(bounds[1])
+        w = (mx - mn) / n_bins if mx > mn else 1.0
 
     bin_expr = F.least(
         F.lit(n_bins - 1),

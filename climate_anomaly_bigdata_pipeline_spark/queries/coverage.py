@@ -555,10 +555,11 @@ def quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from climate_anomaly_bigdata_pipeline_spark.operators import sketches as SK
 
     ev = Catalog(spark, sf_dir).events
-    est = SK.quantile_digest_rollup(
-        ev, "event_type", "value", quantiles=[0.5, 0.95], n_bins=512
-    )
     row = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).first()
+    est = SK.quantile_digest_rollup(
+        ev, "event_type", "value", quantiles=[0.5, 0.95], n_bins=512,
+        bounds=(row["mn"], row["mx"]),
+    )
     spread = float(row["mx"]) - float(row["mn"])
     # 3 bins of digest error, plus an order-statistic-gap allowance of
     # O(spread/n): exact quantiles interpolate between order statistics
@@ -844,9 +845,11 @@ def hll_sliding_from_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: exact distinct count + a within-5% certificate on the
     merged estimate (lgK=12 ≈ 1.6% rse)."""
     ev = Catalog(spark, sf_dir).events
+    # hourly feeds both join sides — checkpoint so the scan + sketch
+    # shuffle runs once, not per branch.
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ).agg(F.hll_sketch_agg("user_id").alias("sk")).localCheckpoint()
     nxt = hourly.select(
         (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"),
         F.col("sk").alias("sk_next"),
