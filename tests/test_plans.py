@@ -284,10 +284,12 @@ def test_star_cc_round_plan_no_cartesian(spark):
 
     from climate_anomaly_bigdata_pipeline_spark.operators import dedup as D
 
+    # max_iter must allow convergence: star CC now REFUSES to emit a
+    # truncated (silently wrong) labeling.
     edges = spark.range(1000).select(
         F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
     )
-    out = D.connected_components_star(edges, max_iter=2)
+    out = D.connected_components_star(edges, max_iter=50)
     plan = plan_of(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
