@@ -760,3 +760,147 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---- TPC-H Q11 analogue: significant parts by inventory value ---------------
+
+_SIGNIFICANT_PARTS_ORACLE = """
+WITH pv AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(val) AS t FROM pv)
+SELECT l_partkey AS p_partkey,
+       CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE CAST(round(val, 2) AS DOUBLE) > CAST(round(t, 2) AS DOUBLE) * 0.0005
+"""
+
+
+@query("significant_parts_by_value", oracle=_SIGNIFICANT_PARTS_ORACLE)
+def significant_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction of
+    the GLOBAL total — the having-scalar-subquery pattern. The global
+    total is a window sum over the already-aggregated per-part table
+    (groups-sized), never a second lineitem pass; the comparison runs
+    in exact DECIMAL so the cut is order-independent."""
+    li = Catalog(spark, sf_dir).lineitem
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
+    )
+    tot = Window.partitionBy()
+    # The cut compares scale-2 decimals converted to double (exact:
+    # cents < 2^53) — a DECIMAL product would overflow precision 38 and
+    # round differently per engine, and the raw scale-6 total needs
+    # >53 mantissa bits (the revenue_share lesson).
+    v2 = F.round("val", 2).cast("double")
+    return (
+        pv.withColumn("t", F.sum("val").over(tot))
+        .where(v2 > F.round("t", 2).cast("double") * 0.0005)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            v2.alias("part_value"),
+        )
+    )
+
+
+# ---- TPC-H Q20 analogue: top supplier share per part ------------------------
+
+_TOP_SUPPLIER_SHARE_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+    SELECT l_partkey, l_suppkey, qty,
+           sum(qty) OVER (PARTITION BY l_partkey) AS total_qty,
+           row_number() OVER (PARTITION BY l_partkey
+                              ORDER BY qty DESC, l_suppkey) AS rn
+    FROM ps
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       qty AS supplier_qty, total_qty,
+       qty / total_qty AS qty_share
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("top_supplier_share_per_part", oracle=_TOP_SUPPLIER_SHARE_ORACLE)
+def top_supplier_share_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor: for every part, the supplier shipping the most
+    of it and that supplier's share of the part's volume — the grouped
+    argmax pattern (rank by quantity with a deterministic suppkey
+    tiebreak; never a groupBy + self-join back). Quantities are
+    integer-valued doubles, so the share is exact division of exact
+    operands."""
+    li = Catalog(spark, sf_dir).lineitem
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    wr = w.orderBy(F.col("qty").desc(), "l_suppkey")
+    return (
+        ps.withColumn("total_qty", F.sum("qty").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("qty").alias("supplier_qty"),
+            "total_qty",
+            (F.col("qty") / F.col("total_qty")).alias("qty_share"),
+        )
+    )
+
+
+# ---- TPC-H Q22 analogue: idle above-average-balance customers ---------------
+
+_IDLE_RICH_ORACLE = """
+WITH avg_bal AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           / count(c_acctbal) AS ab
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+  )
+"""
+
+
+@query("idle_rich_customers", oracle=_IDLE_RICH_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no FINISHED orders — scalar-subquery threshold + anti join
+    (every customer in this corpus has some order, so the finished
+    filter keeps the anti join non-vacuous). The scalar
+    average attaches by broadcast cross join of a 1-row aggregate;
+    the NOT EXISTS is one left-anti join on custkey. c_acctbal is
+    2-decimal data, so the double average is a sum of exact doubles —
+    deterministic without the decimal detour."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer
+    # 2-decimal balances ARE exact doubles, but their SUM accumulates
+    # in shuffle order — route through DECIMAL like every money sum.
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            cat.orders.where(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_acctbal")
+    )
