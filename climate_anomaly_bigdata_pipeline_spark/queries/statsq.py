@@ -290,3 +290,115 @@ def revenue_share_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2 / F.round(F.sum("rev").over(w_all), 2).cast("double")
         ).alias("share_of_total"),
     )
+
+
+# ---- chi-square independence: event type × day-of-week ----------------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+    SELECT event_type, dayofweek(ts) AS dow,
+           CAST(count(*) AS DOUBLE) AS o
+    FROM events GROUP BY 1, 2
+),
+margins AS (
+    SELECT event_type, dow, o,
+           sum(o) OVER (PARTITION BY event_type) AS row_tot,
+           sum(o) OVER (PARTITION BY dow) AS col_tot,
+           sum(o) OVER () AS n
+    FROM obs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       sum(pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n))
+           AS chi2,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+FROM margins
+"""
+
+
+@query("chisq_event_type_dow", oracle=_CHISQ_ORACLE)
+def chisq_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    day-of-week — the categorical A/B primitive next to the Welch
+    t-test. One contingency aggregation (35 cells), margins as window
+    sums over that tiny table, then a single fold. Every input to the
+    statistic is an exact integer count, so the double algebra is
+    engine-identical."""
+    ev = Catalog(spark, sf_dir).events
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    margins = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.pow(F.col("o") - e, F.lit(2)) / e).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )
+
+
+# ---- Spearman rank correlation: part revenue vs part quantity ---------------
+
+# Ranks are row_number with a partkey tiebreak (deterministic, no tied
+# ranks), so Spearman reduces to 1 − 6·Σd²/(n(n²−1)) on exact integer
+# rank differences — engine-identical without any float parity work.
+_SPEARMAN_ORACLE = """
+WITH pv AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev,
+           sum(l_quantity) AS qty
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY rev, l_partkey) AS r_rev,
+           row_number() OVER (ORDER BY qty, l_partkey) AS r_qty
+    FROM pv
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       1.0 - 6.0 * sum(pow(r_rev - r_qty, 2))
+           / (count(*) * (pow(count(*), 2) - 1.0)) AS spearman_rho
+FROM ranked
+"""
+
+
+@query("spearman_parts_rev_vs_qty", oracle=_SPEARMAN_ORACLE)
+def spearman_parts_rev_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each part's total revenue and
+    total quantity — the monotone-association metric that, unlike
+    Kendall's tau, needs no O(n²) inversion count: two global ranks
+    (range-partitioned window sorts) + one aggregation of integer
+    rank differences. Revenue ranks on exact DECIMAL sums with a
+    partkey tiebreak, so ranks (and hence rho) are deterministic."""
+    li = Catalog(spark, sf_dir).lineitem
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    ranked = pv.select(
+        F.row_number()
+        .over(Window.orderBy("rev", "l_partkey"))
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy("qty", "l_partkey"))
+        .alias("r_qty"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_parts"),
+        (
+            1.0
+            - 6.0
+            * F.sum(F.pow(F.col("r_rev") - F.col("r_qty"), F.lit(2)))
+            / (n * (F.pow(n, F.lit(2)) - 1.0))
+        ).alias("spearman_rho"),
+    )
