@@ -375,23 +375,28 @@ FROM ranked
 def spearman_parts_rev_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between each part's total revenue and
     total quantity — the monotone-association metric that, unlike
-    Kendall's tau, needs no O(n²) inversion count: two global ranks
-    (range-partitioned window sorts) + one aggregation of integer
-    rank differences. Revenue ranks on exact DECIMAL sums with a
-    partkey tiebreak, so ranks (and hence rho) are deterministic."""
+    Kendall's tau, needs no O(n²) inversion count: two distributed
+    global ranks + one aggregation of integer rank differences.
+    Revenue ranks on exact DECIMAL sums with a partkey tiebreak, so
+    ranks (and hence rho) are deterministic."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
     li = Catalog(spark, sf_dir).lineitem
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev"),
         F.sum("l_quantity").alias("qty"),
-    )
-    ranked = pv.select(
-        F.row_number()
-        .over(Window.orderBy("rev", "l_partkey"))
-        .alias("r_rev"),
-        F.row_number()
-        .over(Window.orderBy("qty", "l_partkey"))
-        .alias("r_qty"),
-    )
+    ).localCheckpoint()
+    # Global ranks WITHOUT the SinglePartition window sort: each rank
+    # is a distributed stable_global_index (range exchange + bounded
+    # per-partition count collect + local row_number), joined back on
+    # the part key — the plan that survives an arbitrary part count.
+    r1 = R.stable_global_index(
+        pv.select("l_partkey", "rev"), ["rev", "l_partkey"], out_col="i"
+    ).select("l_partkey", (F.col("i") + 1).alias("r_rev"))
+    r2 = R.stable_global_index(
+        pv.select("l_partkey", "qty"), ["qty", "l_partkey"], out_col="i"
+    ).select("l_partkey", (F.col("i") + 1).alias("r_qty"))
+    ranked = r1.join(r2, "l_partkey")
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_parts"),
