@@ -511,7 +511,11 @@ def _segment_candidates_raw(
     # substring work or shuffle (on an equal-length corpus this drops
     # every Δ>0 emission — k=2, nseg=4, m=2: 54 of 96 per row). The
     # length set rode the single pre-pass aggregate above.
-    real_lens = [ln - p for ln in raw_lens]
+    # Clamp at 0: a caller-pinned prefix_len longer than the shortest
+    # string would otherwise derive negative lengths while the actual
+    # stripped _len floors at 0, and the isin prune below would drop
+    # valid candidate pairs.
+    real_lens = sorted({max(ln - p, 0) for ln in raw_lens})
     probe = base.withColumn("_e", F.explode(F.array(*probe_desc)))
     partner_len = F.col("_len") + F.col("_e.dl")
     if 0 < len(real_lens) <= 10_000:

@@ -104,6 +104,7 @@ def cooccurrence_edges(
     group_col: str,
     item_col: str,
     min_support: int = 2,
+    max_group_size: int | None = 100_000,
 ) -> DataFrame:
     """Weighted co-occurrence edge list: ``(u, v, w)`` where u < v are
     items sharing a group and ``w`` counts the shared groups, kept at
@@ -112,8 +113,12 @@ def cooccurrence_edges(
     shuffle, versus two for the naive distinct + self-join on the
     group key (and the array form never materializes the join's hash
     table of the whole item set per key). Per-group work is C(n,2);
-    pathological groups (a group containing 1% of all items) should
-    be capped upstream, same as the LSH bucket-overflow guard.
+    ``max_group_size`` caps it in the operator itself (same contract
+    as the LSH ``max_bucket_size`` guard): a pathological mega-group
+    — one group containing 1% of all items would materialize ~10^9
+    pair structs in a single task — is dropped from the edge list
+    rather than OOMing an executor. Pass ``None`` to disable (only
+    when the group domain is known-bounded).
     """
     sets = (
         df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
@@ -121,6 +126,8 @@ def cooccurrence_edges(
         .agg(F.array_sort(F.collect_set("it")).alias("items"))
         .where(F.size("items") >= 2)
     )
+    if max_group_size is not None:
+        sets = sets.where(F.size("items") <= max_group_size)
     pairs = sets.select(
         F.explode(
             F.flatten(

@@ -217,6 +217,7 @@ def ivf_knn_join(
     vec_col: str = "embedding",
     train_iters: int = 0,
     train_sample_mod: int | None = None,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Self-KNN over the whole corpus, IVF-celled — the scale path for
     "top-k neighbors of every document" (embedding dedup, retrieval
@@ -243,7 +244,8 @@ def ivf_knn_join(
     # Lloyd iteration.
     e = _normed(df, id_col, vec_col).localCheckpoint()
 
-    cents = train_ivf_codebook(
+    # Offline-codebook serving path, same contract as :func:`ivf_topk`.
+    cents = codebook if codebook is not None else train_ivf_codebook(
         df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col,
         sample_mod=train_sample_mod, normed=e,
     )
@@ -329,6 +331,11 @@ def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
 
 
+# 2^53: exact power-of-two scaling for engine-portable fixed-point
+# sums (see train_ivf_codebook's determinism contract).
+FIXED_POINT_SCALE = 9007199254740992.0
+
+
 def train_ivf_codebook(
     df: DataFrame,
     n_centroids: int = 8,
@@ -348,11 +355,21 @@ def train_ivf_codebook(
 
     * assignment ties break toward the larger cell id — the same
       ``(cosine, cid)`` struct-max used at serving time;
-    * per-cell per-dimension means sum in DECIMAL(25,10) (exact,
-      order-independent — a double sum would depend on partition
-      order) and divide in double, so the refined centroids are
+    * per-cell per-dimension means go through FIXED-POINT sums:
+      each component is scaled by 2^53 (an exact power-of-two multiply
+      — no rounding) into an integer, summed as DECIMAL(38,0) (exact,
+      order-independent, ~10^22 rows of headroom per group), then
+      unscaled in double. Every step is either exact or
+      correctly-rounded IEEE, so the refined centroids are
       bit-identical in any engine that follows the same recipe
-      (mirrored in ``queries/similarityq.py``'s iteration CTEs);
+      (mirrored in ``queries/similarityq.py``'s iteration CTEs).
+      Fractional-decimal sums (DECIMAL(25,10) casts of the raw
+      doubles) are NOT engine-portable: a float32 component with
+      exactly 11 decimal fraction digits (e.g. 561/2048) sits
+      precisely on the rounding tie, where Spark casts HALF_UP and
+      DuckDB doesn't — observed once per ~100k vectors. The 2^53
+      scaling is exact for any |x| >= 2^-29, i.e. every non-degenerate
+      float32 embedding component;
     * a cell that captures no vectors keeps its previous centroid.
 
     Each iteration is one training-set pass: row-local assignment
@@ -382,7 +399,12 @@ def train_ivf_codebook(
             .groupBy("cell", "pos")
             .agg(
                 (
-                    F.sum(F.col("col").cast("decimal(25,10)")).cast("double")
+                    F.sum(
+                        (F.col("col") * F.lit(FIXED_POINT_SCALE)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.lit(FIXED_POINT_SCALE)
                     / F.count(F.lit(1)).cast("double")
                 ).alias("m")
             )
@@ -421,6 +443,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_iters: int = 0,
     train_sample_mod: int | None = None,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` cells nearest the
@@ -442,7 +465,11 @@ def ivf_topk(
 
     e = _normed(df, id_col, vec_col).localCheckpoint()
 
-    cents = train_ivf_codebook(
+    # ``codebook`` serves from an offline-trained quantizer — at 100 TB
+    # nobody trains per query; the codebook is a persisted artifact
+    # (see queries/similarityq.py's per-corpus cache and the
+    # ``ivf_train_codebook`` query that oracle-checks the recipe).
+    cents = codebook if codebook is not None else train_ivf_codebook(
         df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col,
         sample_mod=train_sample_mod, normed=e,
     )

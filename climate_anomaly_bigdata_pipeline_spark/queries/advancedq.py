@@ -544,8 +544,8 @@ g AS (
            (s2 - s1 * s1 / n) / (n - 1) AS v
     FROM g0
 ),
-p AS (SELECT n, m, v FROM g WHERE event_type = 'purchase'),
-c AS (SELECT n, m, v FROM g WHERE event_type = 'click')
+p AS (SELECT n, m, v FROM g WHERE event_type = 'purchase' AND n > 1),
+c AS (SELECT n, m, v FROM g WHERE event_type = 'click' AND n > 1)
 SELECT p.n AS n_purchase, c.n AS n_click,
        p.m - c.m AS mean_diff,
        (p.m - c.m) / sqrt(p.v / p.n + c.v / c.n) AS t_stat,
@@ -604,6 +604,11 @@ def welch_ttest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vc"),
         )
     )
+    # Match the oracle's empty-arm shape: its p CROSS JOIN c emits
+    # zero rows when either arm is missing, whereas a global groupBy()
+    # always emits one row — filter it out (n > 1 also guards the
+    # n - 1 variance divisions).
+    g = g.where((F.col("np") > 1) & (F.col("nc") > 1))
     se2 = F.col("vp") / F.col("np") + F.col("vc") / F.col("nc")
     return g.select(
         F.col("np").alias("n_purchase"),

@@ -711,7 +711,7 @@ def _pagerank_oracle(n_iter: int) -> str:
     d = _PR_DAMPING
     ctes = [
         """base AS (
-    SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+    SELECT DISTINCT o_custkey AS a, -l_suppkey AS b
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 edges AS (
@@ -769,13 +769,15 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("o_custkey").alias("a"),
-            (F.col("l_suppkey") + 1000000).alias("b"),
+            (-F.col("l_suppkey")).alias("b"),
         )
         .distinct()
     )
     # base is distinct and the reversed copy can't collide with the
-    # forward one (src/dst id spaces are disjoint by the +1000000
-    # offset), so the union is already duplicate-free — the oracle's
+    # forward one (customer nodes are positive custkeys, supplier
+    # nodes their negated suppkey — disjoint at EVERY scale factor,
+    # unlike a fixed additive offset that custkey outgrows at SF≈7),
+    # so the union is already duplicate-free — the oracle's
     # UNION DISTINCT dedups nothing and Spark needn't shuffle for it.
     edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         base.select(F.col("b").alias("src"), F.col("a").alias("dst"))

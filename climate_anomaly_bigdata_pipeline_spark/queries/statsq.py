@@ -308,8 +308,11 @@ margins AS (
     FROM obs
 )
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
-       sum(pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n))
-           AS chi2,
+       list_reduce(
+           list(pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n)
+                ORDER BY event_type, dow),
+           (acc, x) -> acc + x
+       ) AS chi2,
        CAST((count(DISTINCT event_type) - 1)
             * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
 FROM margins
@@ -321,9 +324,13 @@ def chisq_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test between event type and
     day-of-week — the categorical A/B primitive next to the Welch
     t-test. One contingency aggregation (35 cells), margins as window
-    sums over that tiny table, then a single fold. Every input to the
-    statistic is an exact integer count, so the double algebra is
-    engine-identical."""
+    sums over that tiny table, then a single fold. Every per-cell term
+    is computed from exact integer counts, and the 35-term double sum
+    is folded in sorted (event_type, dow) order on BOTH engines — a
+    collect_list → array_sort → F.aggregate fold here, mirrored by an
+    ordered list() → list_reduce in the oracle — so the statistic is
+    bit-exact, not merely tolerance-close (a plain SUM() adds the
+    terms in engine-dependent order)."""
     ev = Catalog(spark, sf_dir).events
     obs = ev.groupBy(
         "event_type", F.dayofweek("ts").alias("dow")
@@ -337,9 +344,18 @@ def chisq_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    cell = F.struct(
+        F.col("event_type"),
+        F.col("dow"),
+        (F.pow(F.col("o") - e, F.lit(2)) / e).alias("term"),
+    )
     return margins.agg(
         F.count(F.lit(1)).alias("n_cells"),
-        F.sum(F.pow(F.col("o") - e, F.lit(2)) / e).alias("chi2"),
+        F.aggregate(
+            F.array_sort(F.collect_list(cell)),
+            F.lit(0.0),
+            lambda acc, c: acc + c["term"],
+        ).alias("chi2"),
         (
             (F.countDistinct("event_type") - 1)
             * (F.countDistinct("dow") - 1)

@@ -20,30 +20,45 @@ def test_priority_window_is_the_first_50():
     assert len(_PRIORITY) == DRIVER_WINDOW
 
 
-def test_priority_window_covers_every_family():
-    """One representative per judge-graded family inside the window."""
+def test_priority_window_rotation():
+    """The driver window ROTATES each round so every query eventually
+    earns a driver-verified CORRECTNESS row (VERDICT r4 item 1). The
+    round-5 window must keep the flagship, be otherwise disjoint from
+    the round-4 window, and still touch every judge-graded family
+    (any representative qualifies — the r4 window already banked the
+    canonical ones)."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import _WINDOW_R4
+
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    must_cover = {
-        # SURVEY §2 rows
-        "zscore_anomaly", "groupby_kpis", "pivot_events_daily",
-        "null_profile", "histogram_event_values", "percentiles_by_returnflag",
-        "join_revenue_by_nation_year", "left_join_order_counts",
-        "cross_join_limited", "topk_orders", "rollup_lineitem",
-        "deterministic_sample", "union_multi_source",
-        "triangle_parts_copurchase", "small_qty_brand_revenue",
-        "tumbling_hourly_events", "sliding_2h_events", "sessionize_events",
-        "rolling_daily_mean", "asof_click_before_purchase", "range_join_next_hour",
-        "gold_supplier_dim", "gold_kpis_yearly", "gold_fact_supplier_monthly",
-        "gold_extremes", "demo_noise_zscore",
-        "parse_delimited_roundtrip", "parse_fixed_width_roundtrip",
-        # LLM-pipeline families
-        "dedup_first_event", "fingerprint_duplicates", "minhash_lsh_candidates",
-        "ngram_jaccard_pairs", "simhash_signatures", "embedding_neardup_pairs",
-        "cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
-        "term_frequency_top50", "doc_quality_scores", "lang_id_heuristic",
-        "multimodal_binary_profile", "approx_distinct_users",
+    assert "zscore_anomaly" in window
+    assert window & set(_WINDOW_R4) == {"zscore_anomaly"}
+    families = {
+        "anomaly": {"zscore_anomaly", "zscore_lineitem", "iqr_outliers_events"},
+        "agg_quality": {"data_quality_orders", "null_profile", "groupby_kpis"},
+        "join_merge": {"merge_upsert_users", "join_revenue_by_nation_year"},
+        "set_ops": {"except_high_balance_no_f", "intersect_customers",
+                    "union_multi_source"},
+        "window_ts": {"ntile_price_deciles", "rolling_7d_customer_revenue",
+                      "ewma_user_value", "rolling_daily_mean"},
+        "sessionization": {"session_window_stats", "sessionize_events"},
+        "parsing": {"jsonl_parse_roundtrip", "json_extract_props",
+                    "parse_delimited_roundtrip"},
+        "text_analysis": {"tfidf_top_terms", "unigram_lm_scores",
+                          "term_frequency_top50", "lang_id_heuristic"},
+        "dedup": {"winnow_fingerprints", "levenshtein_neardup",
+                  "prefix_jaccard_pairs", "minhash_lsh_candidates"},
+        "entity_resolution": {"entity_resolution_customers",
+                              "chain_components_star"},
+        "curation": {"curation_pipeline", "stratified_sample_events",
+                     "mix_rebalance_sources"},
+        "similarity": {"knn_join_brute", "knn_join_ivf", "cosine_topk"},
+        "multimodal": {"png_decode_profile", "wav_decode_profile",
+                       "multimodal_binary_profile"},
+        "graph": {"pagerank_purchase_graph", "triangle_parts_copurchase"},
+        "stats": {"welch_ttest_purchase_click", "chisq_event_type_dow",
+                  "spearman_parts_rev_vs_qty"},
     }
-    missing = must_cover - window
+    missing = [k for k, alts in families.items() if not (alts & window)]
     assert not missing, f"families fell out of the driver window: {missing}"
 
 
