@@ -17,12 +17,15 @@ and emits (user_id, n_events, total_value, n_distinct_types) per batch
 distinct types); at 100 TB add ``ttlDurationMs`` so idle users age out.
 
 Deployment notes: requires the RocksDB state store provider
-(``spark.sql.streaming.stateStore.providerClass``) and the
-``protobuf`` Python package (the worker's state-server protocol).
-The latter is absent from this container, so the processor logic is
-covered by driving it against in-memory state-variable fakes
-(tests/test_stateful_v2.py) and the engine-side streaming machinery
-by the ``applyInPandasWithState`` parity test — together, 0 skips.
+(``spark.sql.streaming.stateStore.providerClass``) and a
+``google.protobuf`` Python runtime in the workers (the state-server
+protocol). The pip package is absent from this container, so
+``compat/pbshim.py`` bridges a vendored runtime into the worker
+interpreters — tests/test_stateful_v2_worker.py drives this processor
+through a REAL ``transformWithStateInPandas`` streaming query
+end-to-end (RocksDB store, actual state-server round-trips) and
+checks batch parity; tests/test_stateful_v2.py additionally
+unit-tests the processor logic against in-memory state fakes.
 """
 
 from __future__ import annotations
