@@ -30,17 +30,34 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 3,
     broadcast_ranks: bool = False,
+    tol: float | None = None,
+    dangling: str = "none",
 ) -> DataFrame:
-    """PageRank over a directed edge list, ``n_iter`` synchronous
+    """PageRank over a directed edge list, up to ``n_iter`` synchronous
     iterations from the uniform start: r₀ = 1/N and
 
-        r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u) / outdeg(u).
+        r_{t+1}(v) = (1−d)/N + d · (Σ_{u→v} r_t(u) / outdeg(u) [+ m_t/N]).
 
-    No dangling-mass redistribution: a node with no out-edges keeps
-    absorbing rank (total mass < 1) — callers wanting the stochastic
-    variant add reverse edges or a sink node. Deterministic: the
-    contribution sum is DECIMAL (order-independent), every other step
-    is double arithmetic on identical inputs.
+    ``dangling`` picks the treatment of nodes with no out-edges:
+
+    * ``"none"`` (default): a dangling node absorbs rank (total mass
+      < 1) — callers add reverse edges or a sink node when they want
+      conservation. This is the oracle-mirrored mode.
+    * ``"redistribute"``: the stochastic-matrix variant — each round
+      the dangling mass m_t (DECIMAL sum of dangling nodes' ranks, so
+      order-independent) is spread uniformly, the ``m_t/N`` term
+      above. Total mass stays 1 every round; one bounded scalar
+      collect per round (same cost class as the tol check).
+
+    ``tol`` (optional) adds convergence termination: iteration stops
+    early once the L1 delta Σ|r_{t+1} − r_t| drops below ``tol``.
+    Costs one keyed self-join + scalar collect per round — a driver
+    round-trip a fixed-iteration loop doesn't pay, which is why it's
+    opt-in; ``n_iter`` remains the hard cap either way.
+
+    Deterministic: the contribution sum is DECIMAL
+    (order-independent), every other step is double arithmetic on
+    identical inputs.
 
     Per iteration: one equi-join of the 2-column rank table onto the
     edges and one sum keyed by destination — both shuffles keyed by
@@ -53,6 +70,8 @@ def pagerank(
     ~10M nodes per 160 MB); the shuffle-join default is the path that
     scales to arbitrary |V|.
     """
+    if dangling not in ("none", "redistribute"):
+        raise ValueError(f"dangling must be 'none'|'redistribute': {dangling}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -66,10 +85,17 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Degree rides the edge table through the loop (computed once).
     ed = e.join(deg, "src").localCheckpoint()
+    if dangling == "redistribute":
+        # Node-level dangling flag, computed once (nodes absent from
+        # the out-degree table).
+        dang = nodes.join(
+            deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).localCheckpoint()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
+        prev = ranks
         r = ranks.withColumnRenamed("node", "src")
         if broadcast_ranks:
             r = F.broadcast(r)
@@ -84,18 +110,36 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        extra = 0.0
+        if dangling == "redistribute":
+            row = (
+                dang.join(ranks, "node")
+                .agg(F.sum(F.col("rank").cast("decimal(30,18)")).alias("m"))
+                .first()
+            )
+            m = float(row["m"]) if row["m"] is not None else 0.0
+            extra = damping * m / n
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(base + extra)
                     + F.lit(damping)
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
+        if tol is not None:
+            delta = (
+                ranks.withColumnRenamed("rank", "r_new")
+                .join(prev.withColumnRenamed("rank", "r_old"), "node")
+                .agg(F.sum(F.abs(F.col("r_new") - F.col("r_old"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks
 
 
