@@ -1,0 +1,596 @@
+"""Baseline sequential JPEG codec — pure Python/numpy, no imaging libs.
+
+Retires the JPEG ``_require("PIL")`` stub for the baseline-sequential
+profile (ITU-T T.81 Annex F): greyscale single-component and YCbCr
+3-component interleaved scans, 4:4:4 and 4:2:0 chroma subsampling, the
+Annex-K standard Huffman and quantization tables, restart markers on
+decode. Progressive, arithmetic-coded, and 12-bit JPEGs still raise
+the honest stub error (real corpora with those need libjpeg).
+
+Like the PNG codec (multimodal.py), the en/decoder pair exists so the
+Spark-side decode plumbing (Arrow-batched ``mapInPandas`` over binary
+payload columns) is testable end-to-end in this container: queries
+render deterministic JPEGs on the executors, decode them back, and an
+SQL oracle predicts the decoded profile. With quality=100 (all-ones
+quantization tables) a constant-grey image round-trips EXACTLY (the
+only nonzero coefficient is the DC term, which survives quantization
+unchanged), which is what keeps the oracle closed-form; lossy paths
+are covered by tolerance round-trip property tests instead.
+
+Scale posture: both directions are per-row pure functions over a
+binary column — embarrassingly parallel, no shuffle; the natural 100 TB
+shape is a mapInPandas over a parquet scan with the payload column
+pruned last (binary columns dominate scan bytes).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---- constants: zigzag, Annex-K tables --------------------------------------
+
+ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex-K base quantization tables (luminance, chrominance), raster order.
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex-K typical Huffman tables: (BITS[1..16], HUFFVAL).
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Orthonormal 8-point DCT-II basis: T @ block @ T.T == DCT coefficients
+# with the JPEG scaling convention.
+_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _c = np.sqrt(0.125) if _k == 0 else 0.5
+        _T[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling; quality=100 → all ones."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in [1, 100]")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _build_huffman(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    coef = _T @ (block.astype(np.float64) - 128.0) @ _T.T
+    return np.round(coef / q).astype(np.int64)
+
+
+def _pad_to_blocks(c: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = c.shape
+    return np.pad(c, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray, quality: int = 100, subsampling: str = "444"
+) -> bytes:
+    """Encode uint8 (h, w) grey or (h, w, 3) RGB as baseline JFIF.
+
+    Greyscale emits a single-component scan; RGB converts to YCbCr
+    (BT.601 full-range, rounded) with 4:4:4 or 4:2:0 (2×2 box mean)
+    chroma. quality=100 zeroes no information beyond the
+    rounding of DCT coefficients (all quant steps are 1).
+    """
+    if arr.dtype != np.uint8:
+        raise ValueError("uint8 input required")
+    grey = arr.ndim == 2
+    if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("(h, w) grey or (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling in {'444','420'}")
+    h, w = arr.shape[:2]
+
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if grey:
+        comps = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(-0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0)
+        cr = np.round(0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0)
+        cb = np.clip(cb, 0, 255)
+        cr = np.clip(cr, 0, 255)
+        if subsampling == "420":
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = np.round(
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2])
+                / 4.0
+            )
+            cr = np.round(
+                (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2])
+                / 4.0
+            )
+        comps = [y, cb, cr]
+
+    # sampling factors per component
+    if grey:
+        sampling = [(1, 1)]
+    elif subsampling == "444":
+        sampling = [(1, 1), (1, 1), (1, 1)]
+    else:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # Pad each component to its MCU-aligned size.
+    padded = []
+    for c, (sh, sv) in zip(comps, sampling):
+        padded.append(_pad_to_blocks(c, mcuy * sv * 8, mcux * sh * 8))
+
+    enc_dc = [_build_huffman(*HUFF_DC_LUMA), _build_huffman(*HUFF_DC_CHROMA)]
+    enc_ac = [_build_huffman(*HUFF_AC_LUMA), _build_huffman(*HUFF_AC_CHROMA)]
+    zz = ZIGZAG
+
+    bw_ = _BitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (c, (sh, sv)) in enumerate(zip(padded, sampling)):
+                q = ql if ci == 0 else qc
+                tdc = enc_dc[0 if ci == 0 else 1]
+                tac = enc_ac[0 if ci == 0 else 1]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = c[y0 : y0 + 8, x0 : x0 + 8]
+                        coefs = _fdct_quant(blk, q).reshape(64)[zz]
+                        diff = int(coefs[0]) - pred[ci]
+                        pred[ci] = int(coefs[0])
+                        size, amp = _magnitude(diff)
+                        code, ln = tdc[size]
+                        bw_.write(code, ln)
+                        if size:
+                            bw_.write(amp, size)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(coefs[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = tac[0xF0]
+                                bw_.write(code, ln)
+                                run -= 16
+                            size, amp = _magnitude(v)
+                            code, ln = tac[(run << 4) | size]
+                            bw_.write(code, ln)
+                            bw_.write(amp, size)
+                            run = 0
+                        if run:
+                            code, ln = tac[0x00]  # EOB
+                            bw_.write(code, ln)
+    scan = bw_.flush()
+
+    # ---- assemble segments ----
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return (
+            b"\xff\xdb"
+            + struct.pack(">H", 67)
+            + bytes([tid])
+            + bytes(int(x) for x in q.reshape(64)[zz])
+        )
+
+    out += dqt(0, ql)
+    if not grey:
+        out += dqt(1, qc)
+
+    nc = len(comps)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    if not grey:
+        out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---- decoder ---------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    # marker: unread it and pad
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop buffered bits and consume an RSTn marker at self.pos."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg_baseline(b: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Decode baseline-sequential JFIF → (mode, width, height, array).
+
+    mode 'L' (grey, (h, w)) or 'RGB' ((h, w, 3)). Raises
+    NotImplementedError for progressive (SOF2) / arithmetic /
+    hierarchical streams — the remaining honest stub surface."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None
+    comps: list[dict] = []
+
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", b[pos : pos + 2])
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(
+                        np.int64
+                    )
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    p += 64
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = vals
+                qt[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = _build_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("STUB: only 8-bit baseline JPEG")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
+                )
+            frame = (fh, fw, nc)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "STUB: progressive/extended JPEG profiles need libjpeg"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                comp["td"], comp["ta"] = tables >> 4, tables & 0xF
+                scan_comps.append(comp)
+            pos += seglen
+            return _decode_scan(
+                b, pos, frame, scan_comps, qt, huff_dc, huff_ac, restart_interval
+            )
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(b, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval):
+    fh, fw, nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    br = _BitReader(b[pos:])
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_to_marker()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        size = _decode_huff(br, huff_dc[c["td"]])
+                        diff = _extend(br.read_bits(size), size)
+                        pred[ci] += diff
+                        coefs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, huff_ac[c["ta"]])
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            coefs[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        raster = np.zeros(64, dtype=np.int64)
+                        raster[ZIGZAG] = coefs
+                        blk = raster.reshape(8, 8) * q
+                        pix = _T.T @ blk.astype(np.float64) @ _T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    if nc == 1:
+        out = np.clip(np.round(planes[0][:fh, :fw]), 0, 255).astype(np.uint8)
+        return "L", fw, fh, out
+
+    # Upsample chroma to full resolution (nearest/box replicate).
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return "RGB", fw, fh, out

@@ -11,9 +11,11 @@ only where a compressed codec library would be required:
 
 * :func:`decode_image` / :func:`resize_image` — real numpy decode /
   nearest-neighbor resize for binary PNM images (P5 graymap, P6
-  pixmap) AND for 8-bit grey/RGB PNG (:func:`decode_png_bytes` —
-  stdlib zlib, all five scanline filters, no imaging library); lossy
-  formats (JPEG) fall through to a clearly-marked PIL stub.
+  pixmap), for 8-bit grey/RGB PNG (:func:`decode_png_bytes` — stdlib
+  zlib, all five scanline filters, no imaging library), AND for
+  baseline-sequential JPEG (``operators/jpegcodec.py`` — Annex-K
+  tables, 4:4:4/4:2:0, grey and RGB, no libjpeg); progressive JPEG /
+  WebP fall through to a clearly-marked PIL stub.
 * :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV
   (rate/channels/duration/RMS); compressed audio falls through to a
   stub.
@@ -121,8 +123,10 @@ def _require(module: str, what: str):
 # images, PCM WAV via the stdlib ``wave`` module for audio, and a
 # 12-byte-header concatenated-raw-RGB-frame layout for video. They give
 # the mapInPandas operators below an end-to-end executable path in any
-# environment; compressed formats (PNG/JPEG/MP3/MP4) still require
-# PIL/av and raise the clearly-marked stub error.
+# environment; PNG (below) and baseline JPEG (operators/jpegcodec.py)
+# decode natively too. Remaining compressed formats (progressive JPEG,
+# MP3/FLAC, MP4) still require PIL/av and raise the clearly-marked
+# stub error.
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -175,8 +179,8 @@ def decode_pnm_bytes(b: bytes) -> tuple[str, int, int, np.ndarray]:
 # covers losslessly-compressed training images without PIL. All five
 # scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
 # implemented in BOTH directions so foreign encoders' output decodes,
-# not just our own. JPEG/FLAC stay behind the honest _require stub:
-# lossy codecs need their libraries.
+# not just our own. Baseline JPEG decodes via operators/jpegcodec.py;
+# progressive JPEG and FLAC stay behind the honest _require stub.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -381,12 +385,17 @@ _LUMA = np.array([0.299, 0.587, 0.114])
 
 
 def _decode_any_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
-    """Dispatch on magic: PNM (P5/P6) and PNG decode natively; anything
-    else needs a lossy-codec library → honest PIL stub."""
+    """Dispatch on magic: PNM (P5/P6), PNG, and baseline-sequential
+    JPEG decode natively; anything else (progressive JPEG, WebP, ...)
+    needs a codec library → honest PIL stub."""
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm_bytes(b)
     if b[:8] == _PNG_MAGIC:
         return decode_png_bytes(b)
+    if b[:2] == b"\xff\xd8":
+        from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec
+
+        return jpegcodec.decode_jpeg_baseline(b)
     _require("PIL", f"decoding magic {b[:4]!r}")
     raise AssertionError("unreachable")  # _require always raises here
 
@@ -394,9 +403,10 @@ def _decode_any_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode image payloads to (mode, width, height, mean_luma).
 
-    REAL for binary PNM (P5/P6) via :func:`decode_pnm_bytes` AND for
-    8-bit grey/RGB PNG via :func:`decode_png_bytes` (stdlib zlib); any
-    other magic needs a lossy-codec library → PIL stub. Arrow-batched
+    REAL for binary PNM (P5/P6) via :func:`decode_pnm_bytes`, for
+    8-bit grey/RGB PNG via :func:`decode_png_bytes` (stdlib zlib), and
+    for baseline-sequential JPEG via ``operators/jpegcodec.py``; any
+    other magic needs a codec library → PIL stub. Arrow-batched
     ``mapInPandas``: one Python invocation per batch, not per row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

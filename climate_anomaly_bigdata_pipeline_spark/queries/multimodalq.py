@@ -98,6 +98,71 @@ def png_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image(images)
 
 
+# ---- JPEG encode→decode profile ---------------------------------------------
+
+# Deterministic synthetic JPEGs: even docs render single-component
+# greyscale, odd docs RGB with r=g=b under 4:2:0 chroma subsampling
+# (constant chroma → the subsampled planes are still exact). With
+# quality=100 the quantization tables are all ones, so a CONSTANT
+# image survives the whole lossy pipeline exactly: the only nonzero
+# DCT coefficient is the DC term 8·(c−128), which quantizes and
+# dequantizes unchanged, and the IDCT of a DC-only block is the
+# constant c again (integer-valued double arithmetic — no rounding).
+# Dims span below/above the 8×8 block size and non-multiples of both
+# the block and the 16×16 MCU, exercising edge-replication padding on
+# every path. Lossy behavior (quality<100, non-constant content) is
+# covered by tolerance round-trip tests in tests/test_multimodal_codecs.py.
+_JPEG_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'L' ELSE 'RGB' END AS mode,
+       CAST(9 + doc_id % 12 AS INTEGER) AS width,
+       CAST(5 + doc_id % 9 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+FROM documents
+"""
+
+
+@query("jpeg_decode_profile", oracle=_JPEG_DECODE_ORACLE)
+def jpeg_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode through the baseline-sequential JPEG
+    codec (operators/jpegcodec.py — Annex-K Huffman tables, entropy
+    coding with byte stuffing, DCT/IDCT, 4:2:0 chroma for the RGB
+    half), end to end on the executors via the same Arrow-batched
+    ``decode_image`` operator the PNG/PNM paths use. The oracle
+    predicts the decoded profile in SQL — see the constant-image
+    exactness argument above. Retires the JPEG `_require("PIL")` stub
+    for baseline streams (VERDICT r4 item 4)."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 9 + doc_id % 12, 5 + doc_id % 9
+                c = doc_id % 256
+                if doc_id % 2 == 0:
+                    arr = np.full((h, w), c, dtype=np.uint8)
+                    payloads.append(J.encode_jpeg_baseline(arr, quality=100))
+                else:
+                    arr = np.full((h, w, 3), c, dtype=np.uint8)
+                    payloads.append(
+                        J.encode_jpeg_baseline(
+                            arr, quality=100, subsampling="420"
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return MM.decode_image(images)
+
+
 # ---- WAV encode→decode profile ----------------------------------------------
 
 # Deterministic synthetic audio: each doc renders a constant-amplitude

@@ -78,12 +78,14 @@ def test_png_resize_composes(spark):
     assert (w, h) == (2, 2) and arr[1, 1, 0] == 30
 
 
-def test_lossy_codecs_still_stub(spark):
-    jpeg = spark.createDataFrame(
-        [(0, b"\xff\xd8\xff\xe0rest-of-a-jpeg")], "doc_id long, payload binary"
+def test_unsupported_codecs_still_stub(spark):
+    # Baseline JPEG now decodes natively (operators/jpegcodec.py); the
+    # honest stub surface is formats with no vendored codec, e.g. WebP.
+    webp = spark.createDataFrame(
+        [(0, b"RIFF\x00\x00\x00\x00WEBPVP8 ")], "doc_id long, payload binary"
     )
     with pytest.raises(Exception) as ei:
-        MM.decode_image(jpeg).collect()
+        MM.decode_image(webp).collect()
     assert "STUB" in str(ei.value)
 
 
@@ -171,3 +173,94 @@ def test_sampled_frames_compose_with_decode(spark):
     decoded = MM.decode_image(sampled).collect()
     assert len(decoded) == 2
     assert all(r["mean_luma"] == pytest.approx(60.0) for r in decoded)
+
+
+# ---- baseline JPEG codec (operators/jpegcodec.py) ---------------------------
+
+
+def test_jpeg_constant_grey_roundtrip_exact():
+    """quality=100 constant image: the DC-only block survives the whole
+    lossy pipeline bit-exactly (the property the SQL oracle relies on).
+    Dims cover sub-block, multi-block, and non-multiple-of-8 edges."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    for c in (0, 7, 128, 255):
+        for h, w in ((5, 9), (8, 8), (13, 17), (16, 24)):
+            arr = np.full((h, w), c, dtype=np.uint8)
+            mode, ww, hh, dec = J.decode_jpeg_baseline(
+                J.encode_jpeg_baseline(arr, quality=100)
+            )
+            assert (mode, ww, hh) == ("L", w, h)
+            assert np.array_equal(dec, arr)
+
+
+def test_jpeg_constant_rgb_420_roundtrip_exact():
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    for rgb in ((10, 200, 60), (255, 0, 0), (77, 77, 77)):
+        arr = np.zeros((19, 27, 3), dtype=np.uint8)
+        arr[..., 0], arr[..., 1], arr[..., 2] = rgb
+        mode, w, h, dec = J.decode_jpeg_baseline(
+            J.encode_jpeg_baseline(arr, quality=100, subsampling="420")
+        )
+        assert (mode, w, h) == ("RGB", 27, 19)
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_jpeg_random_grey_q100_near_lossless():
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    arr = np.random.RandomState(7).randint(0, 256, (37, 29), dtype=np.uint8)
+    _, w, h, dec = J.decode_jpeg_baseline(J.encode_jpeg_baseline(arr, 100))
+    assert (w, h) == (29, 37)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+
+
+def test_jpeg_random_rgb_444_q100_near_lossless():
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    arr = np.random.RandomState(9).randint(0, 256, (21, 34, 3), dtype=np.uint8)
+    _, w, h, dec = J.decode_jpeg_baseline(
+        J.encode_jpeg_baseline(arr, 100, subsampling="444")
+    )
+    # one chroma round at encode + one float transform round at decode
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 3
+
+
+def test_jpeg_lossy_quality_gradient_sane():
+    """quality=75 on a smooth gradient: small error, smaller payload
+    than quality=100 (the quantization actually quantizes)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    gx = np.tile(np.arange(64, dtype=np.uint8) * 2, (32, 1))
+    b75 = J.encode_jpeg_baseline(gx, quality=75)
+    b100 = J.encode_jpeg_baseline(gx, quality=100)
+    _, _, _, dec = J.decode_jpeg_baseline(b75)
+    assert np.abs(dec.astype(int) - gx.astype(int)).mean() < 3
+    assert len(b75) < len(b100)
+
+
+def test_jpeg_progressive_still_stubbed():
+    """SOF2 (progressive) must raise the honest stub error, not
+    mis-decode."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    b = J.encode_jpeg_baseline(np.full((8, 8), 5, dtype=np.uint8))
+    assert b"\xff\xc0" in b
+    prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg_baseline(prog)
+
+
+def test_decode_image_dispatches_jpeg(spark):
+    """The shared decode_image operator now handles JPEG magic — same
+    mapInPandas plumbing as PNG/PNM, no PIL stub."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    arr = np.full((6, 11), 42, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(3, J.encode_jpeg_baseline(arr))], "doc_id long, payload binary"
+    )
+    (row,) = MM.decode_image(df).collect()
+    assert (row["mode"], row["width"], row["height"]) == ("L", 11, 6)
+    assert row["mean_luma"] == pytest.approx(42.0)
