@@ -80,14 +80,20 @@ def main() -> None:
     # while interleaved passes are minutes apart so the min survives.
     # A pass that overlapped measurable steal (/proc/stat delta) is
     # additionally retried, bounded by SPARK_GRAFT_BENCH_RETRIES.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    queries = (
+        {n: QUERIES[n] for n in only.split(",") if n in QUERIES}
+        if only
+        else QUERIES
+    )
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
-    retries_left: dict[str, int] = {name: max_retries for name in QUERIES}
+    retries_left: dict[str, int] = {name: max_retries for name in queries}
     for _ in range(runs):
-        for name, fn in QUERIES.items():
+        for name, fn in queries.items():
             # One broken query must never zero the whole bench: record
             # the failure and keep timing the rest.
             try:

@@ -49,6 +49,7 @@ from climate_anomaly_bigdata_pipeline_spark.queries import curation  # noqa: E40
 from climate_anomaly_bigdata_pipeline_spark.queries import analyticsq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import advancedq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import statsq  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import tpchq  # noqa: E402,F401
 
 # The driver's correctness sweep checks the FIRST 50 registry entries
 # (dict order); everything past that window is verified only by the
