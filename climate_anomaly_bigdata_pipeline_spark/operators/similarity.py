@@ -37,6 +37,7 @@ __all__ = [
     "knn_join",
     "ivf_knn_join",
     "train_ivf_codebook",
+    "semdedup_prune",
     "dot_expr",
     "cosine_expr",
 ]
@@ -506,3 +507,66 @@ def ivf_topk(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
+
+
+def semdedup_prune(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
+    coarse-cluster the corpus with a k-means codebook, then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    is >= ``threshold`` (the lowest id is the kept representative).
+
+    Returns one row per input vector: ``(id, cell, kept)``.
+
+    Why this shape at 100 TB: cluster assignment is row-local against
+    broadcast codebook literals (zero shuffle of the corpus), and the
+    candidate pairs are a plain equi-join on the cell id — the
+    co-partitioned join shape, never an all-pairs cross join. Pair work
+    is Sum_cells |cell|^2 instead of n^2; cells are bounded by the
+    offline quantizer granularity (grow n_centroids with the corpus,
+    and AQE skew-split handles hot cells). Cross-cluster near-dups are
+    missed BY DESIGN — that is the published algorithm's recall
+    tradeoff, which is what makes it tractable at scale.
+
+    Determinism: assignment ties break toward the larger cid
+    (struct-max, same rule as :func:`ivf_topk`); the drop rule keys on
+    vector ids, so the kept set is unique regardless of join order.
+    """
+    e = _normed(df, id_col, vec_col).withColumn(
+        "cell", F.array_max(_cell_assign_structs(codebook)).getField("i")
+    )
+    a = e.select(
+        F.col(id_col).alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("norm").alias("n1"),
+        "cell",
+    )
+    b = e.select(
+        F.col(id_col).alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("norm").alias("n2"),
+        "cell",
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id2").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        e.join(dups, e[id_col] == dups.dup_id, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("dup_id").isNull().alias("kept"),
+        )
+    )

@@ -403,3 +403,50 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_val"),
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
     )
+
+
+# ---- SemDeDup: semantic dedup via the offline quantizer --------------------
+
+_SEMDEDUP_T = 0.99
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_lloyd_ctes(_TRAIN_ITERS)},
+pairs AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, v, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+d AS (
+    SELECT DISTINCT b.vec_id AS dup_id
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_COSINE_SQL.format(a="a.v", b="b.v")} >= {_SEMDEDUP_T}
+)
+SELECT a.vec_id, a.cell, (d.dup_id IS NULL) AS kept
+FROM assign a LEFT JOIN d ON a.vec_id = d.dup_id
+"""
+
+
+@query("semdedup_prune_embeddings", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023) over the corpus:
+    assign every vector to its IVF cell (offline codebook, row-local,
+    zero corpus shuffle), then inside each cell drop vectors with
+    cosine >= 0.99 to a lower-id cluster-mate. Output: (vec_id, cell,
+    kept) for every vector — the curation decision record a training
+    pipeline persists. The oracle retrains the codebook in CTEs
+    (bit-identical by the fixed-point determinism contract) and
+    mirrors the in-cell prune."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.semdedup_prune(
+        emb, codebook=_ivf_codebook(spark, sf_dir), threshold=_SEMDEDUP_T
+    )

@@ -464,3 +464,50 @@ def term_drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term_js").cast("double") * 0.5, 6).alias("js_divergence")
         )
     )
+
+
+# ---- BPE-ish token counting ------------------------------------------------
+
+# GPT-2-style pre-tokenizer, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs. No
+# lookarounds (RE2 has none). Counting these matches approximates the
+# BPE token count a real tokenizer would refine by merges.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(round(CAST(len(text) AS DOUBLE)
+            / nullif(len(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')), 0),
+            4) AS DOUBLE) AS chars_per_token
+FROM documents
+"""
+
+
+@query("bpe_token_profile", oracle=_BPE_ORACLE)
+def bpe_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens
+    plus a BPE-ish regex pre-tokenizer count (GPT-2's pattern minus
+    RE2-unsupported lookarounds, so Spark and the oracle run the SAME
+    automaton), and the chars-per-token compression ratio quality
+    signal. Pure codegen'd JVM expressions — no UDF; at 100 TB this is
+    an embarrassingly parallel map over the corpus scan."""
+    docs = Catalog(spark, sf_dir).documents
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(n_bpe, F.lit(0)).cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("chars_per_token"),
+    )

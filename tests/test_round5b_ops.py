@@ -1,0 +1,87 @@
+"""Round-5 additions: SemDeDup semantic pruning and the BPE-ish token
+profile — oracle parity, semantic properties, and the no-cross-join
+plan gate."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+from tests.oracle_utils import run_check
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", ["semdedup_prune_embeddings", "bpe_token_profile"])
+def test_oracle_parity(spark, sf_dir, name):
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def _toy_corpus(spark):
+    """Three exact-duplicate trios in well-separated directions, plus a
+    singleton; a 2-centroid codebook that splits them."""
+    rows = []
+    for i in range(3):  # ids 0,1,2 ~ (1, 0)
+        rows.append((i, [1.0, 0.0]))
+    for i in range(3, 6):  # ids 3,4,5 ~ (0, 1)
+        rows.append((i, [0.0, 1.0]))
+    rows.append((6, [-1.0, 0.05]))  # singleton, nearer (1,0)'s negative
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semdedup_keeps_lowest_id_per_group(spark):
+    df = _toy_corpus(spark)
+    codebook = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = SIM.semdedup_prune(df, codebook, threshold=0.99)
+    kept = {r.vec_id for r in out.filter("kept").collect()}
+    # one representative per duplicate trio (the lowest id), singleton kept
+    assert kept == {0, 3, 6}
+    assert out.count() == 7  # decision row for every input
+
+
+def test_semdedup_respects_cluster_boundary(spark):
+    """Near-dups in DIFFERENT cells are not pruned — the published
+    algorithm's recall tradeoff, asserted so a refactor can't silently
+    turn this into an all-pairs dedup."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.001]), (1, [1.0, -0.001])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # adversarial codebook that splits the two near-identical vectors
+    codebook = [(0, [1.0, 1.0]), (1, [1.0, -1.0])]
+    out = SIM.semdedup_prune(df, codebook, threshold=0.9)
+    assert out.filter("kept").count() == 2
+
+
+def test_semdedup_plan_has_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["semdedup_prune_embeddings"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_tokens_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop"), (2, "a1b2"), (3, "  hi  there "), (4, "...")],
+        "doc_id bigint, text string",
+    )
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            "text",
+            F.lit(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"),
+            F.lit(0),
+        )
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", n_bpe.alias("n")).collect()}
+    # don|'t|[ stop] = 3; a|1|b|2 = 4; hi|there = 2; ... = 1
+    assert got == {1: 3, 2: 4, 3: 2, 4: 1}
