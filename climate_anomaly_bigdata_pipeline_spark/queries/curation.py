@@ -13,7 +13,7 @@ quality stats and split label ride along row-locally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
@@ -109,4 +109,131 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+# ---- DSIR-style importance weights -----------------------------------------
+
+_DSIR_BUCKETS = 64
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+    FROM toks
+),
+spine AS (SELECT range AS bucket FROM range({_DSIR_BUCKETS})),
+tgt AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket),
+raw AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+dist AS (
+    SELECT s.bucket, COALESCE(t.c, 0) AS ct, COALESCE(r.c, 0) AS cr
+    FROM spine s
+    LEFT JOIN tgt t ON s.bucket = t.bucket
+    LEFT JOIN raw r ON s.bucket = r.bucket
+),
+lr AS (
+    SELECT bucket,
+           ln(CAST(ct + 1 AS DOUBLE)
+              / CAST((SELECT sum(ct) FROM dist) + {_DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE)
+              / CAST((SELECT sum(cr) FROM dist) + {_DSIR_BUCKETS} AS DOUBLE))
+               AS logratio
+    FROM dist
+),
+db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket)
+SELECT db.doc_id,
+       CAST(sum(db.cnt) AS BIGINT) AS n_tokens,
+       CAST(round(list_reduce(
+           list(db.cnt * lr.logratio ORDER BY db.bucket),
+           (a, x) -> a + x
+       ), 6) AS DOUBLE) AS log_importance
+FROM db JOIN lr ON db.bucket = lr.bucket
+GROUP BY db.doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public paper):
+    per-document log importance weight log(p_target/p_raw) under
+    hashed-unigram bag-of-words models, target = the 'en' slice,
+    raw = the whole corpus, 64 md5 feature buckets with add-1
+    smoothing.
+
+    Scale shape: one explode + two bounded (64-row) distribution
+    aggregates broadcast back onto the per-(doc, bucket) counts; the
+    per-doc score is a fold over <= 64 bucket terms. No step holds
+    more than O(buckets) on the driver and the corpus shuffles once,
+    keyed by (doc_id, bucket).
+
+    Determinism: bucket log-ratios are computed from exact integer
+    counts with an identical op order on both engines, and the per-doc
+    double sum folds in sorted bucket order (collect_list →
+    array_sort → F.aggregate vs ordered list_reduce) — bit-exact, the
+    chi2 pattern."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (DD.md5_hash32(F.col("tok"), seed=0) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    spine = spark.range(_DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    dist = (
+        spine.join(tgt, "bucket", "left")
+        .join(raw, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_t", F.lit(0)).alias("ct"),
+            F.coalesce("c_r", F.lit(0)).alias("cr"),
+        )
+    )
+    w = F.sum("ct").over(Window.partitionBy()), F.sum("cr").over(Window.partitionBy())
+    lr = dist.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (w[0] + F.lit(_DSIR_BUCKETS)).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (w[1] + F.lit(_DSIR_BUCKETS)).cast("double")
+            )
+        ).alias("logratio"),
+    )
+    db = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    term = F.struct(F.col("bucket"), (F.col("cnt") * F.col("logratio")).alias("t"))
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(term)),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("log_importance"),
+        )
     )

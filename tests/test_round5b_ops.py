@@ -85,3 +85,27 @@ def test_bpe_tokens_known_values(spark):
     got = {r.doc_id: r.n for r in df.select("doc_id", n_bpe.alias("n")).collect()}
     # don|'t|[ stop] = 3; a|1|b|2 = 4; hi|there = 2; ... = 1
     assert got == {1: 3, 2: 4, 3: 2, 4: 1}
+
+
+def test_dsir_oracle(spark, sf_dir):
+    ok, msg = run_check(spark, "dsir_importance_weights", sf_dir)
+    assert ok, msg
+
+
+def test_dsir_target_docs_score_higher(spark, sf_dir):
+    """The defining property of importance weighting: documents drawn
+    from the target slice ('en') must average a higher log importance
+    than the rest of the corpus."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    w = QUERIES["dsir_importance_weights"](spark, sf_dir)
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    per_lang = (
+        w.join(docs, "doc_id")
+        .withColumn("is_en", F.col("lang") == "en")
+        .groupBy("is_en")
+        .agg(F.avg(F.col("log_importance") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    m = {r.is_en: r.m for r in per_lang}
+    assert m[True] > m[False]
