@@ -511,3 +511,114 @@ def bpe_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chars_per_token"),
     )
+
+
+# ---- BM25 retrieval --------------------------------------------------------
+
+_BM25_TERMS = ("join", "window", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 20
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+    GROUP BY doc_id, tok
+),
+dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           ln((CAST(st.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+              / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+               AS s
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfx ON dfx.tok = tf.tok
+    CROSS JOIN st
+),
+agg AS (
+    SELECT doc_id,
+           list_reduce(list(s ORDER BY tok), (a, x) -> a + x) AS raw
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(round(raw, 6) AS DOUBLE) AS bm25
+FROM agg
+ORDER BY raw DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@query("bm25_topk_docs", oracle=_BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 (Robertson/Sparck Jones; Lucene idf form):
+    top-20 documents for a fixed 3-term query.
+
+    Scale shape: doc lengths and term stats are bounded aggregates
+    (|terms| and one global row) broadcast onto the per-(doc, term)
+    tf table; the corpus shuffles once keyed by doc. Per-doc score is
+    a fold over <= |terms| structs in sorted term order (bit-exact);
+    final top-k is a TakeOrdered on the raw (unrounded, bit-identical)
+    score with a doc_id tiebreak."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    s = idf * (
+        tfd
+        / (
+            tfd
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (dld / avgdl))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfx), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", s.alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("s").alias("v")))),
+            F.lit(0.0),
+            lambda acc, c: acc + c["v"],
+        ).alias("raw")
+    )
+    return (
+        agg.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(_BM25_K)
+        .select("doc_id", F.round("raw", 6).cast("double").alias("bm25"))
+    )

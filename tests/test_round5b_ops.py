@@ -109,3 +109,41 @@ def test_dsir_target_docs_score_higher(spark, sf_dir):
     )
     m = {r.is_en: r.m for r in per_lang}
     assert m[True] > m[False]
+
+
+def test_bm25_oracle(spark, sf_dir):
+    ok, msg = run_check(spark, "bm25_topk_docs", sf_dir)
+    assert ok, msg
+
+
+def test_bm25_known_corpus(spark):
+    """Tiny hand-checkable corpus: the doc where the query term is a
+    larger fraction of a shorter doc outranks a longer doc with equal
+    term count; docs without the term never appear."""
+    from climate_anomaly_bigdata_pipeline_spark.queries.textops import (
+        _BM25_TERMS,
+    )
+
+    assert "join" in _BM25_TERMS
+    docs = spark.createDataFrame(
+        [
+            (1, "join filter"),                      # tf=1, dl=2
+            (2, "join filter filter filter filter"), # tf=1, dl=5
+            (3, "filter scan"),                      # no query terms
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        .replace(", lang string, source string, n_chars bigint", ""),
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        # route through the query by writing a minimal sf dir
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["bm25_topk_docs"](spark, d).collect()
+    ids = [r.doc_id for r in out]
+    assert ids == [1, 2]  # shorter doc first, term-free doc absent
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert scores[1] > scores[2] > 0
