@@ -176,7 +176,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts with an identical op order on both engines, and the per-doc
     double sum folds in sorted bucket order (collect_list →
     array_sort → F.aggregate vs ordered list_reduce) — bit-exact, the
-    chi2 pattern."""
+    chi2 pattern.
+
+    The tokenized stream is read three times (per-doc counts + the two
+    distributions); on a real cluster persist it once
+    (``.persist(DISK_ONLY)``) — left unpinned here so bench passes pay
+    the honest per-pass cost."""
     from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
 
     docs = Catalog(spark, sf_dir).documents
