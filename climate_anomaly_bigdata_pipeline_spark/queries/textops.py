@@ -195,8 +195,9 @@ FROM toks
 @query("repetition_quality_docs", oracle=_REPETITION_ORACLE)
 def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (type-token ratio, modal-token
-    fraction) — the pretraining boilerplate/degeneration filter, as
-    row-local array expressions with zero shuffle."""
+    fraction) — the pretraining boilerplate/degeneration filter, via
+    one codegen'd (doc, token) aggregation (the interpreted in-row
+    fold was 15x slower at sf1 — see repetition_stats)."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     return TX.repetition_stats(docs)
 
