@@ -314,11 +314,18 @@ WHERE a.c_custkey < b.c_custkey
 def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity resolution: customer-name pairs within 2
     Levenshtein edits, candidate pairs limited to the same
-    (nation, segment) block — Σ|block|² work instead of N², the same
-    bounding idea as the LSH band buckets. Edit distance is the JVM
-    builtin (no UDF)."""
+    (nation, segment) block, PassJoin segment-pruned inside each block
+    (provably the same pair set — see ``segment_candidates``).
+
+    The attribute block alone does Σ|block|² DPs, and (nation, segment)
+    is a FIXED 125-key domain — block population grows linearly with
+    the corpus, so the plain variant goes quadratic: measured 173 s at
+    sf1 vs 4-6 s segmented (~35x, at 1M true result pairs — the
+    segmented cost is output-bound). Segment pre-blocking keeps shrinking the
+    candidate set as blocks grow, which is what survives scale. Edit
+    distance is the thresholded JVM builtin (no UDF)."""
     cust = Catalog(spark, sf_dir).customer
-    return DD.edit_distance_pairs(
+    return DD.edit_distance_pairs_segmented(
         cust.select("c_nationkey", "c_mktsegment", "c_custkey", "c_name"),
         id_col="c_custkey",
         text_col="c_name",
