@@ -1088,3 +1088,108 @@ def prefix_filtered_jaccard_pairs(
         .filter(jac >= threshold)
         .select("id1", "id2", "n_common", "jaccard")
     )
+
+
+def embedding_neardup_pairs_gemm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    chunk_rows: int = 4096,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """:func:`embedding_neardup_pairs` (same exact output: id1 < id2,
+    cosine >= threshold, identical cosine expression) with **BLAS
+    candidate generation**: chunk the corpus by id range, pair chunks
+    (upper triangle), and inside each chunk-pair task compute the full
+    cosine block with one float64 numpy GEMM, emitting candidates at
+    ``threshold - margin``. Survivors are re-verified with the SAME
+    sequential-fold expression the brute variant uses, so the result —
+    pair set and cosine bits — is identical to the oracle's.
+
+    Why: grid blocking cannot prune dense unit-normalized
+    high-dimensional vectors (per-coordinate spread ~1/sqrt(dim) ~=
+    the cell width at t=0.99 — measured: block_dims 2..4 all ~132 s at
+    sf1), so the exact self-join is inherently ~all-pairs in CANDIDATE
+    work. The fix is constant-factor but decisive: one vectorized GEMM
+    evaluates a pair in ~100x less CPU than an interpreted per-pair
+    fold (measured 141 s -> ~8 s at sf1). The margin is vastly wider
+    than float64 GEMM-vs-fold divergence (~1e-13 relative), so no true
+    pair can be lost; the exact refilter reproduces the brute pair set
+    bit-for-bit.
+
+    Scale shape: chunk blobs are built executor-side (collect_list per
+    chunk — no driver collect); the chunk-pair cross join replicates
+    each chunk C times. Fine to ~10^5-row chunks x 100s of chunks; at
+    real-cluster scale, write chunks bucketed and schedule chunk pairs
+    co-partitioned instead of cross-joining blobs (SCALE.md), or cap
+    replication by raising ``chunk_rows``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    e = e.withColumn("cid", F.floor(F.col("id") / F.lit(chunk_rows)))
+    chunks = e.groupBy("cid").agg(
+        F.collect_list(F.struct("id", "v")).alias("blob")
+    )
+    tasks = (
+        chunks.select(F.col("cid").alias("cid_a"), F.col("blob").alias("blob_a"))
+        .crossJoin(
+            chunks.select(F.col("cid").alias("cid_b"), F.col("blob").alias("blob_b"))
+        )
+        .filter(F.col("cid_a") <= F.col("cid_b"))
+        # one GEMM per task: spread tasks over the cluster
+        .repartition(F.col("cid_a"), F.col("cid_b"))
+    )
+    thr = float(threshold - margin)
+
+    def score(batches):
+        for pdf in batches:
+            out_1, out_2 = [], []
+            for _, row in pdf.iterrows():
+                ia = np.fromiter((r["id"] for r in row["blob_a"]), dtype=np.int64)
+                va = np.array([r["v"] for r in row["blob_a"]], dtype=np.float64)
+                same = row["cid_a"] == row["cid_b"]
+                if same:
+                    ib, vb = ia, va
+                else:
+                    ib = np.fromiter(
+                        (r["id"] for r in row["blob_b"]), dtype=np.int64
+                    )
+                    vb = np.array([r["v"] for r in row["blob_b"]], dtype=np.float64)
+                na = np.sqrt((va * va).sum(axis=1))
+                nb = na if same else np.sqrt((vb * vb).sum(axis=1))
+                cs = (va @ vb.T) / np.outer(na, nb)
+                i, j = np.nonzero(cs >= thr)
+                keep = ia[i] < ib[j]  # strict order also kills the diagonal
+                out_1.append(ia[i][keep])
+                out_2.append(ib[j][keep])
+            if out_1:
+                yield pd.DataFrame(
+                    {
+                        "id1": np.concatenate(out_1),
+                        "id2": np.concatenate(out_2),
+                    }
+                )
+
+    cands = tasks.mapInPandas(score, "id1 long, id2 long")
+    v1 = e.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+    )
+    v2 = e.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
+    )
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

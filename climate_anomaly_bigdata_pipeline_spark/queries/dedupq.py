@@ -385,10 +385,13 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
         .unionByName(emb.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
     )
-    # Lossless 2-dim grid blocking: same pair set as brute force
-    # (tests/test_northstar.py parity test), ~10-50x fewer candidate
-    # pairs feeding the CC iterations.
-    pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99, block_dims=2)
+    # BLAS candidate generation + exact refilter: the same pair set as
+    # brute force, bit-for-bit (embedding_neardup_pairs_gemm docstring;
+    # gemm-vs-brute parity test in tests/test_round5b_ops.py). Grid
+    # blocking cannot prune dense 64-dim unit vectors (coordinate
+    # spread ~ cell width), so vectorizing the pair evaluation is what
+    # actually scales: 148 s -> ~10 s at sf1.
+    pairs = DD.embedding_neardup_pairs_gemm(corpus, threshold=0.99)
     return DD.connected_components(pairs, "id1", "id2")
 
 
@@ -602,15 +605,16 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicitly their own cluster, which the left join encodes without a
     second pass) and a keep flag marking the component-minimum
     representative. Downstream training-data selection is then
-    ``filter(keep)``. Candidate pairs come from the lossless
-    grid-blocked cosine join; the labels join is groups-sized."""
+    ``filter(keep)``. Candidate pairs come from the BLAS-candidate +
+    exact-refilter join (same pair set as brute force, bit-for-bit);
+    the labels join is groups-sized."""
     emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
     corpus = (
         emb.select("vec_id", "embedding")
         .unionByName(emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
         .unionByName(emb.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
     )
-    pairs = DD.embedding_neardup_pairs(corpus, threshold=0.99, block_dims=2)
+    pairs = DD.embedding_neardup_pairs_gemm(corpus, threshold=0.99)
     labels = DD.connected_components(pairs, "id1", "id2").withColumnRenamed(
         "node", "vec_id"
     )

@@ -147,3 +147,28 @@ def test_bm25_known_corpus(spark):
     assert ids == [1, 2]  # shorter doc first, term-free doc absent
     scores = {r.doc_id: r.bm25 for r in out}
     assert scores[1] > scores[2] > 0
+
+
+def test_gemm_neardup_matches_brute_bitexact(spark):
+    """BLAS candidate generation + exact refilter must reproduce the
+    brute-force pair set AND cosine bits exactly (margin >> float64
+    GEMM-vs-fold divergence)."""
+    import random
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    rnd = random.Random(7)
+    rows = []
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    vid = 0
+    for v in base:
+        for _ in range(3):  # three 1%-noise copies of each base vector
+            rows.append((vid, [x + rnd.gauss(0, 0.01) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    brute = DD.embedding_neardup_pairs(df, threshold=0.98)
+    gemm = DD.embedding_neardup_pairs_gemm(df, threshold=0.98, chunk_rows=16)
+    sb = {(r.id1, r.id2, r.cosine) for r in brute.collect()}
+    sg = {(r.id1, r.id2, r.cosine) for r in gemm.collect()}
+    assert sb == sg
+    assert len(sb) > 0  # the check must not pass vacuously
