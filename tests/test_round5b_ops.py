@@ -172,3 +172,17 @@ def test_gemm_neardup_matches_brute_bitexact(spark):
     sg = {(r.id1, r.id2, r.cosine) for r in gemm.collect()}
     assert sb == sg
     assert len(sb) > 0  # the check must not pass vacuously
+
+
+def test_knn_exact_equals_brute(spark, sf_dir):
+    """knn_join_exact (GEMM candidates + exact rescore) must equal the
+    brute join row-for-row: ids, ranks, and cosine bits."""
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in QUERIES["knn_join_brute"](spark, sf_dir).collect()
+    }
+    g = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in QUERIES["knn_join_exact"](spark, sf_dir).collect()
+    }
+    assert b == g and len(b) > 0
