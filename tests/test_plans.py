@@ -153,14 +153,23 @@ def test_ivf_corpus_never_shuffles(spark, sf_dir):
     assert not re.search(r"Exchange hashpartitioning", plan), plan
 
 
-def test_repetition_and_pii_are_scan_local(spark, sf_dir):
-    """Row-local quality/scrub passes must not shuffle: zero Exchange
-    nodes — they scale with the scan or not at all."""
+def test_repetition_and_pii_plan_shapes(spark, sf_dir):
+    """PII scrub is row-local — zero Exchange, scales with the scan.
+    Repetition stats DELIBERATELY shuffle (doc, token) counts: the
+    zero-shuffle in-row higher-order fold was O(distinct×n) per doc in
+    the interpreted evaluator (60 s at sf1 vs 2 s — see
+    repetition_stats); the plan gate now pins the codegen'd two-level
+    aggregate shape: doc-keyed hash exchanges only, and no more than
+    two of them."""
     import re
 
-    for q in ("repetition_quality_docs", "pii_scrub_docs"):
-        plan = plan_of(QUERIES[q](spark, sf_dir))
-        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan)
+    plan = plan_of(QUERIES["pii_scrub_docs"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+    plan = plan_of(QUERIES["repetition_quality_docs"](spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert 1 <= len(exchanges) <= 2, plan
+    assert plan.count("hashpartitioning(doc_id") == len(exchanges), plan
 
 
 def test_funnel_single_shuffle_for_stage_fold(spark, sf_dir):
