@@ -468,3 +468,176 @@ def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_join_gemm(
         emb, query_pred=F.col("vec_id") % _KNN_QUERY_MOD == 0, k=_KNN_K
     )
+
+
+# ---- hybrid retrieval: reciprocal rank fusion ------------------------------
+
+_RRF_C = 60
+_RRF_K = 10
+_RRF_DEPTH = 20
+
+_RRF_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM toks WHERE tok IN ('join', 'window', 'vector')
+    GROUP BY doc_id, tok
+),
+dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           ln((CAST(st.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+              / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+               AS s
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfx ON dfx.tok = tf.tok
+    CROSS JOIN st
+),
+bm AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY list_reduce(list(s ORDER BY tok), (a, x) -> a + x) DESC,
+                        doc_id
+           ) AS BIGINT) AS r_bm25
+    FROM scored GROUP BY doc_id
+    QUALIFY r_bm25 <= {_RRF_DEPTH}
+),
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID}),
+dn AS (
+    SELECT e.vec_id AS doc_id,
+           CAST(row_number() OVER (
+               ORDER BY list_dot_product(e.v, q.qv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        e.vec_id
+           ) AS BIGINT) AS r_dense
+    FROM e, q WHERE e.vec_id != {_QUERY_ID}
+    QUALIFY r_dense <= {_RRF_DEPTH}
+)
+SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+       bm.r_bm25, dn.r_dense,
+       COALESCE(1.0 / ({_RRF_C} + bm.r_bm25), 0.0)
+         + COALESCE(1.0 / ({_RRF_C} + dn.r_dense), 0.0) AS rrf
+FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_K}
+"""
+
+
+@query("hybrid_rrf_retrieval", oracle=_RRF_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (Cormack et al. 2009) of a
+    BM25 lexical ranking (3-term query over documents) and a dense
+    cosine ranking (query vector 7 over embeddings, vec_id ≡ doc_id
+    for the indexed subset). rrf = Σ 1/(60 + rank) over the lists that
+    retrieved the doc — rank-only fusion, so the fused score is exact
+    integer arithmetic in double, engine-identical with no float-parity
+    work. Both legs are top-20; output is the fused top-10.
+
+    Scale shape: each leg is its own bounded top-k (TakeOrdered /
+    windowed rank over aggregated scores); the fusion join touches
+    2×depth rows. At 100 TB each leg is served from its index
+    (inverted term shards / IVF cells) and fusion cost is unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, sf_dir)
+
+    # lexical leg: BM25 raw scores (same recipe as bm25_topk_docs)
+    from climate_anomaly_bigdata_pipeline_spark.queries.textops import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    toks = cat.documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    s = idf * (
+        tfd
+        / (
+            tfd
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (dld / avgdl))
+        )
+    )
+    raw = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfx), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tok"), F.col("s").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, c: acc + c["v"],
+            ).alias("raw")
+        )
+    )
+    # TakeOrdered to the fusion depth FIRST, then rank the 20 survivors
+    # — the global row_number window never sees more than depth rows.
+    wb = Window.orderBy(F.desc("raw"), F.asc("doc_id"))
+    bm = (
+        raw.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r_bm25", F.row_number().over(wb).cast("long"))
+        .select("doc_id", "r_bm25")
+    )
+
+    # dense leg: cosine ranks of the fixed query vector
+    dense = SIM.cosine_topk(cat.embeddings, query_id=_QUERY_ID, k=_RRF_DEPTH)
+    wd = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    dn = dense.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(wd).cast("long").alias("r_dense"),
+    )
+
+    fused = bm.join(dn, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_bm25",
+        "r_dense",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_K)

@@ -186,3 +186,19 @@ def test_knn_exact_equals_brute(spark, sf_dir):
         for r in QUERIES["knn_join_exact"](spark, sf_dir).collect()
     }
     assert b == g and len(b) > 0
+
+
+def test_hybrid_rrf_oracle(spark, sf_dir):
+    ok, msg = run_check(spark, "hybrid_rrf_retrieval", sf_dir)
+    assert ok, msg
+
+
+def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
+    """A doc ranked by both legs must outscore a doc ranked by one leg
+    at equal single-list rank, and every fused score must be positive
+    and bounded by 2/61."""
+    rows = QUERIES["hybrid_rrf_retrieval"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.rrf > 0.0 and r.rrf <= 2.0 / 61.0 + 1e-12
+        assert r.r_bm25 is not None or r.r_dense is not None
