@@ -423,3 +423,554 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --- Q1: pricing summary report ---------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+           AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical scan-heavy pricing summary — eight
+    aggregates over one filtered pass of the fact table, grouped on a
+    6-value domain.
+
+    Scale notes: this is the pure-throughput query — a single parquet
+    scan with the date predicate pushed to the reader, partial (map-side)
+    aggregation over a tiny group domain, and one 6-row exchange. The
+    whole pipeline is one WholeStageCodegen span. Exactness: quantities
+    are integral (summed as BIGINT), money factors are exact 2-decimal
+    doubles summed in DECIMAL (order-independent), and the 3-factor
+    charge product uses narrow decimals (12,2)x(4,2)x(4,2) so the exact
+    product fits both engines' 38-digit cap — a (18,6)^3 product would
+    overflow Spark's precision rules and silently lose scale. Averages
+    divide the exact decimal sum by the count in double, the identical
+    two-FP-op sequence on both engines.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(F.col("l_shipdate") <= "2001-09-02")
+    one = F.lit(1)
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (one.cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        * (one.cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.round(F.sum(FN.dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("long")).cast("double") / n.cast("double"), 4
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(FN.dec("l_extendedprice")).cast("double") / n.cast("double"), 4
+        ).alias("avg_price"),
+        F.round(
+            F.sum(FN.dec("l_discount")).cast("double") / n.cast("double"), 6
+        ).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# --- Q6: forecast revenue change --------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would have been gained by eliminating
+    small discounts — a pure filter + global aggregate.
+
+    Scale notes: all three predicates (date range, discount band,
+    quantity cap) push to the parquet scan as min/max-prunable filters;
+    at 100 TB on date-partitioned data the date range also prunes
+    partitions. Zero shuffle beyond the final 1-row partial-agg merge.
+    The discount literals are the same binary doubles on both engines,
+    so the BETWEEN selects identical rows.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.groupBy().agg(
+        F.round(F.sum(FN.dec("l_extendedprice") * FN.dec("l_discount")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- Q5: local supplier volume ----------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the customer and the line's
+    supplier sit in the same nation of one region — the classic
+    6-table join with a non-obvious join condition (s_nationkey =
+    c_nationkey ties two dimension legs together).
+
+    Scale notes: region→nation prunes to the ASIA nation keys first
+    (tiny), customer and supplier are broadcast after their nation
+    filters, and the date filter on orders is pushed to its scan — so
+    the only shuffle is lineitem⋈orders. The same-nation condition is
+    applied as a broadcast-side equi predicate, not a post-join filter
+    on the fact.
+    """
+    c = Catalog(spark, sf_dir)
+    asia_nations = (
+        c.nation.join(
+            F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cu = c.customer.join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    su = c.supplier.select("s_suppkey", "s_nationkey")
+    od = c.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = c.lineitem.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (su.s_nationkey == cu.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("revenue")
+    )
+
+
+# --- Q4: order-priority checking (EXISTS) -----------------------------------
+
+# The corpus has no l_commitdate/l_receiptdate, so "late" is adapted to
+# shipped >75 days after the order date — same EXISTS-with-correlated-
+# predicate shape as the spec query.
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority that have at least one
+    late line — the canonical correlated-EXISTS query.
+
+    Scale notes: EXISTS compiles to a left-semi join keyed on orderkey
+    with the lateness comparison as a join-side predicate, so each
+    order contributes at most once without a distinct; the orders date
+    filter is pushed to its scan and shrinks the probe side before the
+    (only) shuffle. No decimal math — integer counts are trivially
+    engine-exact.
+    """
+    c = Catalog(spark, sf_dir)
+    od = c.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = c.lineitem.select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 75 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --- Q10: returned-item reporting -------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in
+    one half-year window.
+
+    Scale notes: the returnflag and date filters push to both fact
+    scans; customer⋈nation is dim-sized and broadcast onto the
+    aggregated-by-custkey revenue (aggregate BEFORE the customer join,
+    so the join input is customer-cardinality, not lineitem-
+    cardinality); the final top-20 is a TakeOrdered with a custkey
+    tiebreak, not a global sort.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = c.orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderkey", "o_custkey")
+    rev_by_cust = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("revenue"))
+    )
+    cu = c.customer.join(
+        F.broadcast(c.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        rev_by_cust.join(F.broadcast(cu), F.col("o_custkey") == cu.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Q18: large-volume customers --------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_ORACLE)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300, with their
+    customers — the IN-aggregate-subquery shape.
+
+    Scale notes: the HAVING subquery is computed ONCE as a grouped
+    aggregate that also carries the total_qty the output needs, so the
+    big-order filter and the displayed sum share one shuffle (the spec
+    SQL's IN + re-aggregation collapses to a single groupBy + join
+    here). The surviving-order set is small and broadcast onto orders;
+    customer is broadcast too. Top-100 via TakeOrdered with an
+    orderkey tiebreak. Quantities are integral → BIGINT-exact.
+    """
+    c = Catalog(spark, sf_dir)
+    big = (
+        c.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    od = c.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cu = c.customer.select("c_custkey", "c_name")
+    return (
+        od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- Q2: minimum-cost supplier (adapted: supplies relation from lineitem) ----
+
+# The corpus has no partsupp table, so the part↔supplier supply
+# relation (and its cost) is derived from observed lineitems: unit
+# cost = min(l_extendedprice / l_quantity) per (part, supplier). The
+# correlated-min-subquery shape of spec Q2 is preserved: find, per
+# qualifying part, the EUROPE supplier with the lowest unit cost.
+_Q2_ORACLE = """
+WITH supplies AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eur AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+ranked AS (
+    SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name,
+           sp.unit_cost,
+           row_number() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY sp.unit_cost ASC, e.s_suppkey ASC
+           ) AS rk
+    FROM part p
+    JOIN supplies sp ON p.p_partkey = sp.l_partkey
+    JOIN eur e       ON sp.l_suppkey = e.s_suppkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(unit_cost, 4) AS unit_cost
+FROM ranked WHERE rk = 1
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the region-local
+    supplier offering the minimum unit cost (correlated-min subquery →
+    per-part argmin).
+
+    Scale notes: the supplies relation is a grouped aggregate of the
+    fact table (its only shuffle); the correlated min is a per-part
+    row_number over the supplies-sized table rather than a re-join
+    against a min subquery (one window instead of a second shuffle +
+    join). Part/supplier/nation/region filters are all pushed and the
+    dim sides broadcast. Determinism: the per-row double division is
+    the identical IEEE op on both engines, min() is order-independent,
+    and ties break on s_suppkey.
+    """
+    from pyspark.sql import Window
+
+    c = Catalog(spark, sf_dir)
+    supplies = c.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        c.supplier.join(
+            F.broadcast(
+                c.nation.join(
+                    F.broadcast(c.region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pa = c.part.filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    joined = (
+        supplies.join(F.broadcast(pa), supplies.l_partkey == pa.p_partkey)
+        .join(F.broadcast(eur), supplies.l_suppkey == eur.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("s_suppkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+# --- Q9: product-type profit (adapted: cost from p_retailprice) --------------
+
+# No partsupp → supply cost is adapted to the part's retail price per
+# unit: profit = l_extendedprice*(1-l_discount) − p_retailprice*l_quantity,
+# grouped by supplier nation × order year for parts named '%red%' —
+# the same join tree and profit-decomposition shape as spec Q9.
+_Q9_ORACLE = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(round(sum(
+           CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+           - CAST(p.p_retailprice AS DECIMAL(18,6))
+               * CAST(l.l_quantity AS DECIMAL(18,6))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation and
+    order year.
+
+    Scale notes: the part-name filter prunes part before its broadcast
+    (at 100 TB the LIKE runs over the dim scan, never the fact);
+    supplier⋈nation is broadcast; the only shuffle is lineitem⋈orders.
+    Profit is a difference of two exact decimal products summed in
+    decimal — order-independent, bit-identical across engines.
+    """
+    c = Catalog(spark, sf_dir)
+    pa = c.part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    su = c.supplier.join(
+        F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    od = c.orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = c.lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = FN.revenue_expr() - FN.dec("p_retailprice") * FN.dec("l_quantity")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+# --- Q16: supplier count by part attributes (adapted) ------------------------
+
+# No partsupp → the part↔supplier relation is the DISTINCT
+# (l_partkey, l_suppkey) pairs observed in lineitem; the spec's
+# complaint-supplier exclusion becomes an acctbal < 0 exclusion.
+_Q16_ORACLE = """
+WITH supplies AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT sp.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN supplies sp ON p.p_partkey = sp.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type  <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND sp.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q16_supplier_part_counts", oracle=_Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can supply parts of
+    each (brand, type, size) bucket, excluding flagged suppliers.
+
+    Scale notes: the supplies relation dedups the fact table on the
+    pair key (one shuffle, map-side partial distinct); the NOT IN
+    becomes a broadcast left-anti join against the (tiny) flagged-
+    supplier set — never a NOT-IN null-trap subquery; the part filter
+    is applied before its broadcast. countDistinct over the already-
+    deduped pairs is exact.
+    """
+    c = Catalog(spark, sf_dir)
+    supplies = c.lineitem.select("l_partkey", "l_suppkey").distinct()
+    flagged = c.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pa = c.part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        supplies.join(
+            F.broadcast(flagged),
+            supplies.l_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
