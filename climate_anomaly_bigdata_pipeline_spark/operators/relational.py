@@ -736,3 +736,48 @@ def stable_global_index(
     return part.withColumn(
         out_col, (off_expr + F.row_number().over(w) - 1).cast("long")
     ).drop("__pid")
+
+
+def running_total(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_total",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global cumulative sum (inclusive prefix sum) in ``order_cols``
+    order WITHOUT the single-partition window: the
+    :func:`stable_global_index` recipe generalized from counting rows
+    to summing a value — range-partition on the order key, SUM each
+    partition (bounded collect, one row per partition), prefix-sum the
+    partition totals driver-side into offsets, then add a
+    partition-LOCAL window sum to the broadcast offset.
+
+    ``value_col`` should be integral (long) or DECIMAL so partial sums
+    are exact and the result is independent of partitioning; the same
+    ``localCheckpoint`` pin as stable_global_index keeps the count and
+    sum passes on one sampled range partitioning. ``order_cols`` must
+    be a total order for a deterministic result."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["t"] or 0
+    off_expr = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )[F.col("__pid")]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return part.withColumn(
+        out_col, off_expr + F.sum(value_col).over(w)
+    ).drop("__pid")

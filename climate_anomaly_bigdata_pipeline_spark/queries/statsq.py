@@ -423,3 +423,211 @@ def spearman_parts_rev_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * (F.pow(n, F.lit(2)) - 1.0))
         ).alias("spearman_rho"),
     )
+
+
+# ---- autocorrelation function of daily revenue ------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1
+),
+ser AS (
+    SELECT list(x ORDER BY d) AS xs,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m,
+           count(*) AS n
+    FROM daily
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k)
+SELECT CAST(l.k AS INTEGER) AS lag,
+       list_reduce(
+           list_transform(generate_series(1, CAST(s.n - l.k AS BIGINT)),
+                          i -> (s.xs[i] - s.m) * (s.xs[i + l.k] - s.m)),
+           (acc, t) -> acc + t
+       ) / list_reduce(
+           list_transform(generate_series(1, CAST(s.n AS BIGINT)),
+                          i -> (s.xs[i] - s.m) * (s.xs[i] - s.m)),
+           (acc, t) -> acc + t
+       ) AS acf,
+       CAST(s.n AS BIGINT) AS n_days
+FROM ser s, lags l
+ORDER BY lag
+"""
+
+
+@query("acf_daily_revenue", oracle=_ACF_ORACLE)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..7 — the seasonality detector behind the dow/hour anomaly
+    baselines (a weekly cycle shows as a lag-7 peak).
+
+    Scale posture: the series length is bounded by the CALENDAR, not
+    the data (a century of days is ~36k values), so after the
+    distributed daily pre-aggregation the fold runs over one bounded
+    in-row array — the same bounded-domain contract as the pivot and
+    histogram queries. Exactness: daily revenues are exact 2-decimal
+    doubles, the mean divides an exact DECIMAL sum by the day count,
+    and BOTH the lag-k covariance and the variance fold their terms in
+    date order via a sequential array fold on each engine — never a
+    SUM() whose accumulation order the engine picks.
+    """
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x")
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("sd"),
+        (
+            F.sum(FN.dec("x")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.transform("sd", lambda s: s["x"]).alias("xs"), "m", "n")
+
+    lagged = ser.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+        ).alias("k"),
+    )
+
+    def _dev(i: Column) -> Column:
+        return F.element_at("xs", i.cast("int")) - F.col("m")
+
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), F.col("n") - F.col("k")),
+            lambda i: _dev(i) * _dev(i + F.col("k")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), F.col("n")),
+            lambda i: _dev(i) * _dev(i),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return lagged.select(
+        F.col("k").cast("int").alias("lag"),
+        (num / den).alias("acf"),
+        F.col("n").cast("long").alias("n_days"),
+    ).orderBy("lag")
+
+
+# ---- Mann-Whitney U test: purchase vs click event values --------------------
+
+_MWU_ORACLE = """
+WITH f AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+    SELECT value,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_cnt,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_cnt
+    FROM f GROUP BY value
+),
+c AS (
+    SELECT value, a_cnt, b_cnt,
+           sum(b_cnt) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - b_cnt AS b_less
+    FROM g
+),
+s AS (
+    SELECT CAST(sum(a_cnt) AS DOUBLE) AS na,
+           CAST(sum(b_cnt) AS DOUBLE) AS nb,
+           sum(CAST(a_cnt AS DOUBLE)
+               * (CAST(b_less AS DOUBLE) + CAST(b_cnt AS DOUBLE) / 2.0)) AS ua,
+           CAST(sum((a_cnt + b_cnt) * (a_cnt + b_cnt) * (a_cnt + b_cnt)
+                    - (a_cnt + b_cnt)) AS DOUBLE) AS ties
+    FROM c
+)
+SELECT CAST(na AS BIGINT) AS n_purchase,
+       CAST(nb AS BIGINT) AS n_click,
+       ua AS u_purchase,
+       na * nb - ua AS u_click,
+       (ua - (na * nb) / 2.0)
+           / sqrt(((na * nb) / 12.0)
+                  * ((na + nb + 1.0)
+                     - ties / ((na + nb) * (na + nb - 1.0)))) AS z
+FROM s
+WHERE na > 0 AND nb > 0
+"""
+
+
+@query("mannwhitney_purchase_click", oracle=_MWU_ORACLE)
+def mannwhitney_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between purchase and click event
+    values — the nonparametric sibling of `welch_ttest_purchase_click`
+    with full average-rank tie handling and the normal approximation's
+    tie-corrected variance.
+
+    Shape: U is computed WITHOUT global ranks — per-value arm counts
+    (one shuffle), then U_a = Σ_v a(v)·(B_less(v) + b(v)/2) where the
+    cumulative B_less comes from :func:`running_total`'s distributed
+    prefix sum (range partition + bounded per-partition totals collect
+    + local window; never a single-partition ORDER BY window). Every
+    U term is an exact multiple of 0.5 below 2^53, so the sum is
+    order-independent; the z expression is pinned to the oracle's
+    operation order symbol-for-symbol.
+    """
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_total,
+    )
+
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+    )
+    c = running_total(g, ["value"], "b_cnt", out_col="b_cum").withColumn(
+        "b_less", F.col("b_cum") - F.col("b_cnt")
+    )
+    t = F.col("a_cnt") + F.col("b_cnt")
+    s = c.agg(
+        F.sum("a_cnt").cast("double").alias("na"),
+        F.sum("b_cnt").cast("double").alias("nb"),
+        F.sum(
+            F.col("a_cnt").cast("double")
+            * (F.col("b_less").cast("double") + F.col("b_cnt").cast("double") / 2.0)
+        ).alias("ua"),
+        F.sum(t * t * t - t).cast("double").alias("ties"),
+    )
+    na, nb, ua, ties = F.col("na"), F.col("nb"), F.col("ua"), F.col("ties")
+    return s.select(
+        na.cast("long").alias("n_purchase"),
+        nb.cast("long").alias("n_click"),
+        ua.alias("u_purchase"),
+        (na * nb - ua).alias("u_click"),
+        (
+            (ua - (na * nb) / F.lit(2.0))
+            / F.sqrt(
+                ((na * nb) / F.lit(12.0))
+                * (
+                    (na + nb + F.lit(1.0))
+                    - ties / ((na + nb) * (na + nb - F.lit(1.0)))
+                )
+            )
+        ).alias("z"),
+    ).filter((na > 0) & (nb > 0))

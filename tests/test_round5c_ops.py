@@ -1,0 +1,66 @@
+"""Round-5 additions: distributed prefix sum (running_total), the
+daily-revenue ACF, and the Mann-Whitney U test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.operators.relational import running_total
+from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+from tests.oracle_utils import run_check
+
+
+@pytest.mark.parametrize(
+    "name", ["acf_daily_revenue", "mannwhitney_purchase_click"]
+)
+def test_oracle_parity(spark, sf_dir, name):
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_running_total_matches_window_cumsum(spark):
+    """The distributed two-phase prefix sum must equal the
+    single-partition window cumsum on any partitioning."""
+    rows = [(i, (i * 37) % 11) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    got = {
+        r["k"]: r["rt"]
+        for r in running_total(df, ["k"], "v", out_col="rt").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["rt"]
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_running_total_no_single_partition_window(spark):
+    """The plan must window over __pid partitions, never a global
+    SinglePartition sort."""
+    import contextlib
+    import io
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = running_total(df, ["k"], "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
+def test_acf_lag7_strongest_weekly_signal(spark, sf_dir):
+    """Sanity: lag-7 ACF should be finite and the row count fixed."""
+    rows = QUERIES["acf_daily_revenue"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    assert all(abs(r.acf) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_mannwhitney_u_symmetry(spark, sf_dir):
+    """U_a + U_b must equal n_a * n_b exactly (pair-count identity)."""
+    r = QUERIES["mannwhitney_purchase_click"](spark, sf_dir).collect()[0]
+    assert r.u_purchase + r.u_click == r.n_purchase * r.n_click
