@@ -309,3 +309,56 @@ def bfs_distances(
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Nodes of the ``k``-core of an undirected graph: iteratively peel
+    every node with degree < k until a fixpoint (Matula & Beck's
+    peeling, the degeneracy primitive behind dense-community and spam
+    detection).
+
+    Per round: one grouped degree count + two anti-joins removing the
+    peeled endpoints — every step an equi-shuffle on node id, so
+    bucketing edges by node makes rounds exchange-free (the same
+    posture as :func:`bfs_distances` / the star CC rounds), and
+    ``localCheckpoint`` truncates the growing lineage. Rounds are
+    data-dependent but bounded by the longest peeling chain; the loop
+    early-exits the first round nothing peels. Work per round is
+    O(remaining edges), never O(V²).
+
+    Returns ``(node, degree)`` for the surviving core (degree within
+    the core, >= k by construction).
+    """
+    bidir = (
+        edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
+        .union(edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = bidir
+    for _ in range(max_rounds):
+        low = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") < k)
+            .select("s")
+        )
+        if low.isEmpty():
+            break
+        low = low.localCheckpoint()
+        lx = low.withColumnRenamed("s", "x")
+        cur = (
+            cur.join(lx, cur.s == lx.x, "left_anti")
+            .join(lx, F.col("d") == lx.x, "left_anti")
+            .localCheckpoint()
+        )
+    return cur.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

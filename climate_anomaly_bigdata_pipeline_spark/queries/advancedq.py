@@ -909,3 +909,60 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_acctbal")
     )
+
+
+# ---- k-core decomposition of the co-purchase graph --------------------------
+
+_KCORE_K = 3
+# Oracle rounds: the peeling fixpoint takes 10 rounds at sf0.01 and 0
+# at sf0.001 (measured); 14 unrolled rounds give margin, and extra
+# rounds past the fixpoint are no-ops, so engine (loop-to-fixpoint)
+# and oracle (fixed unroll) agree at every oracle scale.
+_KCORE_ROUNDS = 14
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    # AS MATERIALIZED: each round references the previous one three
+    # times (degree filter + two NOT INs); without materialization the
+    # inlined CTE tree grows 3^rounds and exhausts file handles.
+    parts = [
+        "d0 AS MATERIALIZED (SELECT u AS s, v AS d FROM edges"
+        " UNION ALL SELECT v, u FROM edges)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (SELECT s FROM d{i - 1} GROUP BY s HAVING count(*) < {k}),
+d{i} AS MATERIALIZED (
+    SELECT s, d FROM d{i - 1}
+    WHERE s NOT IN (SELECT s FROM l{i}) AND d NOT IN (SELECT s FROM l{i})
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_KCORE_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+{_kcore_ctes(_KCORE_K, _KCORE_ROUNDS)}
+SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+FROM d{_KCORE_ROUNDS}
+GROUP BY s
+"""
+
+
+@query("kcore_copurchase", oracle=_KCORE_ORACLE)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph — iterative peeling of
+    degree<3 nodes to a fixpoint (:func:`operators.graph.k_core`), the
+    degeneracy primitive for dense-community extraction. Engine loops
+    with early exit; the oracle unrolls {_KCORE_ROUNDS} peeling rounds
+    (fixpoint measured at 10 at sf0.01, extra rounds are no-ops).
+    Every round is an equi-shuffle (degree count + two anti-joins), so
+    node-bucketed edges make rounds exchange-free at scale."""
+    li = Catalog(spark, sf_dir).lineitem
+    edges = G.cooccurrence_edges(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+    ).select(F.col("u"), F.col("v"))
+    return G.k_core(edges, k=_KCORE_K)

@@ -573,3 +573,107 @@ def interval_overlap_sessions_noon(spark: SparkSession, sf_dir: str) -> DataFram
     return TS.interval_overlap_join(
         sessions, days, "s_start", "s_end", "m_start", "m_end", band_seconds=3600
     )
+
+
+# ---- STL-style seasonal decomposition of daily revenue ----------------------
+
+_STL_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1
+),
+tr AS (
+    SELECT d, x,
+           CASE WHEN count(*) OVER w = 7
+                THEN CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) / 7.0
+           END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT d, x, trend, dayofweek(d) AS dow, x - trend AS detrended
+    FROM tr
+),
+seas AS (
+    SELECT dow,
+           list_reduce(list(detrended ORDER BY d), (acc, t) -> acc + t)
+               / CAST(count(detrended) AS DOUBLE) AS seasonal
+    FROM det WHERE detrended IS NOT NULL GROUP BY dow
+)
+SELECT det.d AS day, det.x AS revenue, det.trend,
+       s.seasonal,
+       det.detrended - s.seasonal AS residual
+FROM det JOIN seas s ON s.dow = det.dow
+ORDER BY day
+"""
+
+
+@query("stl_decompose_daily_revenue", oracle=_STL_ORACLE)
+def stl_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily revenue series:
+    trend = centered 7-observation moving average (null at the edges),
+    seasonal = per-day-of-week mean of the detrended values, residual
+    = the rest — the classical-decomposition backbone behind
+    `seasonal_zscore_events`' calendar baselines.
+
+    Scale posture: the series is calendar-bounded after the
+    distributed daily pre-agg (same contract as `acf_daily_revenue`),
+    the trend is a 7-row frame window over the date order (a
+    single-partition exchange, safe ONLY because the input is the
+    calendar-bounded pre-agg — same posture as `rolling_daily_mean`),
+    and the 7-row seasonal profile broadcasts back.
+    Exactness: trend divides an exact DECIMAL window sum by 7; the
+    per-dow seasonal mean folds its bounded group in date order on
+    both engines (a plain AVG would sum doubles in engine order); the
+    subtraction chain is then per-row deterministic.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum(FN.dec("x")).over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "d", "x", "trend",
+        F.dayofweek("d").alias("dow"),
+        (F.col("x") - F.col("trend")).alias("detrended"),
+    )
+    seas = (
+        det.filter(F.col("detrended").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("d", "detrended"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["detrended"],
+                )
+                / F.count("detrended").cast("double")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").alias("day"),
+            F.col("x").alias("revenue"),
+            "trend",
+            "seasonal",
+            (F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+        .orderBy("day")
+    )

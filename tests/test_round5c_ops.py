@@ -64,3 +64,53 @@ def test_mannwhitney_u_symmetry(spark, sf_dir):
     """U_a + U_b must equal n_a * n_b exactly (pair-count identity)."""
     r = QUERIES["mannwhitney_purchase_click"](spark, sf_dir).collect()[0]
     assert r.u_purchase + r.u_click == r.n_purchase * r.n_click
+
+
+@pytest.mark.parametrize(
+    "name", ["stl_decompose_daily_revenue", "kcore_copurchase"]
+)
+def test_oracle_parity_stl_kcore(spark, sf_dir, name):
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_stl_components_sum_back(spark, sf_dir):
+    """trend + seasonal + residual must reconstruct the series exactly
+    wherever the trend is defined (additive decomposition identity)."""
+    rows = QUERIES["stl_decompose_daily_revenue"](spark, sf_dir).collect()
+    interior = [r for r in rows if r.trend is not None]
+    assert interior, "series too short for any full 7-day window"
+    for r in interior:
+        assert r.revenue == pytest.approx(r.trend + r.seasonal + r.residual)
+
+
+def test_kcore_every_node_meets_degree(spark, sf_dir):
+    """Every surviving node's within-core degree is >= k (the k-core
+    definition); peeling to fixpoint guarantees it."""
+    rows = QUERIES["kcore_copurchase"](spark, sf_dir).collect()
+    assert all(r.degree >= 3 for r in rows)
+
+
+def test_kcore_brute_parity_small_graph(spark):
+    """Operator-level parity against brute-force peeling in Python on
+    a small deterministic graph (two triangles sharing a vertex plus a
+    pendant chain: the 2-core drops the chain, keeps the triangles)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.graph import k_core
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.node, r.degree) for r in k_core(df, k=2).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ns in adj.items() if len(ns) < 2]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    want = {(n, len(ns)) for n, ns in adj.items()}
+    assert got == want
