@@ -631,3 +631,186 @@ def mannwhitney_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).filter((na > 0) & (nb > 0))
+
+
+# ---- leave-one-out target encoding ------------------------------------------
+
+_LOO_ORACLE = """
+WITH seg AS (
+    SELECT c.c_mktsegment,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS seg_sum,
+           CAST(count(*) AS BIGINT) AS seg_n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+)
+SELECT o.o_orderkey, c.c_mktsegment,
+       CASE WHEN s.seg_n > 1
+            THEN round(CAST(s.seg_sum - CAST(o.o_totalprice AS DECIMAL(18,6))
+                            AS DOUBLE)
+                       / CAST(s.seg_n - 1 AS DOUBLE), 4)
+       END AS loo_target_enc
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN seg s ON s.c_mktsegment = c.c_mktsegment
+"""
+
+
+@query("loo_target_encoding_orders", oracle=_LOO_ORACLE)
+def loo_target_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order value — the leakage-safe categorical encoder for
+    downstream models: each order's encoding is the segment mean
+    EXCLUDING that order, so the feature never contains its own label.
+
+    Shape: per-segment sums are a groups-sized aggregate broadcast
+    back onto the fact rows — NOT a window partitioned by segment,
+    which would funnel each category into one task (fatal under
+    category skew at 100 TB). Exactness: (seg_sum − own) is an exact
+    DECIMAL difference; one double division and a round(4) both
+    engines perform identically; the single-order-segment guard
+    matches the oracle's CASE."""
+    c = Catalog(spark, sf_dir)
+    oc = c.orders.join(
+        F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment")
+    seg = oc.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    return oc.join(F.broadcast(seg), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.when(
+            F.col("seg_n") > 1,
+            F.round(
+                (
+                    F.col("seg_sum")
+                    - F.col("o_totalprice").cast("decimal(18,6)")
+                ).cast("double")
+                / (F.col("seg_n") - 1).cast("double"),
+                4,
+            ),
+        ).alias("loo_target_enc"),
+    )
+
+
+# ---- cross-correlation: daily purchase vs click activity --------------------
+
+_CCF_MAX_LAG = 3
+
+_CCF_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+ser AS (
+    SELECT list(x ORDER BY d) AS xs, list(y ORDER BY d) AS ys,
+           count(*) AS n,
+           CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mx,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS my
+    FROM daily
+),
+lags AS (SELECT unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS k)
+SELECT CAST(l.k AS INTEGER) AS lag,
+       list_reduce(
+           list_transform(
+               generate_series(greatest(CAST(1 AS BIGINT), 1 - l.k),
+                               least(s.n, s.n - l.k)),
+               t -> (s.xs[t] - s.mx) * (s.ys[t + l.k] - s.my)
+           ),
+           (acc, v) -> acc + v
+       ) / sqrt(
+           list_reduce(
+               list_transform(generate_series(1, s.n),
+                              t -> (s.xs[t] - s.mx) * (s.xs[t] - s.mx)),
+               (acc, v) -> acc + v
+           ) * list_reduce(
+               list_transform(generate_series(1, s.n),
+                              t -> (s.ys[t] - s.my) * (s.ys[t] - s.my)),
+               (acc, v) -> acc + v
+           )
+       ) AS ccf,
+       CAST(s.n AS BIGINT) AS n_days
+FROM ser s, lags l
+ORDER BY lag
+"""
+
+
+@query("ccf_purchase_click_daily", oracle=_CCF_ORACLE)
+def ccf_purchase_click_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily purchase and click
+    counts at lags −3..+3 — the lead/lag detector (a peak at positive
+    lag k means clicks lead purchases by k days).
+
+    Same calendar-bounded posture as `acf_daily_revenue`: one
+    distributed daily pre-agg, then in-row ordered folds. Inputs are
+    integer day counts, means divide exact integer sums — every term
+    is deterministic and both engines fold in date order, so the
+    statistic is bit-exact."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x", "y"))).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias("mx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias("my"),
+    ).select(
+        F.transform("sd", lambda s: s["x"].cast("double")).alias("xs"),
+        F.transform("sd", lambda s: s["y"].cast("double")).alias("ys"),
+        "n", "mx", "my",
+    )
+    lagged = ser.select(
+        "*",
+        F.explode(
+            F.array(
+                *[F.lit(k) for k in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)]
+            )
+        ).alias("k"),
+    )
+
+    def _fold(arr_terms: Column) -> Column:
+        return F.aggregate(arr_terms, F.lit(0.0), lambda acc, v: acc + v)
+
+    xs, ys = F.col("xs"), F.col("ys")
+    mx, my, n, k = F.col("mx"), F.col("my"), F.col("n"), F.col("k")
+    num = _fold(
+        F.transform(
+            F.sequence(
+                F.greatest(F.lit(1).cast("long"), (F.lit(1) - k).cast("long")),
+                F.least(n, n - k),
+            ),
+            lambda t: (F.element_at(xs, t.cast("int")) - mx)
+            * (F.element_at(ys, (t + k).cast("int")) - my),
+        )
+    )
+    varx = _fold(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n),
+            lambda t: (F.element_at(xs, t.cast("int")) - mx)
+            * (F.element_at(xs, t.cast("int")) - mx),
+        )
+    )
+    vary = _fold(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n),
+            lambda t: (F.element_at(ys, t.cast("int")) - my)
+            * (F.element_at(ys, t.cast("int")) - my),
+        )
+    )
+    return lagged.select(
+        k.cast("int").alias("lag"),
+        (num / F.sqrt(varx * vary)).alias("ccf"),
+        n.cast("long").alias("n_days"),
+    ).orderBy("lag")

@@ -623,3 +623,59 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_K)
         .select("doc_id", F.round("raw", 6).cast("double").alias("bm25"))
     )
+
+
+# ---- BPE training primitive: first-merge pair statistics --------------------
+
+_BPE_MERGE_TOPN = 20
+
+_BPE_MERGE_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+    SELECT unnest(list_transform(
+               generate_series(1, length(w) - 1),
+               i -> substr(w, CAST(i AS INTEGER), 2)
+           )) AS pair
+    FROM words WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {_BPE_MERGE_TOPN}
+"""
+
+
+@query("bpe_first_merge_pairs", oracle=_BPE_MERGE_ORACLE)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies inside words — the argmax pair IS the
+    first merge rule (Sennrich et al. 2016). Top-20 with a
+    deterministic lexicographic tiebreak.
+
+    Scale posture: pair generation is a pure in-row transform+explode
+    (codegen, zero Python), the count shuffles on a small pair domain
+    (map-side partial combine absorbs the corpus multiplicity), and
+    the top-20 is a TakeOrdered. Subsequent BPE rounds repeat this
+    plan on the re-segmented corpus — each round one aggregation pass,
+    the standard distributed-BPE shape."""
+    docs = Catalog(spark, sf_dir).documents
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i.cast("int"), 2),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(_BPE_MERGE_TOPN)
+    )

