@@ -814,3 +814,212 @@ def ccf_purchase_click_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / F.sqrt(varx * vary)).alias("ccf"),
         n.cast("long").alias("n_days"),
     ).orderBy("lag")
+
+
+# ---- CUPED variance-reduced A/B comparison ----------------------------------
+
+_CUPED_SPLIT_TS = "2024-01-16 00:00:00"
+
+_CUPED_ORACLE = f"""
+WITH ue AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT_TS}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT_TS}'
+                         AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+lab AS (
+    SELECT *,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('cuped:',
+                     CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 50
+                THEN 'A' ELSE 'B'
+           END AS arm
+    FROM ue
+),
+g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM lab
+),
+t AS (
+    SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+    FROM g
+)
+SELECT lab.arm, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(lab.y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y,
+       CAST(sum(lab.y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           - t.theta * (CAST(sum(lab.x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                        - t.mx) AS mean_y_cuped,
+       t.theta
+FROM lab, t
+GROUP BY lab.arm, t.theta, t.mx
+"""
+
+
+@query("cuped_ab_purchase_rate", oracle=_CUPED_ORACLE)
+def cuped_ab_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    per-user pre-period activity (first 15 days, any event) is the
+    covariate, experiment-period purchase count the metric; the pooled
+    theta = cov(x,y)/var(x) regresses out pre-existing behavior so
+    arm means can be compared at lower variance. Arms are the stable
+    md5-bucket split (`hash_split`, seed 'cuped') — growth-stable and
+    oracle-mirrorable.
+
+    Exactness: x and y are integer counts, theta's numerator/
+    denominator are exact BIGINT cross-moments (n·Σxy − Σx·Σy), and
+    every double op is pinned to the oracle's order. Shape: one
+    per-user aggregation, a 1-row pooled-stats broadcast, one per-arm
+    aggregation — two shuffles total, both map-side combined."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import hash_split
+
+    ev = Catalog(spark, sf_dir).events
+    ue = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < _CUPED_SPLIT_TS, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= _CUPED_SPLIT_TS)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    lab = hash_split(ue, "user_id", splits=(("A", 50), ("B", 50)), seed="cuped")
+    lab = lab.withColumnRenamed("split", "arm")
+    g = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    t = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mx"),
+    )
+    per_arm = lab.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("asx"),
+        F.sum("y").alias("asy"),
+    )
+    mean_y = F.col("asy").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("asx").cast("double") / F.col("n_users").cast("double")
+    return per_arm.crossJoin(F.broadcast(t)).select(
+        "arm",
+        F.col("n_users").cast("long").alias("n_users"),
+        mean_y.alias("mean_y"),
+        (mean_y - F.col("theta") * (mean_x - F.col("mx"))).alias("mean_y_cuped"),
+        "theta",
+    )
+
+
+# ---- multivariate OLS via normal equations ----------------------------------
+
+_OLS2_ORACLE = """
+WITH m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s11,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS s22,
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS s12,
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1y,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2y
+    FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+           / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS intercept,
+       (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+           / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS beta_quantity,
+       (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+           / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS beta_discount
+FROM m
+"""
+
+
+@query("ols2_price_qty_discount", oracle=_OLS2_ORACLE)
+def ols2_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (price ~ quantity + discount) solved in closed
+    form from the 3×3 normal equations via Cramer's rule — distributed
+    multivariate regression as ONE aggregation pass: nine exact-DECIMAL
+    moment sums (order-independent), then a fixed scalar expression
+    tree both engines evaluate identically. The shape generalizes to p
+    regressors as p²-ish moment columns + a driver-side solve — at
+    100 TB the data pass stays a single map-side-combined aggregate.
+    """
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    # Narrow per-column decimals: quantity <= 50 (2dp after cast),
+    # discount <= 0.10, price <= ~1.1e5 — products stay within both
+    # engines' native decimal widths ((18,6)^2 cross-moments overflow
+    # DuckDB's int64 multiplication path).
+    q = F.col("l_quantity").cast("decimal(8,2)")
+    dis = F.col("l_discount").cast("decimal(4,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(dis).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(dis * dis).cast("double").alias("s22"),
+        F.sum(q * dis).cast("double").alias("s12"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(dis * y).cast("double").alias("s2y"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        (d0 / det).alias("intercept"),
+        (d1 / det).alias("beta_quantity"),
+        (d2 / det).alias("beta_discount"),
+    )

@@ -145,3 +145,29 @@ def test_ccf_symmetric_window_and_bounds(spark, sf_dir):
     rows = QUERIES["ccf_purchase_click_daily"](spark, sf_dir).collect()
     assert [r.lag for r in rows] == list(range(-3, 4))
     assert all(abs(r.ccf) <= 1.0 + 1e-9 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["cuped_ab_purchase_rate", "ols2_price_qty_discount"]
+)
+def test_oracle_parity_round5e(spark, sf_dir, name):
+    ok, msg = run_check(spark, name, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_ols2_coefficients_finite(spark, sf_dir):
+    """The normal-equations solve must be well-posed: finite
+    coefficients (non-singular moment matrix) on real data."""
+    import math
+
+    r = QUERIES["ols2_price_qty_discount"](spark, sf_dir).collect()[0]
+    assert r.n_rows > 0
+    for c in (r.intercept, r.beta_quantity, r.beta_discount):
+        assert math.isfinite(c)
+
+
+def test_cuped_two_arms_cover_all_users(spark, sf_dir):
+    rows = QUERIES["cuped_ab_purchase_rate"](spark, sf_dir).collect()
+    assert {r.arm for r in rows} == {"A", "B"}
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1  # pooled theta identical across arms
