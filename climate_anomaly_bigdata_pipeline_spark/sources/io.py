@@ -174,3 +174,25 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative for Hive-ecosystem
+    interop; same predicate-pushdown/column-pruning contract as the
+    parquet sink (Spark's native vectorized ORC reader)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet files written with
+    different (compatible) schemas via ``mergeSchema`` — columns
+    missing in older files surface as nulls, the union schema is the
+    widened one. This is the append-only table-evolution posture
+    (new columns land, old files stay valid) without a table format;
+    at 100 TB prefer a manifest-tracked format, but the read-side
+    semantics are exactly these."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -171,3 +171,47 @@ def test_cuped_two_arms_cover_all_users(spark, sf_dir):
     assert {r.arm for r in rows} == {"A", "B"}
     thetas = {r.theta for r in rows}
     assert len(thetas) == 1  # pooled theta identical across arms
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan parity with parquet, including filter pushdown
+    into the ORC reader."""
+    import contextlib
+    import io as _io
+
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.sources.io import read_orc, write_orc
+
+    orders = Catalog(spark, sf_dir).orders
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders, p)
+    back = read_orc(spark, p)
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    want = orders.filter(F.col("o_totalprice") > 100000).count()
+    assert filtered.count() == want
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read: files with old and new schemas union with
+    nulls for missing columns and the widened schema."""
+    from climate_anomaly_bigdata_pipeline_spark.sources.io import (
+        read_parquet_evolved,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    old.write.parquet(p1)
+    new.write.parquet(p2)
+    merged = read_parquet_evolved(spark, p1, p2)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 3.5}

@@ -1,10 +1,15 @@
-"""Measure ANN recall vs the exact-KNN ground truth at a given sf dir.
+"""Measure ANN recall vs the exact ground truth at a given sf dir.
 
-recall@k = |approx top-k ∩ exact top-k| / k, averaged over the query
-batch (every vec_id % 50 = 0, the same batch `knn_join_brute` /
-`knn_join_ivf` use). Prints one JSON line:
+Two measurements:
+* batch self-KNN: recall@k of `knn_join_ivf` vs `knn_join_brute`
+  (every vec_id % 50 = 0 query batch);
+* single-query top-10: recall of `pq_ann_topk` (raw ADC ranks) and
+  `pq_rescore_topk` (ADC shortlist + exact rescore) vs `cosine_topk`.
 
-    {"sf_dir": ..., "k": 5, "recall_ivf": 0.xx, "n_queries": N}
+Prints one JSON line:
+
+    {"sf_dir": ..., "k": 5, "recall_ivf": 0.xx, "n_queries": N,
+     "recall_pq_adc": 0.x, "recall_pq_rescore": 0.x}
 
 Usage: python tools/ann_recall.py [sf_dir]
 """
@@ -43,11 +48,19 @@ def main() -> None:
         (exact.query_id == approx.query_id) & (exact.exact_n == approx.ivf_n),
     ).count()
     n_queries = exact.select("query_id").distinct().count()
+
+    truth10 = {r.neighbor_id for r in QUERIES["cosine_topk"](spark, sf_dir).collect()}
+    adc10 = {r.neighbor_id for r in QUERIES["pq_ann_topk"](spark, sf_dir).collect()}
+    res10 = {
+        r.neighbor_id for r in QUERIES["pq_rescore_topk"](spark, sf_dir).collect()
+    }
     out = {
         "sf_dir": sf_dir,
         "k": int(k),
         "recall_ivf": round(hits / (n_queries * k), 4),
         "n_queries": int(n_queries),
+        "recall_pq_adc": round(len(truth10 & adc10) / len(truth10), 4),
+        "recall_pq_rescore": round(len(truth10 & res10) / len(truth10), 4),
     }
     print(json.dumps(out))
 
