@@ -302,3 +302,48 @@ def test_zorder_write_prunes_files_on_both_dims(spark, sf_dir, tmp_path):
     # and the layout is lossless
     back = spark.read.parquet(path)
     assert back.count() == li.count()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Writing the fact partitioned by a join key and joining it
+    against a selectively-filtered dim must plan a dynamicpruning
+    partition filter on the fact scan — at 100 TB this is what turns
+    "scan every partition then join" into "scan only the partitions
+    the dim filter survives", without any literal in the query."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    li = Catalog(spark, sf_dir).lineitem.withColumn(
+        "ship_yr", F.year("l_shipdate")
+    )
+    fact_path = str(tmp_path / "li_by_year")
+    li.write.partitionBy("ship_yr").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+
+    dim = (
+        fact.select("ship_yr").distinct()
+        .withColumn("is_recent", F.col("ship_yr") >= 2000)
+    )
+    dim_path = str(tmp_path / "yr_dim")
+    dim.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("is_recent"))
+
+    joined = fact.join(dim, "ship_yr").groupBy("ship_yr").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    # Semantics unchanged: only recent years survive.
+    got = {r.ship_yr for r in joined.collect()}
+    assert got == {
+        r.ship_yr
+        for r in li.select("ship_yr").distinct().collect()
+        if r.ship_yr >= 2000
+    }
