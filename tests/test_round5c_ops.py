@@ -215,3 +215,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 3.5}
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    """IVM identity: appending the three-leg delta to the stored join
+    view must equal the full recompute on the grown inputs."""
+    from climate_anomaly_bigdata_pipeline_spark.streaming.incremental import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(k, f"a{v}") for k in range(20) for v in range(2)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{v}") for k in range(0, 30, 2) for v in range(3)],
+        "k long, bv string",
+    )
+    da = spark.createDataFrame(
+        [(k, f"na{k}") for k in range(15, 25)], "k long, av string"
+    )
+    db = spark.createDataFrame([(3, "nb3"), (16, "nb16")], "k long, bv string")
+
+    old_view = a.join(b, "k")
+    delta = incremental_join_delta(a, b, da, db, "k")
+    got = sorted(
+        (r.k, r.av, r.bv) for r in old_view.unionByName(delta).collect()
+    )
+    want = sorted(
+        (r.k, r.av, r.bv)
+        for r in a.unionByName(da).join(b.unionByName(db), "k").collect()
+    )
+    assert got == want

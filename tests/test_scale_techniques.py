@@ -309,10 +309,12 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     against a selectively-filtered dim must plan a dynamicpruning
     partition filter on the fact scan — at 100 TB this is what turns
     "scan every partition then join" into "scan only the partitions
-    the dim filter survives", without any literal in the query."""
-    import contextlib
-    import io as _io
+    the dim filter survives", without any literal in the query.
 
+    Gotcha (cost a debugging session): the dim-side predicate must be
+    a COMPARISON (=, IN, LIKE, ...) — Spark's isLikelySelective check
+    rejects a bare boolean column, so `filter("flag")` silently
+    disables DPP while `filter(grp = 'hot')` enables it."""
     from pyspark.sql import functions as F
 
     from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
@@ -324,26 +326,18 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     li.write.partitionBy("ship_yr").parquet(fact_path)
     fact = spark.read.parquet(fact_path)
 
-    dim = (
-        fact.select("ship_yr").distinct()
-        .withColumn("is_recent", F.col("ship_yr") >= 2000)
-    )
+    years = sorted(r.ship_yr for r in fact.select("ship_yr").distinct().collect())
     dim_path = str(tmp_path / "yr_dim")
-    dim.write.parquet(dim_path)
-    dim = spark.read.parquet(dim_path).filter(F.col("is_recent"))
+    spark.createDataFrame(
+        [(y, "recent" if y >= 2000 else "old") for y in years],
+        "ship_yr int, era string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("era") == "recent")
 
     joined = fact.join(dim, "ship_yr").groupBy("ship_yr").agg(
-        F.count(F.lit(1)).alias("n")
+        F.sum("l_extendedprice").alias("rev")
     )
-    buf = _io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        joined.explain("formatted")
-    plan = buf.getvalue()
+    rows = joined.collect()  # executed plan carries the DPP filter
+    plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
-    # Semantics unchanged: only recent years survive.
-    got = {r.ship_yr for r in joined.collect()}
-    assert got == {
-        r.ship_yr
-        for r in li.select("ship_yr").distinct().collect()
-        if r.ship_yr >= 2000
-    }
+    assert {r.ship_yr for r in rows} == {y for y in years if y >= 2000}
