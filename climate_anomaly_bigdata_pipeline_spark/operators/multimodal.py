@@ -16,9 +16,10 @@ only where a compressed codec library would be required:
   baseline-sequential JPEG (``operators/jpegcodec.py`` — Annex-K
   tables, 4:4:4/4:2:0, grey and RGB, no libjpeg); progressive JPEG /
   WebP fall through to a clearly-marked PIL stub.
-* :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV
-  (rate/channels/duration/RMS); compressed audio falls through to a
-  stub.
+* :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV and
+  real fixed-predictor FLAC decode (``operators/flaccodec.py`` —
+  CRC-verified Rice coding, no library); MP3 / LPC-subframe FLAC fall
+  through to a stub.
 * :func:`sample_frames` — real every-nth frame sampling over the raw
   concatenated-RGB-frame video format (:func:`encode_raw_video`);
   container formats (MP4 etc.) fall through to a PyAV stub.
@@ -123,10 +124,10 @@ def _require(module: str, what: str):
 # images, PCM WAV via the stdlib ``wave`` module for audio, and a
 # 12-byte-header concatenated-raw-RGB-frame layout for video. They give
 # the mapInPandas operators below an end-to-end executable path in any
-# environment; PNG (below) and baseline JPEG (operators/jpegcodec.py)
-# decode natively too. Remaining compressed formats (progressive JPEG,
-# MP3/FLAC, MP4) still require PIL/av and raise the clearly-marked
-# stub error.
+# environment; PNG (below), baseline JPEG (operators/jpegcodec.py) and
+# fixed-predictor FLAC (operators/flaccodec.py) decode natively too.
+# Remaining compressed formats (progressive JPEG, MP3, MP4, LPC FLAC)
+# still require PIL/av and raise the clearly-marked stub error.
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -179,8 +180,9 @@ def decode_pnm_bytes(b: bytes) -> tuple[str, int, int, np.ndarray]:
 # covers losslessly-compressed training images without PIL. All five
 # scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
 # implemented in BOTH directions so foreign encoders' output decodes,
-# not just our own. Baseline JPEG decodes via operators/jpegcodec.py;
-# progressive JPEG and FLAC stay behind the honest _require stub.
+# not just our own. Baseline JPEG decodes via operators/jpegcodec.py,
+# fixed-predictor FLAC via operators/flaccodec.py; progressive JPEG
+# stays behind the honest _require stub.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -456,8 +458,10 @@ def resize_image(df: DataFrame, width: int, height: int,
 
 def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode audio payloads to (sample_rate, channels, n_samples,
-    duration_s, rms). REAL for PCM WAV via the stdlib ``wave`` module;
-    compressed audio → stub (no codec library in this container)."""
+    duration_s, rms). REAL for PCM WAV (stdlib ``wave``) AND for
+    fixed-predictor FLAC (operators/flaccodec.py — CRC-verified Rice
+    decoding, no external library); other compressed audio (MP3, LPC
+    FLAC) → stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -465,6 +469,24 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                    "n_samples": [], "duration_s": [], "rms": []}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
+                if b[:4] == b"fLaC":
+                    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+                        decode_flac_bytes,
+                    )
+
+                    rate, ch, _bps, arr = decode_flac_bytes(b)
+                    n = arr.shape[0]
+                    samples = arr.astype(np.float64).reshape(-1)
+                    out["doc_id"].append(doc_id)
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(ch)
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(round(n / rate, 6))
+                    out["rms"].append(
+                        round(float(np.sqrt(np.mean(samples**2))), 4)
+                        if n else 0.0
+                    )
+                    continue
                 if b[:4] != b"RIFF":
                     _require("soundfile", f"decoding magic {b[:4]!r}")
                 with wave.open(io.BytesIO(b), "rb") as wf:

@@ -272,3 +272,62 @@ def video_frame_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
         F.max(F.length("payload")).cast("long").alias("frame_bytes"),
     )
+
+
+# ---- FLAC decode profile ----------------------------------------------------
+
+# Deterministic alternating-amplitude clips (amp, amp+1, amp, ...):
+# NOT constant, so encoding exercises the FIXED-predictor + Rice
+# residual path, while every decoded statistic stays integer-exact in
+# float64 (sum of n squares <= 8e8 << 2^53), putting the full
+# encode -> CRC-verified decode pipeline under a hash-exact SQL oracle.
+_FLAC_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(160 + 16 * (doc_id % 41) AS BIGINT) AS n_samples,
+       round(CAST(160 + 16 * (doc_id % 41) AS DOUBLE) / 16000.0, 6)
+           AS duration_s,
+       round(sqrt((CAST(doc_id % 1000 AS DOUBLE) * CAST(doc_id % 1000 AS DOUBLE)
+                   + (CAST(doc_id % 1000 AS DOUBLE) + 1.0)
+                     * (CAST(doc_id % 1000 AS DOUBLE) + 1.0)) / 2.0), 4)
+           AS rms
+FROM documents
+"""
+
+
+@query("flac_decode_profile", oracle=_FLAC_DECODE_ORACLE)
+def flac_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio decode, end to end on the executors: every doc
+    renders a deterministic alternating-amplitude PCM clip, compresses
+    it to real FLAC (operators/flaccodec.py — fixed predictors, Rice
+    residuals, frame CRCs), and ``decode_audio`` decompresses it back
+    to (sample_rate, channels, n_samples, duration_s, rms). The
+    alternating signal forces the FIXED+Rice path (a constant clip
+    would take the CONSTANT shortcut), and all decoded stats are
+    integer-exact in float64, so the oracle predicts the profile
+    hash-exactly in SQL. This retires the FLAC entry from the codec
+    stub list — the same plumbing a compressed audio corpus flows
+    through."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import encode_flac
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 160 + 16 * (doc_id % 41)
+                amp = doc_id % 1000
+                samples = np.full(n, amp, dtype=np.int16)
+                samples[1::2] += 1
+                payloads.append(encode_flac(samples, sample_rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return MM.decode_audio(clips)
