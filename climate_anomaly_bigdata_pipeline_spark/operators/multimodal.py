@@ -17,8 +17,8 @@ only where a compressed codec library would be required:
   tables, 4:4:4/4:2:0, grey and RGB, no libjpeg); progressive JPEG /
   WebP fall through to a clearly-marked PIL stub.
 * :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV and
-  real fixed-predictor FLAC decode (``operators/flaccodec.py`` —
-  CRC-verified Rice coding, no library); MP3 / LPC-subframe FLAC fall
+  real FLAC decode (``operators/flaccodec.py`` — all subframe types
+  incl. quantized LPC, CRC+MD5-verified, no library); MP3 falls
   through to a stub.
 * :func:`sample_frames` — real every-nth frame sampling over the raw
   concatenated-RGB-frame video format (:func:`encode_raw_video`);
@@ -125,9 +125,9 @@ def _require(module: str, what: str):
 # 12-byte-header concatenated-raw-RGB-frame layout for video. They give
 # the mapInPandas operators below an end-to-end executable path in any
 # environment; PNG (below), baseline JPEG (operators/jpegcodec.py) and
-# fixed-predictor FLAC (operators/flaccodec.py) decode natively too.
-# Remaining compressed formats (progressive JPEG, MP3, MP4, LPC FLAC)
-# still require PIL/av and raise the clearly-marked stub error.
+# FLAC incl. LPC subframes (operators/flaccodec.py) decode natively
+# too. Remaining compressed formats (progressive JPEG, MP3, MP4) still
+# require PIL/av and raise the clearly-marked stub error.
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -181,8 +181,8 @@ def decode_pnm_bytes(b: bytes) -> tuple[str, int, int, np.ndarray]:
 # scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
 # implemented in BOTH directions so foreign encoders' output decodes,
 # not just our own. Baseline JPEG decodes via operators/jpegcodec.py,
-# fixed-predictor FLAC via operators/flaccodec.py; progressive JPEG
-# stays behind the honest _require stub.
+# FLAC (all subframe types incl. LPC) via operators/flaccodec.py;
+# progressive JPEG stays behind the honest _require stub.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -459,9 +459,9 @@ def resize_image(df: DataFrame, width: int, height: int,
 def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode audio payloads to (sample_rate, channels, n_samples,
     duration_s, rms). REAL for PCM WAV (stdlib ``wave``) AND for
-    fixed-predictor FLAC (operators/flaccodec.py — CRC-verified Rice
-    decoding, no external library); other compressed audio (MP3, LPC
-    FLAC) → stub."""
+    FLAC (operators/flaccodec.py — all subframe types incl. LPC,
+    CRC+MD5-verified, no external library); other compressed audio
+    (MP3) → stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

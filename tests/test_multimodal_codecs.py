@@ -345,3 +345,49 @@ def test_decode_audio_handles_flac_payloads(spark, sf_dir):
     assert got[1].n_samples == got[2].n_samples == 3200
     assert got[1].rms == got[2].rms
     assert got[1].sample_rate == got[2].sample_rate == 16_000
+
+
+def test_flac_lpc_roundtrip_and_decodes_via_same_decoder():
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+        decode_flac_bytes,
+        encode_flac_lpc,
+    )
+
+    rng = np.random.RandomState(7)
+    t = np.arange(20000)
+    cases = [
+        (np.sin(t / 30) * 8000 + np.sin(t / 7) * 2000).astype(np.int16),
+        np.cumsum(rng.randint(-50, 51, size=15000)).astype(np.int16),
+        np.stack(
+            [
+                (np.sin(t[:8000] / 20) * 5000).astype(np.int16),
+                (np.cos(t[:8000] / 15) * 4000).astype(np.int16),
+            ],
+            axis=1,
+        ),
+    ]
+    for x in cases:
+        rate, ch, bps, y = decode_flac_bytes(encode_flac_lpc(x))
+        x2 = (x[:, None] if x.ndim == 1 else x).astype(np.int32)
+        assert (y == x2).all()
+
+
+def test_flac_lpc_beats_fixed_on_stereo_tonal():
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+        encode_flac,
+        encode_flac_lpc,
+    )
+
+    t = np.arange(8000)
+    x = np.stack(
+        [
+            (np.sin(t / 20) * 5000).astype(np.int16),
+            (np.cos(t / 15) * 4000).astype(np.int16),
+        ],
+        axis=1,
+    )
+    assert len(encode_flac_lpc(x)) < len(encode_flac(x))
