@@ -539,3 +539,33 @@ def sample_frames(df: DataFrame, every_n: int = 30,
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def extract_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The :func:`extract_features_batched` features via ``mapInArrow``
+    — Arrow ``RecordBatch`` in, RecordBatch out, skipping the
+    Arrow→pandas materialization entirely. This is the lowest-overhead
+    Python exchange Spark offers (PySpark 4 API-surface completeness;
+    tests assert bit-parity with both the expression path and the
+    pandas path). Prefer this shape when the Python side is
+    columnar-friendly; per-row digests still cost a Python loop."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            payloads = rb.column(rb.schema.get_field_index("payload"))
+            metas = rb.column(rb.schema.get_field_index("meta"))
+            ctypes = metas.field("content_type")
+            n_bytes = pa.array(
+                [len(p.as_py()) for p in payloads], type=pa.int32()
+            )
+            digests = pa.array(
+                [hashlib.md5(p.as_py()).hexdigest() for p in payloads]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, ctypes, n_bytes, digests],
+                ["doc_id", "content_type", "n_bytes", "digest"],
+            )
+
+    return df.mapInArrow(batches, schema=FEATURE_SCHEMA)

@@ -246,3 +246,51 @@ def test_incremental_join_delta_equals_recompute(spark):
         for r in a.unionByName(da).join(b.unionByName(db), "k").collect()
     )
     assert got == want
+
+
+def test_map_in_arrow_features_match_expression_path(spark, sf_dir):
+    """mapInArrow features must equal both the pure-expression path and
+    the mapInPandas path bit-for-bit."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import multimodal as MM
+
+    docs = Catalog(spark, sf_dir).documents.limit(50)
+    binp = MM.attach_binary(docs)
+    expr = {tuple(r) for r in MM.binary_features(binp).collect()}
+    arrow = {tuple(r) for r in MM.extract_features_arrow(binp).collect()}
+    pandas_ = {tuple(r) for r in MM.extract_features_batched(binp).collect()}
+    assert expr == arrow == pandas_
+
+
+def test_shingle_udtf_matches_dataframe_explode(spark, sf_dir):
+    """The SQL UDTF must produce exactly the rows of the DataFrame-side
+    transform+explode shingling."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators.text import (
+        register_shingle_udtf,
+    )
+
+    Catalog(spark, sf_dir).register_views(("documents",))
+    register_shingle_udtf(spark)
+    got = {
+        (r.doc_id, r.pos, r.shingle)
+        for r in spark.sql(
+            "SELECT d.doc_id, s.pos, s.shingle "
+            "FROM documents d, LATERAL shingles(d.text, 3) s "
+            "WHERE d.doc_id < 20"
+        ).collect()
+    }
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 20)
+    words = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.array_join(F.slice("ws", i + 1, 3), " "),
+            )
+        ).alias("pos", "shingle"),
+    )
+    want = {(r.doc_id, r.pos, r.shingle) for r in words.collect()}
+    assert got == want
