@@ -183,6 +183,44 @@ _PRIORITY = [
 assert len(_PRIORITY) == 50
 assert set(_PRIORITY) & set(_WINDOW_R4) == {"zscore_anomaly"}
 
+# Round-6 window, PREPARED but NOT active (round 5's driver check must
+# run against _PRIORITY above). To activate next round: set
+# _PRIORITY = _WINDOW_R6 (one line). 49 queries never yet
+# driver-verified + the flagship; the ~32 left over (mostly this
+# round's TPC-H fill-in and stats additions) rotate in round 7.
+_WINDOW_R6 = [
+    "zscore_anomaly",
+    # sketches / sampling / relational coverage
+    "hll_sketch_rollup", "quantile_digest_rollup", "cms_heavy_hitters",
+    "hll_sliding_from_tumbling", "weighted_sample_customers",
+    "unpivot_lineitem_yearly", "full_outer_reconcile_customers",
+    "pct_rank_orders", "ntile_deciles_orders", "stable_global_index_events",
+    "table_fingerprint_orders", "equidepth_hist_orders",
+    "pareto_frontier_parts", "key_skew_profile_events",
+    # incremental / history
+    "scd2_user_type_history", "cdc_snapshot_diff", "merge_intervals_activity",
+    "cohort_retention_monthly", "transition_matrix_events",
+    "cumulative_distinct_users", "modal_event_type_per_user",
+    # stats / series
+    "rolling_corr_daily", "linreg_price_by_qty", "winsorize_event_values",
+    "mean_shift_scores", "copurchase_degree_assortativity",
+    "gini_order_value_by_nation", "benford_first_digit_orders",
+    "revenue_share_nation_year", "acf_daily_revenue",
+    "mannwhitney_purchase_click", "stl_decompose_daily_revenue",
+    # text / curation / retrieval
+    "char_entropy_docs", "chunk_dedup_docs", "temperature_mix_weights",
+    "bpe_token_profile", "bpe_first_merge_pairs", "bm25_topk_docs",
+    "hybrid_rrf_retrieval", "dsir_importance_weights",
+    # similarity / ANN
+    "ivf_train_codebook", "semdedup_prune_embeddings", "knn_join_exact",
+    "pq_train_codebooks", "pq_ann_topk", "pq_rescore_topk",
+    # graph / audits / codecs
+    "bfs_copurchase_distances", "kcore_copurchase",
+    "jpeg_decode_profile",
+]
+assert len(_WINDOW_R6) == 50
+assert set(_WINDOW_R6) & (set(_WINDOW_R4) | set(_PRIORITY)) == {"zscore_anomaly"}
+
 
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -341,3 +341,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert {r.ship_yr for r in rows} == {y for y in years if y >= 2000}
+
+
+def test_join_strategy_hints_control_physical_join(spark, sf_dir):
+    """Hints must actually steer the planner: merge → SortMergeJoin,
+    shuffle_hash → ShuffledHashJoin, broadcast → BroadcastHashJoin —
+    the manual override when AQE's choice is wrong for a known
+    workload (e.g. forcing SMJ when both sides are huge and sorted on
+    disk)."""
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select("l_orderkey", "l_extendedprice")
+    od = c.orders.select("o_orderkey", "o_custkey")
+
+    def plan(hinted):
+        return hinted.join(li, hinted.o_orderkey == li.l_orderkey)._jdf \
+            .queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in plan(od.hint("merge"))
+    assert "ShuffledHashJoin" in plan(od.hint("shuffle_hash"))
+    assert "BroadcastHashJoin" in plan(od.hint("broadcast"))
