@@ -244,3 +244,30 @@ def test_prefix_jaccard_complete_on_random_corpora(spark, docs, threshold):
         if a < b and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600
+    ),
+    st.sampled_from([64, 100, 4096]),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_roundtrip_arbitrary_pcm(pcm, block_size):
+    """encode→decode is the identity for ANY int16 signal and block
+    size (multi-frame streams included) — the lossless contract of
+    the FLAC codec, swept over adversarial inputs unit fixtures miss
+    (extremes, flat runs, sign flips, blocks of size 1)."""
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+        decode_flac_bytes,
+        encode_flac,
+        encode_flac_lpc,
+    )
+
+    x = np.array(pcm, dtype=np.int16)
+    for enc in (encode_flac, encode_flac_lpc):
+        rate, ch, bps, y = decode_flac_bytes(enc(x, block_size=block_size))
+        assert (y[:, 0] == x.astype(np.int32)).all()
+        assert (rate, ch, bps) == (16_000, 1, 16)
