@@ -8,6 +8,7 @@ stamping in one projection.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -196,3 +197,42 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     at 100 TB prefer a manifest-tracked format, but the read-side
     semantics are exactly these."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: str | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE of table formats, for plain
+    parquet): rewrite a directory into ~``target_file_mb`` files and
+    atomically swap it in. Small files are the silent scale killer —
+    a 100 TB table written by 10k streaming micro-batches ends up as
+    millions of KB-sized files whose open/footer costs dwarf the scan.
+
+    File count = ceil(input_bytes / target); the rewrite is one job
+    (coalesce for fewer files — narrow, no shuffle). Swap protocol:
+    write to ``<path>.__compact__``, then a two-step rename — the same
+    crash-safe pointer idea as streaming/incremental.py; on a real
+    lakehouse use the table format's OPTIMIZE. Returns the new file
+    count."""
+    import math
+    import shutil
+
+    in_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(in_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact__"
+    df = spark.read.parquet(path)
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

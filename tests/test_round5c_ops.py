@@ -294,3 +294,23 @@ def test_shingle_udtf_matches_dataframe_explode(spark, sf_dir):
     )
     want = {(r.doc_id, r.pos, r.shingle) for r in words.collect()}
     assert got == want
+
+
+def test_compact_parquet_reduces_file_count_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-small-files directory to the
+    target count with identical data."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.sources.io import compact_parquet
+
+    p = str(tmp_path / "frag")
+    orders = Catalog(spark, sf_dir).orders
+    orders.repartition(40).write.parquet(p)  # 40 tiny files
+    import pathlib
+
+    before = len(list(pathlib.Path(p).rglob("*.parquet")))
+    assert before >= 40
+    want = orders.count()
+    n = compact_parquet(spark, p, target_file_mb=128)
+    after = len(list(pathlib.Path(p).rglob("*.parquet")))
+    assert after == n == 1  # tiny table compacts to a single file
+    assert spark.read.parquet(p).count() == want

@@ -136,3 +136,52 @@ def test_stream_stream_followup_join_matches_batch(spark, sf_dir):
     assert want.count() > 0
     assert got.count() == want.count()
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir, tmp_path):
+    """The RocksDB state store — the provider that keeps streaming
+    state off-heap and spillable, i.e. the ONLY viable provider when
+    keyed state outgrows executor memory at 100 TB — must produce
+    byte-identical aggregates to the default HDFS-backed provider."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    rows = [(i, i % 7) for i in range(500)]
+    spark.createDataFrame(rows, "id long, k long").write.parquet(src)
+
+    def run(provider: str, name: str):
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        try:
+            if provider:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", provider
+                )
+            stream = spark.readStream.schema("id long, k long").parquet(src)
+            agg = stream.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+            )
+            q = (
+                agg.writeStream.format("memory").queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return {
+                (r.k, r.n, r.s)
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            if old:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    default = run("", "ss_default")
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "ss_rocks",
+    )
+    assert default == rocks and len(default) == 7
