@@ -443,9 +443,9 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg_baseline(b: bytes) -> tuple[str, int, int, np.ndarray]:
     """Decode baseline-sequential JFIF → (mode, width, height, array).
 
-    mode 'L' (grey, (h, w)) or 'RGB' ((h, w, 3)). Raises
-    NotImplementedError for progressive (SOF2) / arithmetic /
-    hierarchical streams — the remaining honest stub surface."""
+    mode 'L' (grey, (h, w)) or 'RGB' ((h, w, 3)). Progressive (SOF2)
+    streams dispatch to :func:`decode_jpeg_progressive`; arithmetic /
+    lossless / hierarchical remain the honest stub surface."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -505,9 +505,11 @@ def decode_jpeg_baseline(b: bytes) -> tuple[str, int, int, np.ndarray]:
                     {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
                 )
             frame = (fh, fw, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # progressive — restart with that decoder
+            return decode_jpeg_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "STUB: progressive/extended JPEG profiles need libjpeg"
+                "STUB: lossless/arithmetic/hierarchical JPEG profiles need libjpeg"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -594,3 +596,326 @@ def _decode_scan(b, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval):
     rgb = np.stack([r, g, bl], axis=-1)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return "RGB", fw, fh, out
+
+
+# ---- progressive JPEG (spectral selection) ----------------------------------
+#
+# Progressive mode splits the coefficients across multiple scans so a
+# partial stream renders a coarse image: a DC scan first, then AC
+# spectral bands per component, with EOB-run coding across blocks
+# (ITU T.81 §G). This implementation covers spectral selection with
+# Ah=Al=0 (no successive approximation — that refinement mode is the
+# remaining documented bound) for grey / 4:4:4 RGB, which is what
+# `encode_jpeg_progressive` emits and what many progressive encoders
+# produce for their first approximation level.
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker at/after pos (skips stuffed
+    0xFF00 and RST markers inside entropy data)."""
+    while pos < len(b) - 1:
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00,) and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 100) -> bytes:
+    """Encode uint8 grey / RGB(4:4:4) as progressive JFIF: one
+    interleaved DC scan, then per-component AC band scans (1-5, 6-63)
+    with EOB-run coding. Round-trips bit-exactly against
+    :func:`decode_jpeg` at quality=100 (quant steps of 1)."""
+    if arr.dtype != np.uint8:
+        raise ValueError("uint8 input required")
+    grey = arr.ndim == 2
+    if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("(h, w) grey or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if grey:
+        comps = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.clip(
+            np.round(-0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0), 0, 255
+        )
+        cr = np.clip(
+            np.round(0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0), 0, 255
+        )
+        comps = [y, cb, cr]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    zz = ZIGZAG
+    # Quantized zigzag coefficient blocks per component, raster order.
+    blocks: list[list[np.ndarray]] = []
+    for ci, c in enumerate(comps):
+        q = ql if ci == 0 else qc
+        p = _pad_to_blocks(c, bh * 8, bw * 8)
+        rows = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                rows.append(_fdct_quant(blk, q).reshape(64)[zz])
+        blocks.append(rows)
+
+    enc_dc = [_build_huffman(*HUFF_DC_LUMA), _build_huffman(*HUFF_DC_CHROMA)]
+    enc_ac = [_build_huffman(*HUFF_AC_LUMA), _build_huffman(*HUFF_AC_CHROMA)]
+
+    # --- DC scan (interleaved; all sampling 1x1 so MCU == block) ---
+    bw_ = _BitWriter()
+    pred = [0] * len(comps)
+    for bi in range(bh * bw):
+        for ci in range(len(comps)):
+            t = enc_dc[0 if ci == 0 else 1]
+            dc = int(blocks[ci][bi][0])
+            size, amp = _magnitude(dc - pred[ci])
+            pred[ci] = dc
+            code, ln = t[size]
+            bw_.write(code, ln)
+            if size:
+                bw_.write(amp, size)
+    dc_scan = bw_.flush()
+
+    # --- AC band scans, one component per scan ---
+    def ac_scan(ci: int, ss: int, se: int) -> bytes:
+        t = enc_ac[0 if ci == 0 else 1]
+        out = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            # Annex-K AC tables carry no EOBn (n>0) symbols, so runs
+            # flush as single EOBs (EOB0 ≡ run of 1) — spec-valid,
+            # slightly less compact; the decoder handles general EOBn
+            # from foreign encoders.
+            nonlocal eobrun
+            while eobrun:
+                code, ln = t[0x00]
+                out.write(code, ln)
+                eobrun -= 1
+
+        for coefs in blocks[ci]:
+            band = [int(coefs[k]) for k in range(ss, se + 1)]
+            if not any(band):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band):
+                if i > last_nz:
+                    eobrun += 1
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = t[0xF0]
+                    out.write(code, ln)
+                    run -= 16
+                size, amp = _magnitude(v)
+                code, ln = t[(run << 4) | size]
+                out.write(code, ln)
+                out.write(amp, size)
+                run = 0
+        flush_eobrun()
+        return out.flush()
+
+    bands = [(1, 5), (6, 63)]
+    ac_scans = [
+        (ci, ss, se, ac_scan(ci, ss, se))
+        for ci in range(len(comps))
+        for ss, se in bands
+    ]
+
+    # --- assemble ---
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        zzvals = q.reshape(64)[zz].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzvals
+
+    out += dqt(0, ql)
+    if not grey:
+        out += dqt(1, qc)
+
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(cls: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    if not grey:
+        out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+
+    # DC scan header: all components, Ss=Se=0
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, (0 if i == 0 else 1) << 4])
+    sos += bytes([0, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + dc_scan
+
+    for ci, ss, se, data in ac_scans:
+        tid = 0 if ci == 0 else 1
+        sos = bytes([1, ci + 1, tid, ss, se, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive(b: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Decode a progressive (SOF2) spectral-selection JFIF stream with
+    Ah=Al=0 scans and 1x1 sampling: accumulate coefficients across all
+    scans, then dequantize + IDCT once at EOI. Successive-approximation
+    scans (Ah or Al nonzero) raise the documented stub error."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    comps: list[dict] = []
+    coef: list[np.ndarray] = []  # per comp: (n_blocks, 64) zigzag-order
+
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", b[pos : pos + 2])
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                p += 64
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = vals
+                qt[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = _build_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("STUB: only 8-bit JPEG")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "STUB: progressive decode covers 1x1 sampling"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            frame = (fh, fw, nc)
+            bh, bw2 = (fh + 7) // 8, (fw + 7) // 8
+            coef = [np.zeros((bh * bw2, 64), dtype=np.int64) for _ in range(nc)]
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("baseline frame — use decode_jpeg_baseline")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps) if c["id"] == cid)
+                scan_comps.append((idx, tables >> 4, tables & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if ahal != 0:
+                raise NotImplementedError(
+                    "STUB: successive-approximation progressive scans"
+                )
+            data_start = pos + seglen
+            data_end = _next_marker(b, data_start)
+            br = _BitReader(b[data_start:data_end])
+            if ss == 0:  # DC scan (interleaved, MCU == block at 1x1)
+                pred = [0] * len(scan_comps)
+                n_blocks = coef[0].shape[0]
+                for bi in range(n_blocks):
+                    for si, (idx, td, _ta) in enumerate(scan_comps):
+                        size = _decode_huff(br, huff_dc[td])
+                        pred[si] += _extend(br.read_bits(size), size)
+                        coef[idx][bi][0] = pred[si]
+            else:  # AC band scan, single component
+                (idx, _td, ta) = scan_comps[0]
+                table = huff_ac[ta]
+                eobrun = 0
+                for bi in range(coef[idx].shape[0]):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(br, table)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += br.read_bits(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index beyond band")
+                        coef[idx][bi][k] = _extend(br.read_bits(size), size)
+                        k += 1
+            pos = data_end
+            continue
+        pos += seglen
+
+    if frame is None:
+        raise ValueError("no SOF2 frame found")
+    fh, fw, nc = frame
+    bh, bw2 = (fh + 7) // 8, (fw + 7) // 8
+    planes = []
+    for idx, c in enumerate(comps):
+        q = qt[c["tq"]]
+        plane = np.zeros((bh * 8, bw2 * 8), dtype=np.float64)
+        for bi in range(bh * bw2):
+            raster = np.zeros(64, dtype=np.int64)
+            raster[ZIGZAG] = coef[idx][bi]
+            blk = raster.reshape(8, 8) * q
+            pix = _T.T @ blk.astype(np.float64) @ _T + 128.0
+            by, bx = divmod(bi, bw2)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        planes.append(plane[:fh, :fw])
+
+    if nc == 1:
+        return "L", fw, fh, np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=-1)
+    return "RGB", fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

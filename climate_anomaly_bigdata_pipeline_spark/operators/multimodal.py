@@ -13,9 +13,11 @@ only where a compressed codec library would be required:
   nearest-neighbor resize for binary PNM images (P5 graymap, P6
   pixmap), for 8-bit grey/RGB PNG (:func:`decode_png_bytes` — stdlib
   zlib, all five scanline filters, no imaging library), AND for
-  baseline-sequential JPEG (``operators/jpegcodec.py`` — Annex-K
-  tables, 4:4:4/4:2:0, grey and RGB, no libjpeg); progressive JPEG /
-  WebP fall through to a clearly-marked PIL stub.
+  baseline-sequential AND progressive (spectral-selection) JPEG
+  (``operators/jpegcodec.py`` — Annex-K tables, 4:4:4/4:2:0, grey and
+  RGB, multi-scan coefficient accumulation, no libjpeg);
+  successive-approximation JPEG / WebP fall through to a
+  clearly-marked PIL stub.
 * :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV and
   real FLAC decode (``operators/flaccodec.py`` — all subframe types
   incl. quantized LPC, CRC+MD5-verified, no library); MP3 falls
@@ -387,9 +389,10 @@ _LUMA = np.array([0.299, 0.587, 0.114])
 
 
 def _decode_any_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
-    """Dispatch on magic: PNM (P5/P6), PNG, and baseline-sequential
-    JPEG decode natively; anything else (progressive JPEG, WebP, ...)
-    needs a codec library → honest PIL stub."""
+    """Dispatch on magic: PNM (P5/P6), PNG, and JPEG (baseline AND
+    progressive spectral-selection) decode natively; anything else
+    (WebP, lossless JPEG, ...) needs a codec library → honest PIL
+    stub."""
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm_bytes(b)
     if b[:8] == _PNG_MAGIC:

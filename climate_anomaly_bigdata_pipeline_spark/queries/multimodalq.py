@@ -331,3 +331,52 @@ def flac_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return MM.decode_audio(clips)
+
+
+# ---- progressive-JPEG decode profile ----------------------------------------
+
+# Same constant-image exactness argument as the baseline profile; the
+# payloads here are PROGRESSIVE (SOF2 spectral-selection) streams, so
+# the multi-scan coefficient accumulation + EOB-run decoding path is
+# what runs on the executors.
+_JPEG_PROG_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'L' ELSE 'RGB' END AS mode,
+       CAST(9 + doc_id % 12 AS INTEGER) AS width,
+       CAST(5 + doc_id % 9 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+FROM documents
+"""
+
+
+@query("jpeg_progressive_profile", oracle=_JPEG_PROG_ORACLE)
+def jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode end to end: every doc renders an SOF2
+    spectral-selection stream (DC scan + per-component AC band scans,
+    `operators/jpegcodec.py:encode_jpeg_progressive`) and the standard
+    `decode_image` operator accumulates the scans and reconstructs —
+    hash-exact against the SQL-predicted profile. Retires the
+    progressive-JPEG stub for spectral-selection streams (successive
+    approximation stays the documented bound)."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 9 + doc_id % 12, 5 + doc_id % 9
+                c = doc_id % 256
+                shape = (h, w) if doc_id % 2 == 0 else (h, w, 3)
+                arr = np.full(shape, c, dtype=np.uint8)
+                payloads.append(J.encode_jpeg_progressive(arr, quality=100))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return MM.decode_image(images)

@@ -240,16 +240,18 @@ def test_jpeg_lossy_quality_gradient_sane():
     assert len(b75) < len(b100)
 
 
-def test_jpeg_progressive_still_stubbed():
-    """SOF2 (progressive) must raise the honest stub error, not
-    mis-decode."""
+def test_jpeg_lossless_profiles_still_stubbed():
+    """SOF3 (lossless) must raise the honest stub error, not
+    mis-decode. (SOF2 progressive now decodes for real — see the
+    progressive tests below — so the stub check moves to a profile
+    that genuinely remains out of scope.)"""
     from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
 
     b = J.encode_jpeg_baseline(np.full((8, 8), 5, dtype=np.uint8))
     assert b"\xff\xc0" in b
-    prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    lossless = b.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(NotImplementedError):
-        J.decode_jpeg_baseline(prog)
+        J.decode_jpeg_baseline(lossless)
 
 
 def test_decode_image_dispatches_jpeg(spark):
@@ -391,3 +393,43 @@ def test_flac_lpc_beats_fixed_on_stereo_tonal():
         axis=1,
     )
     assert len(encode_flac_lpc(x)) < len(encode_flac(x))
+
+
+# ---- progressive JPEG --------------------------------------------------------
+
+
+def test_progressive_equals_baseline_reconstruction():
+    """Progressive spectral-selection encoding carries the SAME
+    quantized coefficients as baseline, so both decoders must
+    reconstruct identical pixels at every size/parity."""
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        decode_jpeg_progressive,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(16, 24), (17, 9), (32, 32, 3), (15, 21, 3), (8, 8)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        prog = decode_jpeg_progressive(encode_jpeg_progressive(arr, quality=100))[3]
+        base = decode_jpeg_baseline(encode_jpeg_baseline(arr, quality=100))[3]
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_dispatches_through_decode_jpeg_baseline():
+    """SOF2 streams entering the baseline entry point must route to the
+    progressive decoder (the operator-level dispatch path)."""
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    smooth = np.tile(np.arange(48, dtype=np.uint8), (24, 1))
+    mode, w, h, out = decode_jpeg_baseline(encode_jpeg_progressive(smooth))
+    assert (mode, w, h) == ("L", 48, 24)
+    assert np.array_equal(out, smooth)  # q=100 DC+AC exact on smooth ramp
