@@ -380,3 +380,51 @@ def jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return MM.decode_image(images)
+
+
+_FLAC_LPC_ORACLE = """
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(160 + 16 * (doc_id % 41) AS BIGINT) AS n_samples,
+       round(CAST(160 + 16 * (doc_id % 41) AS DOUBLE) / 16000.0, 6)
+           AS duration_s,
+       round(sqrt((CAST(doc_id % 1000 AS DOUBLE) * CAST(doc_id % 1000 AS DOUBLE)
+                   + (CAST(doc_id % 1000 AS DOUBLE) + 1.0)
+                     * (CAST(doc_id % 1000 AS DOUBLE) + 1.0)) / 2.0), 4)
+           AS rms
+FROM documents
+"""
+
+
+@query("flac_lpc_decode_profile", oracle=_FLAC_LPC_ORACLE)
+def flac_lpc_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus profile as `flac_decode_profile` but the payloads are
+    LPC-subframe FLAC (quantized Levinson-Durbin predictors,
+    `encode_flac_lpc`) — the executors exercise the LPC reconstruction
+    path end to end, and losslessness makes the SQL-predicted profile
+    hash-exact regardless of how well the predictor fits."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+        encode_flac_lpc,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 160 + 16 * (doc_id % 41)
+                amp = doc_id % 1000
+                samples = np.full(n, amp, dtype=np.int16)
+                samples[1::2] += 1
+                payloads.append(encode_flac_lpc(samples, sample_rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return MM.decode_audio(clips)
