@@ -285,8 +285,8 @@ _FLAC_DECODE_ORACLE = """
 SELECT doc_id,
        CAST(16000 AS INTEGER) AS sample_rate,
        CAST(1 AS INTEGER) AS channels,
-       CAST(160 + 16 * (doc_id % 41) AS BIGINT) AS n_samples,
-       round(CAST(160 + 16 * (doc_id % 41) AS DOUBLE) / 16000.0, 6)
+       CAST(48 + 16 * (doc_id % 10) AS BIGINT) AS n_samples,
+       round(CAST(48 + 16 * (doc_id % 10) AS DOUBLE) / 16000.0, 6)
            AS duration_s,
        round(sqrt((CAST(doc_id % 1000 AS DOUBLE) * CAST(doc_id % 1000 AS DOUBLE)
                    + (CAST(doc_id % 1000 AS DOUBLE) + 1.0)
@@ -322,7 +322,7 @@ def flac_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                n = 160 + 16 * (doc_id % 41)
+                n = 48 + 16 * (doc_id % 10)
                 amp = doc_id % 1000
                 samples = np.full(n, amp, dtype=np.int16)
                 samples[1::2] += 1
@@ -386,8 +386,8 @@ _FLAC_LPC_ORACLE = """
 SELECT doc_id,
        CAST(16000 AS INTEGER) AS sample_rate,
        CAST(1 AS INTEGER) AS channels,
-       CAST(160 + 16 * (doc_id % 41) AS BIGINT) AS n_samples,
-       round(CAST(160 + 16 * (doc_id % 41) AS DOUBLE) / 16000.0, 6)
+       CAST(48 + 16 * (doc_id % 10) AS BIGINT) AS n_samples,
+       round(CAST(48 + 16 * (doc_id % 10) AS DOUBLE) / 16000.0, 6)
            AS duration_s,
        round(sqrt((CAST(doc_id % 1000 AS DOUBLE) * CAST(doc_id % 1000 AS DOUBLE)
                    + (CAST(doc_id % 1000 AS DOUBLE) + 1.0)
@@ -419,11 +419,13 @@ def flac_lpc_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                n = 160 + 16 * (doc_id % 41)
+                n = 48 + 16 * (doc_id % 10)
                 amp = doc_id % 1000
                 samples = np.full(n, amp, dtype=np.int16)
                 samples[1::2] += 1
-                payloads.append(encode_flac_lpc(samples, sample_rate=16_000))
+                payloads.append(
+                    encode_flac_lpc(samples, sample_rate=16_000, order=4)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
