@@ -167,3 +167,30 @@ def incremental_join_delta(
         .unionByName(a_state.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def vacuum_versions(root: str, keep: int = 3) -> list[str]:
+    """Retention for the versioned-state layout: delete all ``v*``
+    snapshot directories except the ``keep`` most recent ones and the
+    one ``_LATEST`` points to (never the live version, whatever its
+    age). Returns the removed directory names. The lakehouse VACUUM
+    analogue for the poor-man's commit protocol above — without it the
+    state dir grows one full snapshot per micro-batch."""
+    import re
+    import shutil
+
+    live = None
+    ptr = os.path.join(root, "_LATEST")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            live = f.read().strip()
+    versions = sorted(
+        (d for d in os.listdir(root) if re.fullmatch(r"v\d+", d)),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [d for d in versions[:-keep] if d != live] if keep else [
+        d for d in versions if d != live
+    ]
+    for d in doomed:
+        shutil.rmtree(os.path.join(root, d))
+    return doomed

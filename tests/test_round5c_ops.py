@@ -314,3 +314,41 @@ def test_compact_parquet_reduces_file_count_preserves_rows(spark, sf_dir, tmp_pa
     after = len(list(pathlib.Path(p).rglob("*.parquet")))
     assert after == n == 1  # tiny table compacts to a single file
     assert spark.read.parquet(p).count() == want
+
+
+def test_gzip_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """Compressed text sources: gzip JSONL writes and reads through the
+    same sink/scan pair (Spark's codec layer, no code changes) — the
+    common interchange format for crawled text corpora."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    p = str(tmp_path / "docs_gz")
+    docs.write.option("compression", "gzip").json(p)
+    import pathlib
+
+    assert any(f.name.endswith(".gz") for f in pathlib.Path(p).iterdir())
+    back = spark.read.json(p)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+
+
+def test_vacuum_versions_keeps_live_and_recent(tmp_path):
+    import os
+
+    from climate_anomaly_bigdata_pipeline_spark.streaming.incremental import (
+        vacuum_versions,
+    )
+
+    root = str(tmp_path)
+    for i in range(6):
+        os.makedirs(os.path.join(root, f"v{i}"))
+    # _LATEST points at an OLD version (e.g. a reader pinned to it)
+    with open(os.path.join(root, "_LATEST"), "w") as f:
+        f.write("v1")
+    removed = vacuum_versions(root, keep=2)
+    assert sorted(removed) == ["v0", "v2", "v3"]
+    left = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert left == ["v1", "v4", "v5"]  # live + 2 most recent
