@@ -433,3 +433,18 @@ def test_progressive_dispatches_through_decode_jpeg_baseline():
     mode, w, h, out = decode_jpeg_baseline(encode_jpeg_progressive(smooth))
     assert (mode, w, h) == ("L", 48, 24)
     assert np.array_equal(out, smooth)  # q=100 DC+AC exact on smooth ramp
+
+
+def test_flac_multibyte_frame_numbers():
+    """Streams with >128 frames exercise the multi-byte UTF-8-coded
+    frame-number path in both directions."""
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+        decode_flac_bytes,
+        encode_flac,
+    )
+
+    x = np.arange(200 * 64, dtype=np.int16)  # 200 frames at block 64
+    rate, ch, bps, y = decode_flac_bytes(encode_flac(x, block_size=64))
+    assert (y[:, 0] == x.astype(np.int32)).all()
