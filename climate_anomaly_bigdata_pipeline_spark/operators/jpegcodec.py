@@ -1,11 +1,13 @@
 """Baseline sequential JPEG codec — pure Python/numpy, no imaging libs.
 
 Retires the JPEG ``_require("PIL")`` stub for the baseline-sequential
-profile (ITU-T T.81 Annex F): greyscale single-component and YCbCr
-3-component interleaved scans, 4:4:4 and 4:2:0 chroma subsampling, the
-Annex-K standard Huffman and quantization tables, restart markers on
-decode. Progressive, arithmetic-coded, and 12-bit JPEGs still raise
-the honest stub error (real corpora with those need libjpeg).
+profile (ITU-T T.81 Annex F) AND the progressive profile (Annex G:
+spectral selection + successive approximation, see the progressive
+section below): greyscale single-component and YCbCr 3-component
+interleaved scans, 4:4:4 and 4:2:0 chroma subsampling, the Annex-K
+standard Huffman and quantization tables, restart markers on decode.
+Arithmetic-coded, lossless, and 12-bit JPEGs still raise the honest
+stub error (real corpora with those need libjpeg).
 
 Like the PNG codec (multimodal.py), the en/decoder pair exists so the
 Spark-side decode plumbing (Arrow-batched ``mapInPandas`` over binary
@@ -603,9 +605,8 @@ def _decode_scan(b, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval):
 # Progressive mode splits the coefficients across multiple scans so a
 # partial stream renders a coarse image: a DC scan first, then AC
 # spectral bands per component, with EOB-run coding across blocks
-# (ITU T.81 §G). This implementation covers spectral selection with
-# Ah=Al=0 (no successive approximation — that refinement mode is the
-# remaining documented bound) for grey / 4:4:4 RGB, which is what
+# (ITU T.81 §G). This implementation covers spectral selection AND
+# successive approximation for grey / 4:4:4 RGB, which is what
 # `encode_jpeg_progressive` emits and what many progressive encoders
 # produce for their first approximation level.
 
@@ -781,10 +782,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 100) -> bytes:
 
 
 def decode_jpeg_progressive(b: bytes) -> tuple[str, int, int, np.ndarray]:
-    """Decode a progressive (SOF2) spectral-selection JFIF stream with
-    Ah=Al=0 scans and 1x1 sampling: accumulate coefficients across all
-    scans, then dequantize + IDCT once at EOI. Successive-approximation
-    scans (Ah or Al nonzero) raise the documented stub error."""
+    """Decode a progressive (SOF2) JFIF stream — spectral selection
+    and successive approximation (first + refinement scans, T.81
+    §G.1.2.3 correction-bit walk), 1x1 sampling: accumulate
+    coefficients across all scans, then dequantize + IDCT once at
+    EOI."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -850,22 +852,31 @@ def decode_jpeg_progressive(b: bytes) -> tuple[str, int, int, np.ndarray]:
                 idx = next(j for j, c in enumerate(comps) if c["id"] == cid)
                 scan_comps.append((idx, tables >> 4, tables & 0xF))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-            if ahal != 0:
-                raise NotImplementedError(
-                    "STUB: successive-approximation progressive scans"
-                )
+            ah, al = ahal >> 4, ahal & 0xF
             data_start = pos + seglen
             data_end = _next_marker(b, data_start)
             br = _BitReader(b[data_start:data_end])
-            if ss == 0:  # DC scan (interleaved, MCU == block at 1x1)
+            if ss == 0 and ah == 0:
+                # DC first scan (interleaved, MCU == block at 1x1):
+                # point-transformed diffs, stored shifted back up.
                 pred = [0] * len(scan_comps)
                 n_blocks = coef[0].shape[0]
                 for bi in range(n_blocks):
                     for si, (idx, td, _ta) in enumerate(scan_comps):
                         size = _decode_huff(br, huff_dc[td])
                         pred[si] += _extend(br.read_bits(size), size)
-                        coef[idx][bi][0] = pred[si]
-            else:  # AC band scan, single component
+                        coef[idx][bi][0] = pred[si] << al
+            elif ss == 0:
+                # DC refinement: one raw bit per block sets bit ``al``
+                # (two's-complement arithmetic: works for any sign).
+                n_blocks = coef[0].shape[0]
+                for bi in range(n_blocks):
+                    for idx, _td, _ta in scan_comps:
+                        if br.read_bits(1):
+                            coef[idx][bi][0] |= 1 << al
+            elif ah == 0:
+                # AC band first scan, single component: magnitudes are
+                # the point-transformed values, stored shifted up.
                 (idx, _td, ta) = scan_comps[0]
                 table = huff_ac[ta]
                 eobrun = 0
@@ -888,8 +899,67 @@ def decode_jpeg_progressive(b: bytes) -> tuple[str, int, int, np.ndarray]:
                         k += run
                         if k > se:
                             raise ValueError("AC index beyond band")
-                        coef[idx][bi][k] = _extend(br.read_bits(size), size)
+                        coef[idx][bi][k] = (
+                            _extend(br.read_bits(size), size) << al
+                        )
                         k += 1
+            else:
+                # AC refinement scan (ITU T.81 §G.1.2.3): newly
+                # significant coefficients arrive as ±1<<al with a run
+                # of ZERO-HISTORY positions; every already-nonzero
+                # position passed on the way (and every nonzero
+                # position of the rest of the band at EOB, and of
+                # whole EOB-run blocks) consumes one correction bit.
+                (idx, _td, ta) = scan_comps[0]
+                table = huff_ac[ta]
+                eobrun = 0
+
+                def _refine(row, k, se, br, al):
+                    while k <= se:
+                        if row[k] != 0 and br.read_bits(1):
+                            row[k] += (1 if row[k] > 0 else -1) << al
+                        k += 1
+
+                for bi in range(coef[idx].shape[0]):
+                    row = coef[idx][bi]
+                    if eobrun:
+                        eobrun -= 1
+                        _refine(row, ss, se, br, al)
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(br, table)
+                        run, size = rs >> 4, rs & 0xF
+                        newval = 0
+                        if size == 0:
+                            if run != 15:  # EOBn
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.read_bits(run)
+                                _refine(row, k, se, br, al)
+                                break
+                            target = 16  # ZRL: skip 16 zero-history
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "refinement scan size must be 1"
+                                )
+                            newval = (1 << al) if br.read_bits(1) else -(1 << al)
+                            target = run
+                        while k <= se:
+                            if row[k] != 0:
+                                if br.read_bits(1):
+                                    row[k] += (1 if row[k] > 0 else -1) << al
+                            else:
+                                if target == 0:
+                                    break
+                                target -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("refinement overrun")
+                            row[k] = newval
+                            k += 1
             pos = data_end
             continue
         pos += seglen
@@ -919,3 +989,222 @@ def decode_jpeg_progressive(b: bytes) -> tuple[str, int, int, np.ndarray]:
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=-1)
     return "RGB", fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_progressive_sa(arr: np.ndarray, quality: int = 100) -> bytes:
+    """Progressive encoding with SUCCESSIVE APPROXIMATION (one
+    refinement level, Al=1 → 0) on top of spectral selection: DC and
+    AC band first-scans carry the point-transformed coefficients
+    (÷2, truncated toward zero), then refinement scans deliver the low
+    bit — DC as one raw bit per block, AC via the T.81 §G.1.2.3
+    correction-bit walk (newly-significant ±1·2^Al with zero-history
+    runs; every nonzero position passed consumes one correction bit).
+
+    The AC refinement emitter SIMULATES the decoder's walk position by
+    position, so the interleaving of codes, sign bits, and correction
+    bits matches the read side by construction; correctness is then
+    cross-checked against the independent baseline pipeline (identical
+    quantized coefficients → identical pixels — see tests)."""
+    if arr.dtype != np.uint8:
+        raise ValueError("uint8 input required")
+    grey = arr.ndim == 2
+    if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("(h, w) grey or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    al = 1
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if grey:
+        comps = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.clip(
+            np.round(-0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0), 0, 255
+        )
+        cr = np.clip(
+            np.round(0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0), 0, 255
+        )
+        comps = [y, cb, cr]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    zz = ZIGZAG
+    blocks: list[list[np.ndarray]] = []
+    for ci, c in enumerate(comps):
+        q = ql if ci == 0 else qc
+        p = _pad_to_blocks(c, bh * 8, bw * 8)
+        rows = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                rows.append(
+                    _fdct_quant(blk, q).reshape(64)[zz].astype(np.int64)
+                )
+        blocks.append(rows)
+
+    enc_dc = [_build_huffman(*HUFF_DC_LUMA), _build_huffman(*HUFF_DC_CHROMA)]
+    enc_ac = [_build_huffman(*HUFF_AC_LUMA), _build_huffman(*HUFF_AC_CHROMA)]
+
+    def trunc2(v: int) -> int:  # toward-zero /2 (AC point transform)
+        return -((-v) >> al) if v < 0 else v >> al
+
+    # --- scan 1: DC first (arithmetic >> al), interleaved ---
+    bw_ = _BitWriter()
+    pred = [0] * len(comps)
+    for bi in range(bh * bw):
+        for ci in range(len(comps)):
+            t = enc_dc[0 if ci == 0 else 1]
+            dc = int(blocks[ci][bi][0]) >> al
+            size, amp = _magnitude(dc - pred[ci])
+            pred[ci] = dc
+            code, ln = t[size]
+            bw_.write(code, ln)
+            if size:
+                bw_.write(amp, size)
+    dc_first = bw_.flush()
+
+    # --- scan 2: DC refinement (1 raw bit per block per component) ---
+    bw_ = _BitWriter()
+    for bi in range(bh * bw):
+        for ci in range(len(comps)):
+            bw_.write(int(blocks[ci][bi][0]) & 1, 1)
+    dc_refine = bw_.flush()
+
+    # --- AC first scans (point-transformed band values) ---
+    def ac_first(ci: int, ss: int, se: int) -> bytes:
+        t = enc_ac[0 if ci == 0 else 1]
+        out = _BitWriter()
+        for coefs in blocks[ci]:
+            band = [trunc2(int(coefs[k])) for k in range(ss, se + 1)]
+            if not any(band):
+                code, ln = t[0x00]
+                out.write(code, ln)
+                continue
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band):
+                if i > last_nz:
+                    code, ln = t[0x00]
+                    out.write(code, ln)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = t[0xF0]
+                    out.write(code, ln)
+                    run -= 16
+                size, amp = _magnitude(v)
+                code, ln = t[(run << 4) | size]
+                out.write(code, ln)
+                out.write(amp, size)
+                run = 0
+        return out.flush()
+
+    # --- AC refinement scans: simulate the decoder walk ---
+    def ac_refine(ci: int, ss: int, se: int) -> bytes:
+        t = enc_ac[0 if ci == 0 else 1]
+        out = _BitWriter()
+        for coefs in blocks[ci]:
+            orig = [int(coefs[k]) for k in range(ss, se + 1)]
+            # decoder-visible history after the first scan
+            hist = [trunc2(v) << al for v in orig]
+            n = len(orig)
+            new_pos = [i for i in range(n) if hist[i] == 0 and orig[i] != 0]
+
+            def corr_bit(i: int) -> int:
+                return (abs(orig[i]) >> 0) & 1  # bit Al(=0 after shift)
+
+            cursor = 0
+            for p in new_pos:
+                while True:
+                    zcount = sum(
+                        1 for i in range(cursor, p) if hist[i] == 0
+                    )
+                    if zcount <= 15:
+                        break
+                    # ZRL: walk consumes 16 zero-history positions,
+                    # refining nonzero ones, stopping at the next zero.
+                    code, ln = t[0xF0]
+                    out.write(code, ln)
+                    consumed = 0
+                    i = cursor
+                    while True:
+                        if hist[i] == 0:
+                            if consumed == 16:
+                                break
+                            consumed += 1
+                        else:
+                            out.write(corr_bit(i), 1)
+                        i += 1
+                    cursor = i
+                zcount = sum(1 for i in range(cursor, p) if hist[i] == 0)
+                code, ln = t[(zcount << 4) | 1]
+                out.write(code, ln)
+                out.write(1 if orig[p] > 0 else 0, 1)  # sign bit
+                for i in range(cursor, p):
+                    if hist[i] != 0:
+                        out.write(corr_bit(i), 1)
+                hist[p] = (1 << al) if orig[p] > 0 else -(1 << al)
+                cursor = p + 1
+            if cursor < n:  # EOB0 + correction bits for the tail
+                code, ln = t[0x00]
+                out.write(code, ln)
+                for i in range(cursor, n):
+                    if hist[i] != 0:
+                        out.write(corr_bit(i), 1)
+        return out.flush()
+
+    bands = [(1, 5), (6, 63)]
+    nc = len(comps)
+
+    # --- assemble ---
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        zzvals = q.reshape(64)[zz].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzvals
+
+    out += dqt(0, ql)
+    if not grey:
+        out += dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    if not grey:
+        out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+
+    def sos(comps_tables, ss: int, se: int, ah: int, al_: int, data: bytes):
+        hdr = bytes([len(comps_tables)])
+        for cid, td, ta in comps_tables:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + data
+
+    all_dc = [(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)]
+    out += sos(all_dc, 0, 0, 0, al, dc_first)
+    for ci in range(nc):
+        tid = 0 if ci == 0 else 1
+        for ss_, se_ in bands:
+            out += sos([(ci + 1, 0, tid)], ss_, se_, 0, al, ac_first(ci, ss_, se_))
+    out += sos(all_dc, 0, 0, al, 0, dc_refine)
+    for ci in range(nc):
+        tid = 0 if ci == 0 else 1
+        for ss_, se_ in bands:
+            out += sos([(ci + 1, 0, tid)], ss_, se_, al, 0, ac_refine(ci, ss_, se_))
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -13,11 +13,11 @@ only where a compressed codec library would be required:
   nearest-neighbor resize for binary PNM images (P5 graymap, P6
   pixmap), for 8-bit grey/RGB PNG (:func:`decode_png_bytes` — stdlib
   zlib, all five scanline filters, no imaging library), AND for
-  baseline-sequential AND progressive (spectral-selection) JPEG
-  (``operators/jpegcodec.py`` — Annex-K tables, 4:4:4/4:2:0, grey and
-  RGB, multi-scan coefficient accumulation, no libjpeg);
-  successive-approximation JPEG / WebP fall through to a
-  clearly-marked PIL stub.
+  baseline-sequential AND progressive JPEG — spectral selection and
+  successive approximation (``operators/jpegcodec.py`` — Annex-K
+  tables, 4:4:4/4:2:0, grey and RGB, multi-scan coefficient
+  accumulation + T.81 correction-bit refinement, no libjpeg);
+  WebP / lossless JPEG fall through to a clearly-marked PIL stub.
 * :func:`decode_audio` — real stdlib-``wave`` decode for PCM WAV and
   real FLAC decode (``operators/flaccodec.py`` — all subframe types
   incl. quantized LPC, CRC+MD5-verified, no library); MP3 falls

@@ -448,3 +448,39 @@ def test_flac_multibyte_frame_numbers():
     x = np.arange(200 * 64, dtype=np.int16)  # 200 frames at block 64
     rate, ch, bps, y = decode_flac_bytes(encode_flac(x, block_size=64))
     assert (y[:, 0] == x.astype(np.int32)).all()
+
+
+def test_successive_approximation_equals_baseline_reconstruction():
+    """SA streams (Al=1 first scans + refinement scans) carry the same
+    quantized coefficients split across precision levels; after the
+    refinement pass the decoder must reconstruct EXACTLY the baseline
+    pipeline's pixels — the independent cross-check that validates the
+    T.81 correction-bit walk on both sides."""
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        decode_jpeg_progressive,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive_sa,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8), (16, 24), (17, 9), (32, 32, 3), (15, 21, 3)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        sa = decode_jpeg_progressive(encode_jpeg_progressive_sa(arr, quality=100))[3]
+        base = decode_jpeg_baseline(encode_jpeg_baseline(arr, quality=100))[3]
+        assert np.array_equal(sa, base)
+
+
+def test_successive_approximation_smooth_lossless_at_q100():
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_progressive_sa,
+    )
+
+    smooth = np.tile(np.arange(48, dtype=np.uint8), (24, 1))
+    mode, w, h, out = decode_jpeg_baseline(encode_jpeg_progressive_sa(smooth))
+    assert np.array_equal(out, smooth)
