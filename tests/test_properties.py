@@ -271,3 +271,42 @@ def test_flac_roundtrip_arbitrary_pcm(pcm, block_size):
         rate, ch, bps, y = decode_flac_bytes(enc(x, block_size=block_size))
         assert (y[:, 0] == x.astype(np.int32)).all()
         assert (rate, ch, bps) == (16_000, 1, 16)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kcore_matches_brute_peeling_on_random_graphs(spark, edges, k):
+    """k_core must equal brute-force Python peeling for ANY small
+    graph and any k — the fixpoint semantics, not just the happy path
+    of the fixed fixture."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.graph import k_core
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.node, r.degree) for r in k_core(df, k=k).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ns in adj.items() if len(ns) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    want = {(n, len(ns)) for n, ns in adj.items()}
+    assert got == want
