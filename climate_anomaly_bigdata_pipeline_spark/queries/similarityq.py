@@ -886,3 +886,73 @@ def pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_id=_QUERY_ID, k=_K, shortlist=_PQ_SHORTLIST,
         books=_pq_books(spark, sf_dir), dim=_DIM,
     )
+
+
+# ---- IVF-PQ: both offline artifacts composed --------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_lloyd_ctes(_TRAIN_ITERS)},
+{_pq_ctes()},
+pairs AS (
+    SELECT e.vec_id, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+probe AS (
+    SELECT cid
+    FROM pairs
+    WHERE vec_id = {_QUERY_ID}
+    QUALIFY row_number() OVER (ORDER BY cos DESC, cid DESC) <= {_NPROBE}
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, pcb.code, list_dot_product(s.sv, pcb.cv) AS d
+    FROM sv s JOIN pc pcb ON pcb.sub = s.sub
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code DESC) = 1
+),
+qsv AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = {_QUERY_ID}),
+term AS (
+  SELECT n.vec_id, a.cell, n.sub, list_dot_product(q.qsv, pcb.cv) AS t
+  FROM enc n
+  JOIN assign a ON a.vec_id = n.vec_id
+  JOIN pc pcb   ON pcb.sub = n.sub AND pcb.code = n.code
+  JOIN qsv q    ON q.sub = n.sub
+  WHERE n.vec_id != {_QUERY_ID}
+    AND a.cell IN (SELECT cid FROM probe)
+),
+scored AS (
+  SELECT vec_id AS neighbor_id, cell,
+         list_reduce(list(t ORDER BY sub), (acc, x) -> acc + x) AS adc_score
+  FROM term GROUP BY vec_id, cell
+)
+SELECT CAST({_QUERY_ID} AS BIGINT) AS query_id, neighbor_id, cell, adc_score
+FROM scored
+ORDER BY adc_score DESC, neighbor_id
+LIMIT {_K}
+"""
+
+
+@query("ivfpq_ann_topk", oracle=_IVFPQ_ORACLE)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 — the composed FAISS-default shape: the
+    offline coarse quantizer prunes to nprobe=2 cells, the offline
+    product quantizer's codes get ADC-scored through the query's
+    m×k LUT. Both assignments row-local; at 100 TB the cell prunes the
+    scan AND the scan reads only code columns. Oracle retrains BOTH
+    quantizers in one CTE chain and must match bit-exactly."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.ivfpq_topk(
+        emb, query_id=_QUERY_ID, k=_K, nprobe=_NPROBE,
+        ivf_codebook=_ivf_codebook(spark, sf_dir),
+        pq_books=_pq_books(spark, sf_dir), dim=_DIM,
+    )

@@ -67,3 +67,16 @@ def test_rescore_recall_at_least_raw_adc(spark, sf_dir):
     }
     assert len(brute & rescored) >= len(brute & adc)
     assert len(brute & rescored) >= 3  # sanity floor at smoke scale
+
+
+def test_ivfpq_oracle_parity(spark, sf_dir):
+    ok, msg = run_check(spark, "ivfpq_ann_topk", sf_dir)
+    assert ok, msg
+
+
+def test_ivfpq_serving_never_shuffles(spark, sf_dir):
+    """Cell filter + code lookup + fold are all row-local: no Exchange
+    in the serving plan, TakeOrdered for the top-k."""
+    nodes = node_names(QUERIES["ivfpq_ann_topk"](spark, sf_dir))
+    assert "Exchange" not in nodes
+    assert "TakeOrderedAndProject" in nodes
