@@ -54,6 +54,9 @@ def main() -> None:
     res10 = {
         r.neighbor_id for r in QUERIES["pq_rescore_topk"](spark, sf_dir).collect()
     }
+    ivfpq10 = {
+        r.neighbor_id for r in QUERIES["ivfpq_ann_topk"](spark, sf_dir).collect()
+    }
     out = {
         "sf_dir": sf_dir,
         "k": int(k),
@@ -61,6 +64,7 @@ def main() -> None:
         "n_queries": int(n_queries),
         "recall_pq_adc": round(len(truth10 & adc10) / len(truth10), 4),
         "recall_pq_rescore": round(len(truth10 & res10) / len(truth10), 4),
+        "recall_ivfpq": round(len(truth10 & ivfpq10) / len(truth10), 4),
     }
     print(json.dumps(out))
 
