@@ -679,3 +679,206 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(_BPE_MERGE_TOPN)
     )
+
+
+# ---- retrieval evaluation: nDCG@10 / MRR / P@10 ------------------------------
+#
+# IR-eval harness over the BM25 lexical run (Järvelin & Kekäläinen 2002
+# nDCG, linear gain). Each of the three fixed query terms is one
+# "query"; graded relevance for (term, doc) is the term frequency and
+# binary relevance is tf >= 2 — deterministic qrels derived from the
+# corpus itself, so the whole evaluation is oracle-expressible.
+#
+# Bit-exactness: the rank discounts 1/log2(r+1) are Python-float
+# literals embedded identically in the Spark plan and the oracle SQL
+# (both engines parse the repr round-trip to the same double), so DCG
+# is a fold of identical products in rank order on both sides — no
+# engine libm log2 in the data path.
+
+import math as _math
+
+_NDCG_K = 10
+_REL_MIN = 2  # binary-relevance threshold for MRR / P@10
+_DCG_W = tuple(1.0 / _math.log2(r + 1) for r in range(1, _NDCG_K + 1))
+
+_NDCG_DISC_VALUES = ", ".join(
+    f"({r}, CAST({w!r} AS DOUBLE))" for r, w in enumerate(_DCG_W, start=1)
+)
+
+_NDCG_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+    GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           CAST(tf.tf AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+               AS m
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN st
+),
+disc AS (SELECT * FROM (VALUES {_NDCG_DISC_VALUES}) AS v(rnk, wt)),
+run AS (
+    SELECT tok, tf,
+           CAST(row_number() OVER (
+               PARTITION BY tok ORDER BY m DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= {_NDCG_K}
+),
+dcg AS (
+    SELECT r.tok,
+           list_reduce(
+               list(CAST(r.tf AS DOUBLE) * d.wt ORDER BY r.rnk),
+               (a, x) -> a + x
+           ) AS dcg,
+           COALESCE(
+               CAST(1.0 AS DOUBLE)
+                   / min(r.rnk) FILTER (WHERE r.tf >= {_REL_MIN}),
+               CAST(0.0 AS DOUBLE)
+           ) AS mrr,
+           CAST(count(*) FILTER (WHERE r.tf >= {_REL_MIN}) AS DOUBLE)
+               / CAST({_NDCG_K}.0 AS DOUBLE) AS p_at_10
+    FROM run r JOIN disc d ON d.rnk = r.rnk
+    GROUP BY r.tok
+),
+ideal AS (
+    SELECT tok, tf,
+           CAST(row_number() OVER (
+               PARTITION BY tok ORDER BY tf DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM tf
+    QUALIFY rnk <= {_NDCG_K}
+),
+idcg AS (
+    SELECT i.tok,
+           list_reduce(
+               list(CAST(i.tf AS DOUBLE) * d.wt ORDER BY i.rnk),
+               (a, x) -> a + x
+           ) AS idcg
+    FROM ideal i JOIN disc d ON d.rnk = i.rnk
+    GROUP BY i.tok
+)
+SELECT d.tok, d.dcg / i.idcg AS ndcg10, d.mrr, d.p_at_10
+FROM dcg d JOIN idcg i ON i.tok = d.tok
+ORDER BY d.tok
+"""
+
+
+@query("retrieval_eval_ndcg", oracle=_NDCG_ORACLE)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the per-term BM25 run: nDCG@10
+    (linear gain, Järvelin & Kekäläinen), MRR and precision@10 against
+    corpus-derived qrels (graded relevance = term frequency, binary
+    relevance = tf >= 2), one row per query term.
+
+    Scale shape: the run is a per-term top-k (shuffle keyed by term —
+    at 100 TB each term's posting list is served from the inverted
+    index and ranked with a per-term TakeOrdered, so the eval never
+    sees more than terms x k rows). The ideal ranking windows each
+    term's qrels; its skew bound is the hottest term's df, which the
+    tf >= threshold pushdown caps before the window. The discount
+    table is a 10-row literal broadcast; DCG folds products in rank
+    order on both engines (see module comment) so the check is
+    bit-exact, not tolerance-assisted."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    # Per-term ranking: BM25's idf is a positive per-term CONSTANT, so
+    # ordering by the tf-saturation factor alone is rank-equivalent —
+    # and unlike idf's ln(), every op here (IEEE div/mul/add) is
+    # correctly rounded, so both engines order identical doubles.
+    m = tfd / (
+        tfd
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (dld / avgdl))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", "tf", m.alias("m"))
+    )
+    disc = F.array(*[F.lit(w) for w in _DCG_W])
+
+    w_run = Window.partitionBy("tok").orderBy(F.desc("m"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rnk", F.row_number().over(w_run).cast("long"))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select(
+            "tok",
+            "rnk",
+            "tf",
+            (F.col("tf").cast("double") * F.element_at(disc, F.col("rnk").cast("int"))).alias("g"),
+        )
+    )
+    dcg = run.groupBy("tok").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rnk", F.col("g").alias("v")))),
+            F.lit(0.0),
+            lambda a, c: a + c["v"],
+        ).alias("dcg"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("tf") >= _REL_MIN, F.col("rnk"))),
+            F.lit(0.0),
+        ).alias("mrr"),
+        (
+            F.count(F.when(F.col("tf") >= _REL_MIN, F.lit(1))).cast("double")
+            / F.lit(float(_NDCG_K))
+        ).alias("p_at_10"),
+    )
+
+    w_ideal = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    idcg = (
+        tf.withColumn("rnk", F.row_number().over(w_ideal).cast("long"))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select(
+            "tok",
+            "rnk",
+            (F.col("tf").cast("double") * F.element_at(disc, F.col("rnk").cast("int"))).alias("g"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rnk", F.col("g").alias("v")))),
+                F.lit(0.0),
+                lambda a, c: a + c["v"],
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, "tok")
+        .select("tok", (F.col("dcg") / F.col("idcg")).alias("ndcg10"), "mrr", "p_at_10")
+        .orderBy("tok")
+    )

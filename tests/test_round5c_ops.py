@@ -352,3 +352,22 @@ def test_vacuum_versions_keeps_live_and_recent(tmp_path):
     assert sorted(removed) == ["v0", "v2", "v3"]
     left = sorted(d for d in os.listdir(root) if d.startswith("v"))
     assert left == ["v1", "v4", "v5"]  # live + 2 most recent
+
+
+def test_retrieval_eval_ndcg_oracle(spark, sf_dir):
+    from tests.oracle_utils import run_check
+
+    ok, msg = run_check(spark, "retrieval_eval_ndcg", sf_dir)
+    assert ok, msg
+    assert msg == "exact", msg  # bit-exact, not tolerance-assisted
+
+
+def test_retrieval_eval_ndcg_bounds(spark, sf_dir):
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["retrieval_eval_ndcg"](spark, sf_dir).collect()
+    assert len(rows) == 3  # one per query term
+    for r in rows:
+        assert 0.0 < r.ndcg10 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.p_at_10 <= 1.0
