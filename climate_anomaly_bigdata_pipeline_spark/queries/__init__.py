@@ -116,8 +116,8 @@ _WINDOW_R4 = [
     "multimodal_binary_profile",
 ]
 
-# Round-5 active window: positions 0-49 of the registry.
-_PRIORITY = [
+# Round-5 window (driver-verified 50/50 green in CORRECTNESS_r05.json).
+_WINDOW_R5 = [
     # flagship (stays every round)
     "zscore_anomaly",
     # anomaly-detection variants
@@ -180,14 +180,12 @@ _PRIORITY = [
     "chisq_event_type_dow",
     "spearman_parts_rev_vs_qty",
 ]
-assert len(_PRIORITY) == 50
-assert set(_PRIORITY) & set(_WINDOW_R4) == {"zscore_anomaly"}
+assert len(_WINDOW_R5) == 50
+assert set(_WINDOW_R5) & set(_WINDOW_R4) == {"zscore_anomaly"}
 
-# Round-6 window, PREPARED but NOT active (round 5's driver check must
-# run against _PRIORITY above). To activate next round: set
-# _PRIORITY = _WINDOW_R6 (one line). 49 queries never yet
-# driver-verified + the flagship; the ~32 left over (mostly this
-# round's TPC-H fill-in and stats additions) rotate in round 7.
+# Round-6 ACTIVE window: 49 queries never yet driver-verified + the
+# flagship. The 36 left over (TPC-H fill-ins, round-5 stats/codec
+# additions) rotate in _WINDOW_R7 below.
 _WINDOW_R6 = [
     "zscore_anomaly",
     # sketches / sampling / relational coverage
@@ -219,7 +217,67 @@ _WINDOW_R6 = [
     "jpeg_decode_profile",
 ]
 assert len(_WINDOW_R6) == 50
-assert set(_WINDOW_R6) & (set(_WINDOW_R4) | set(_PRIORITY)) == {"zscore_anomaly"}
+assert set(_WINDOW_R6) & (set(_WINDOW_R4) | set(_WINDOW_R5)) == {"zscore_anomaly"}
+
+_PRIORITY = _WINDOW_R6
+
+# Round-7 window, PREPARED but NOT active (round 6's driver check must
+# run against _WINDOW_R6). To activate next round: set
+# _PRIORITY = _WINDOW_R7 (one line). After rounds 1-6 every registry
+# name except these 36 has a driver-verified CORRECTNESS row; R7
+# completes full coverage. The window is padded to 50 with 13
+# already-green representatives (driver re-verification is harmless).
+_WINDOW_R7 = [
+    "zscore_anomaly",
+    # never-windowed round-5 additions: retrieval / ANN / codecs
+    "retrieval_eval_ndcg", "pq_code_histogram", "ivfpq_ann_topk",
+    "flac_decode_profile", "jpeg_progressive_profile",
+    "flac_lpc_decode_profile",
+    # never-windowed analytics / audits
+    "item_cooccurrence_similarity", "sole_supplier_orders",
+    "top_revenue_suppliers", "embedding_dim_scale", "k_anonymity_audit",
+    "referential_integrity_audit", "top_event_trigrams",
+    "significant_parts_by_value", "top_supplier_share_per_part",
+    "idle_rich_customers", "loo_target_encoding_orders",
+    "ccf_purchase_click_daily", "cuped_ab_purchase_rate",
+    "ols2_price_qty_discount",
+    # never-windowed TPC-H fill-ins
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_late_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q16_supplier_part_counts", "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    # padding: already-green representatives (one per major family)
+    "groupby_kpis", "join_revenue_by_nation_year", "topk_orders",
+    "rolling_daily_mean", "sessionize_events", "tfidf_top_terms",
+    "minhash_lsh_candidates", "knn_join_brute", "pagerank_purchase_graph",
+    "png_decode_profile", "curation_pipeline", "approx_distinct_users",
+    "pivot_events_daily",
+]
+assert len(_WINDOW_R7) == 50
+_never_windowed = {
+    "retrieval_eval_ndcg", "pq_code_histogram", "ivfpq_ann_topk",
+    "flac_decode_profile", "jpeg_progressive_profile",
+    "flac_lpc_decode_profile", "item_cooccurrence_similarity",
+    "sole_supplier_orders", "top_revenue_suppliers", "embedding_dim_scale",
+    "k_anonymity_audit", "referential_integrity_audit",
+    "top_event_trigrams", "significant_parts_by_value",
+    "top_supplier_share_per_part", "idle_rich_customers",
+    "loo_target_encoding_orders", "ccf_purchase_click_daily",
+    "cuped_ab_purchase_rate", "ols2_price_qty_discount",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_late_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q16_supplier_part_counts", "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+}
+assert _never_windowed <= set(_WINDOW_R7)
+# R7 must not re-window anything R6 already covers (flagship aside).
+assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
 
 
 def _reorder() -> None:
