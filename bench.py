@@ -126,6 +126,18 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver truncates stdout (BENCH_r*.json keeps only a tail), so
+    # persist the complete per-query map to a repo file on every full
+    # run. Subset runs (SPARK_GRAFT_BENCH_ONLY) never clobber it.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "")
+    if not out_path and not only:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+        )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
     print(json.dumps(out))
 
 

@@ -149,6 +149,7 @@ def cooccurrence_edges(
     item_col: str,
     min_support: int = 2,
     max_group_size: int | None = 100_000,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Weighted co-occurrence edge list: ``(u, v, w)`` where u < v are
     items sharing a group and ``w`` counts the shared groups, kept at
@@ -160,18 +161,64 @@ def cooccurrence_edges(
     ``max_group_size`` caps it in the operator itself (same contract
     as the LSH ``max_bucket_size`` guard): a pathological mega-group
     — one group containing 1% of all items would materialize ~10^9
-    pair structs in a single task — is dropped from the edge list
-    rather than OOMing an executor. Pass ``None`` to disable (only
-    when the group domain is known-bounded).
+    pair structs in a single task — must not OOM an executor. Pass
+    ``None`` to disable (only when the group domain is known-bounded).
+
+    No silent caps: ``on_oversize`` picks what happens when the cap
+    would engage, evaluated inside the normal pass (no extra job):
+
+    - ``"error"`` (default): fail the job via a plan-embedded
+      ``raise_error`` — the assert-not-engaged contract the production
+      graph queries rely on (results are never quietly incomplete).
+    - ``"observe"``: drop over-cap groups but count them with
+      ``DataFrame.observe``; the ``Observation`` is exposed as
+      ``result.oversize_observation`` (metric key
+      ``oversize_groups_dropped``) so callers can alert after the
+      action completes.
+    - ``"drop"``: documented silent drop — explicit opt-in only.
     """
+    if on_oversize not in ("error", "observe", "drop"):
+        raise ValueError(f"on_oversize: {on_oversize!r}")
     sets = (
         df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
         .groupBy("g")
         .agg(F.array_sort(F.collect_set("it")).alias("items"))
         .where(F.size("items") >= 2)
     )
+    observation = None
     if max_group_size is not None:
-        sets = sets.where(F.size("items") <= max_group_size)
+        if on_oversize == "error":
+            # The filter predicate is evaluated for every group during
+            # the normal pass; an over-cap group detonates the job
+            # instead of silently vanishing from the edge list.
+            sets = sets.where(
+                F.when(
+                    F.size("items") > max_group_size,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "cooccurrence_edges: group exceeds "
+                                f"max_group_size={max_group_size}: "
+                            ),
+                            F.col("g").cast("string"),
+                            F.lit(" size="),
+                            F.size("items").cast("string"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            if on_oversize == "observe":
+                from pyspark.sql import Observation
+
+                observation = Observation()
+                sets = sets.observe(
+                    observation,
+                    F.sum(
+                        (F.size("items") > max_group_size).cast("long")
+                    ).alias("oversize_groups_dropped"),
+                )
+            sets = sets.where(F.size("items") <= max_group_size)
     pairs = sets.select(
         F.explode(
             F.flatten(
@@ -189,11 +236,14 @@ def cooccurrence_edges(
             )
         ).alias("p")
     ).select("p.u", "p.v")
-    return (
+    out = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= min_support)
     )
+    if observation is not None:
+        out.oversize_observation = observation
+    return out
 
 
 def triangles_per_node(
@@ -343,6 +393,7 @@ def k_core(
         .localCheckpoint()
     )
     cur = bidir
+    rounds_used = 0
     for _ in range(max_rounds):
         low = (
             cur.groupBy("s")
@@ -352,6 +403,7 @@ def k_core(
         )
         if low.isEmpty():
             break
+        rounds_used += 1
         low = low.localCheckpoint()
         lx = low.withColumnRenamed("s", "x")
         cur = (
@@ -359,6 +411,10 @@ def k_core(
             .join(lx, F.col("d") == lx.x, "left_anti")
             .localCheckpoint()
         )
-    return cur.groupBy(F.col("s").alias("node")).agg(
+    out = cur.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+    # Peeling rounds actually executed (fixpoint depth) — exposed so
+    # callers with a fixed-unroll oracle can assert a safety margin.
+    out.kcore_rounds = rounds_used
+    return out
