@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
 from climate_anomaly_bigdata_pipeline_spark.queries import query
+from climate_anomaly_bigdata_pipeline_spark.sources import artifacts as ART
 
 _QUERY_ID = 7
 _K = 10
@@ -269,21 +270,29 @@ ORDER BY query_id, rank
 # At 100 TB the coarse quantizer is a persisted artifact (a tiny
 # parquet/table written by an offline training job), not something a
 # query retrains — per-query Lloyd training doubled knn_join_ivf's
-# latency in round 4. Here the "artifact store" is a per-corpus memo
-# (same process = same bench/driver run); the training recipe itself
+# latency in round 4. The artifact store is two-level: a per-corpus
+# process memo (same bench/driver run) backed by a Parquet file
+# (``sources/artifacts.py``) so LATER SESSIONS reload the trained
+# codebook with zero training jobs — the honest 100 TB serving story
+# (train offline once, serve everywhere). The training recipe itself
 # stays oracle-checked via `ivf_train_codebook` below, and both
 # serving queries' oracles still rerun the training CTEs, which is
-# exactly the determinism claim: offline-trained and oracle-retrained
-# codebooks are bit-identical.
+# exactly the determinism claim: offline-trained, disk-reloaded and
+# oracle-retrained codebooks are bit-identical.
 _CODEBOOKS: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
     if sf_dir not in _CODEBOOKS:
-        emb = Catalog(spark, sf_dir).embeddings
-        _CODEBOOKS[sf_dir] = SIM.train_ivf_codebook(
-            emb, _N_CENTROIDS, _TRAIN_ITERS, sample_mod=_TRAIN_SAMPLE_MOD
-        )
+        path = ART.ivf_path(sf_dir, _N_CENTROIDS, _TRAIN_ITERS, _TRAIN_SAMPLE_MOD)
+        book = ART.load_ivf(path)
+        if book is None:
+            emb = Catalog(spark, sf_dir).embeddings
+            book = SIM.train_ivf_codebook(
+                emb, _N_CENTROIDS, _TRAIN_ITERS, sample_mod=_TRAIN_SAMPLE_MOD
+            )
+            ART.save_ivf(book, path)
+        _CODEBOOKS[sf_dir] = book
     return _CODEBOOKS[sf_dir]
 
 
@@ -664,11 +673,16 @@ _PQ_BOOKS: dict[str, "SIM.PQCodebooks"] = {}
 
 def _pq_books(spark: SparkSession, sf_dir: str) -> "SIM.PQCodebooks":
     if sf_dir not in _PQ_BOOKS:
-        emb = Catalog(spark, sf_dir).embeddings
-        _PQ_BOOKS[sf_dir] = SIM.train_pq_codebooks(
-            emb, m=_PQ_M, k=_PQ_K, n_iters=_PQ_ITERS,
-            sample_mod=_TRAIN_SAMPLE_MOD, dim=_DIM,
-        )
+        path = ART.pq_path(sf_dir, _PQ_M, _PQ_K, _PQ_ITERS, _TRAIN_SAMPLE_MOD)
+        books = ART.load_pq(path)
+        if books is None:
+            emb = Catalog(spark, sf_dir).embeddings
+            books = SIM.train_pq_codebooks(
+                emb, m=_PQ_M, k=_PQ_K, n_iters=_PQ_ITERS,
+                sample_mod=_TRAIN_SAMPLE_MOD, dim=_DIM,
+            )
+            ART.save_pq(books, path)
+        _PQ_BOOKS[sf_dir] = books
     return _PQ_BOOKS[sf_dir]
 
 
