@@ -1,0 +1,31 @@
+"""CI freshness gate for COVERAGE.md's generated registry section
+(VERDICT r5 item 8): the committed table must match a regeneration
+from the live registry + CORRECTNESS artifacts."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def test_coverage_registry_section_is_fresh():
+    import gen_coverage
+
+    with open(gen_coverage.COVERAGE) as f:
+        current = f.read()
+    assert gen_coverage.BEGIN in current, "generated section missing"
+    section = gen_coverage.render()
+    assert section in current, (
+        "COVERAGE.md registry section is stale — run "
+        "`python tools/gen_coverage.py`"
+    )
+
+
+def test_every_registered_query_has_an_oracle_or_documented_waiver():
+    from climate_anomaly_bigdata_pipeline_spark.queries import ORACLE, QUERIES
+
+    missing = [n for n in QUERIES if n not in ORACLE]
+    assert not missing, f"queries without oracles: {missing}"

@@ -1,0 +1,100 @@
+"""Regenerate the machine-derived registry section of COVERAGE.md.
+
+The curated SURVEY-§2 mapping above the marker is hand-maintained;
+everything between the BEGIN/END markers is emitted from the live
+query registry + the driver's CORRECTNESS_r*.json artifacts, so the
+judge/driver can diff coverage mechanically instead of trusting prose.
+``tests/test_coverage_fresh.py`` asserts the committed file matches a
+fresh regeneration (stale = red CI).
+
+Usage: python tools/gen_coverage.py [--check]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COVERAGE = os.path.join(REPO, "COVERAGE.md")
+BEGIN = "<!-- BEGIN GENERATED REGISTRY (tools/gen_coverage.py) -->"
+END = "<!-- END GENERATED REGISTRY -->"
+
+
+def driver_rounds() -> dict[str, list[int]]:
+    """query name -> rounds with a green driver CORRECTNESS row."""
+    rounds: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnum = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("err") is None
+            ):
+                rounds.setdefault(name, []).append(rnum)
+    return rounds
+
+
+def render() -> str:
+    from climate_anomaly_bigdata_pipeline_spark.queries import ORACLE, QUERIES
+
+    verified = driver_rounds()
+    lines = [
+        BEGIN,
+        "",
+        "## Registry (generated — do not edit by hand)",
+        "",
+        f"**{len(QUERIES)} registered queries**, "
+        f"{len(ORACLE)} with DuckDB oracles, "
+        f"{sum(1 for n in QUERIES if n in verified)} with ≥1 green "
+        "driver-verified CORRECTNESS row. Position = current registry "
+        "order (driver verifies positions 1-50).",
+        "",
+        "| # | Query | Module | Oracle | Driver-green rounds |",
+        "|---|---|---|---|---|",
+    ]
+    for i, (name, fn) in enumerate(QUERIES.items(), 1):
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        oracle = "yes" if name in ORACLE else "—"
+        rounds = ", ".join(f"r{r}" for r in verified.get(name, [])) or "—"
+        lines.append(f"| {i} | `{name}` | `{mod}` | {oracle} | {rounds} |")
+    lines += ["", END]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    with open(COVERAGE) as f:
+        current = f.read()
+    section = render()
+    if BEGIN in current:
+        pre = current.split(BEGIN)[0]
+        post = current.split(END, 1)[1] if END in current else "\n"
+        updated = pre + section + post
+    else:
+        updated = current.rstrip() + "\n\n" + section + "\n"
+    if "--check" in sys.argv:
+        if updated != current:
+            print("COVERAGE.md registry section is STALE — run "
+                  "python tools/gen_coverage.py")
+            return 1
+        print("COVERAGE.md registry section is fresh")
+        return 0
+    with open(COVERAGE, "w") as f:
+        f.write(updated)
+    print(f"wrote registry section ({len(section.splitlines())} lines)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
