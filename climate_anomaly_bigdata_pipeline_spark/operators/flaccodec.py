@@ -189,6 +189,25 @@ def _rice_param(res: np.ndarray) -> int:
     return k
 
 
+def _write_rice_block(w: _BitWriter, res: np.ndarray, k: int) -> None:
+    """Batch Rice-code a residual block: assemble every sample's
+    ``q zeros · 1 · k-bit remainder`` field into ONE arbitrary-width
+    integer and emit it with a single ``write`` — ~4 int ops per
+    sample instead of a per-bit ``write_unary`` loop. Bit-identical to
+    the per-sample path (same fields, same order)."""
+    u_arr = _zigzag(res)
+    mask = (1 << k) - 1
+    acc = 0
+    total = 0
+    for u in u_arr.tolist():
+        q = u >> k
+        width = q + 1 + k
+        acc = (acc << width) | (1 << k) | (u & mask)
+        total += width
+    if total:
+        w.write(acc, total)
+
+
 def _write_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
     """CONSTANT if flat, else best FIXED order 0-2, Rice partition 0."""
     if np.all(x == x[0]):
@@ -215,10 +234,7 @@ def _write_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
     w.write(0, 4)  # partition order 0
     k = _rice_param(res)
     w.write(k, 4)
-    for u in _zigzag(res):
-        w.write_unary(int(u) >> k)
-        if k:
-            w.write(int(u) & ((1 << k) - 1), k)
+    _write_rice_block(w, res, k)
 
 
 def encode_flac(
@@ -273,6 +289,44 @@ def encode_flac(
     return bytes(out)
 
 
+def _read_rice_partition(r: _BitReader, cnt: int, k: int) -> list[int]:
+    """Batch-decode ``cnt`` Rice(k) samples: snapshot the reader's
+    remaining bits as ONE arbitrary-width integer, peel quotients with
+    ``bit_length`` arithmetic (leading-zero count) instead of a
+    per-bit ``read_unary`` loop, then advance the reader by the exact
+    bit count consumed. Bit-identical to the per-sample path."""
+    data = r.data
+    start_byte, start_bit = r.byte, r.bit
+    width = (len(data) - start_byte) * 8 - start_bit
+    if width < 0:
+        raise ValueError("truncated FLAC bitstream")
+    val = int.from_bytes(data[start_byte:], "big") & ((1 << width) - 1)
+    out: list[int] = []
+    consumed = 0
+    for _ in range(cnt):
+        bl = val.bit_length()
+        if bl == 0:
+            raise ValueError("truncated FLAC bitstream")
+        q = width - bl
+        width = bl - 1  # consume the q zeros and the stop bit
+        val &= (1 << width) - 1
+        if k:
+            if width < k:
+                raise ValueError("truncated FLAC bitstream")
+            rem = val >> (width - k)
+            width -= k
+            val &= (1 << width) - 1
+            u = (q << k) | rem
+        else:
+            u = q
+        out.append((u >> 1) ^ -(u & 1))
+        consumed += q + 1 + k
+    total = start_bit + consumed
+    r.byte = start_byte + (total >> 3)
+    r.bit = total & 7
+    return out
+
+
 def _read_residuals(r: _BitReader, bs: int, order: int) -> np.ndarray:
     method = r.read(2)
     if method not in (0, 1):
@@ -295,10 +349,7 @@ def _read_residuals(r: _BitReader, bs: int, order: int) -> np.ndarray:
                     v -= 1 << raw
                 res.append(v)
         else:
-            for _ in range(cnt):
-                q = r.read_unary()
-                u = (q << k) | (r.read(k) if k else 0)
-                res.append((u >> 1) ^ -(u & 1))
+            res.extend(_read_rice_partition(r, cnt, k))
     return np.array(res, dtype=np.int64)
 
 
@@ -322,13 +373,16 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
         order = typ - 8
         warm = [signed(r.read(eff), eff) for _ in range(order)]
         res = _read_residuals(r, bs, order)
-        x = np.empty(bs, dtype=np.int64)
-        x[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, bs):
-            x[i] = res[i - order] + sum(
-                c * x[i - 1 - j] for j, c in enumerate(coefs)
-            )
+        # The IIR recurrence is inherently sequential; run it over a
+        # plain int list (no per-element numpy scalar boxing).
+        cj = list(enumerate(_FIXED_COEFS[order]))
+        xl = list(warm)
+        for v in res.tolist():
+            acc = 0
+            for j, c in cj:
+                acc += c * xl[-1 - j]
+            xl.append(v + acc)
+        x = np.array(xl, dtype=np.int64)
     elif typ >= 32:  # LPC, order 1-32
         order = (typ & 0x1F) + 1
         warm = [signed(r.read(eff), eff) for _ in range(order)]
@@ -340,13 +394,14 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
             raise ValueError("negative LPC shift is forbidden by spec")
         coefs = [signed(r.read(precision), precision) for _ in range(order)]
         res = _read_residuals(r, bs, order)
-        x = np.empty(bs, dtype=np.int64)
-        x[:order] = warm
-        for i in range(order, bs):
-            pred = (
-                sum(coefs[j] * int(x[i - 1 - j]) for j in range(order)) >> shift
-            )
-            x[i] = res[i - order] + pred
+        cj = list(enumerate(coefs))
+        xl = list(warm)
+        for v in res.tolist():
+            acc = 0
+            for j, c in cj:
+                acc += c * xl[-1 - j]
+            xl.append(v + (acc >> shift))
+        x = np.array(xl, dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {typ}")
     return x << wasted
@@ -511,10 +566,16 @@ def _write_lpc_subframe(
         _write_subframe(w, x, bps)
         return
     qcoefs, shift = _quantize_lpc(_levinson_durbin(autoc, order), precision)
-    res = np.empty(n - order, dtype=np.int64)
-    for i in range(order, n):
-        pred = sum(qcoefs[j] * int(x[i - 1 - j]) for j in range(order)) >> shift
-        res[i - order] = int(x[i]) - pred
+    # Vectorized prediction: row i of the sliding window is
+    # x[i .. i+order-1]; qcoefs[j] multiplies x[i-1-j], so the window
+    # dots against the REVERSED coefficients. int64 throughout
+    # (|sum| <= order·2^precision·2^bps << 2^63) and numpy's >> is the
+    # same arithmetic floor shift as Python's — bit-identical to the
+    # scalar loop it replaces.
+    xi = x.astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(xi, order)[: n - order]
+    pred = (win @ np.array(qcoefs[::-1], dtype=np.int64)) >> shift
+    res = xi[order:] - pred
     w.write(0, 1)
     w.write(32 | (order - 1), 6)  # LPC, order
     w.write(0, 1)  # no wasted bits
@@ -528,10 +589,7 @@ def _write_lpc_subframe(
     w.write(0, 4)  # partition order 0
     k = _rice_param(res)
     w.write(k, 4)
-    for u in _zigzag(res):
-        w.write_unary(int(u) >> k)
-        if k:
-            w.write(int(u) & ((1 << k) - 1), k)
+    _write_rice_block(w, res, k)
 
 
 def encode_flac_lpc(

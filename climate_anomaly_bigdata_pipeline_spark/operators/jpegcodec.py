@@ -27,6 +27,7 @@ pruned last (binary columns dominate scan bytes).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -156,8 +157,14 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def _build_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+@functools.lru_cache(maxsize=64)
+def _build_huffman_t(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment.
+    Cached on the (bits, vals) spec — streams overwhelmingly reuse a
+    handful of tables (often the Annex K defaults), and rebuilding the
+    canonical assignment per payload dominated small-image decode."""
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -170,11 +177,23 @@ def _build_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int
     return out
 
 
-def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    return _build_huffman_t(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decoder_t(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol."""
     return {
-        (ln, code): sym for sym, (code, ln) in _build_huffman(bits, vals).items()
+        (ln, code): sym
+        for sym, (code, ln) in _build_huffman_t(bits, vals).items()
     }
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return _build_decoder_t(tuple(bits), tuple(vals))
 
 
 class _BitWriter:
@@ -213,6 +232,35 @@ def _magnitude(v: int) -> tuple[int, int]:
 def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
     coef = _T @ (block.astype(np.float64) - 128.0) @ _T.T
     return np.round(coef / q).astype(np.int64)
+
+
+def _fdct_quant_all(plane: np.ndarray, q: np.ndarray, zz: np.ndarray) -> np.ndarray:
+    """All 8×8 blocks of a padded plane FDCT'd + quantized in ONE
+    stacked matmul pair — returns ``(n_blocks, 64)`` zigzag-order
+    int64 rows, raster block order. Same per-block pairwise products
+    as :func:`_fdct_quant` (matmul broadcasting), so bit-identical."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coef = _T @ blks @ _T.T
+    return np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, zz]
+
+
+def _idct_all(coef_zz: np.ndarray, q: np.ndarray, zz: np.ndarray,
+              bh: int, bw: int) -> np.ndarray:
+    """Inverse of :func:`_fdct_quant_all`: dequantize ``(n_blocks, 64)``
+    zigzag rows and IDCT every block in one stacked matmul pair,
+    returning the assembled ``(bh*8, bw*8)`` float plane (+128 level
+    shift applied)."""
+    raster = np.zeros((coef_zz.shape[0], 64), dtype=np.int64)
+    raster[:, zz] = coef_zz
+    blks = raster.reshape(-1, 8, 8) * q
+    pix = _T.T @ blks.astype(np.float64) @ _T + 128.0
+    return (
+        pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
 
 
 def _pad_to_blocks(c: np.ndarray, bh: int, bw: int) -> np.ndarray:
@@ -289,20 +337,24 @@ def encode_jpeg_baseline(
 
     bw_ = _BitWriter()
     pred = [0] * len(comps)
+    # All blocks of every component FDCT'd up front in stacked matmuls;
+    # the MCU walk below only entropy-codes.
+    coef_all = [
+        _fdct_quant_all(c, ql if ci == 0 else qc, zz)
+        for ci, c in enumerate(padded)
+    ]
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (c, (sh, sv)) in enumerate(zip(padded, sampling)):
-                q = ql if ci == 0 else qc
                 tdc = enc_dc[0 if ci == 0 else 1]
                 tac = enc_ac[0 if ci == 0 else 1]
+                blocks_per_row = mcux * sh
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        blk = c[y0 : y0 + 8, x0 : x0 + 8]
-                        coefs = _fdct_quant(blk, q).reshape(64)[zz]
-                        diff = int(coefs[0]) - pred[ci]
-                        pred[ci] = int(coefs[0])
+                        bidx = (my * sv + by) * blocks_per_row + (mx * sh + bx)
+                        coefs = coef_all[ci][bidx].tolist()
+                        diff = coefs[0] - pred[ci]
+                        pred[ci] = coefs[0]
                         size, amp = _magnitude(diff)
                         code, ln = tdc[size]
                         bw_.write(code, ln)
@@ -310,7 +362,7 @@ def encode_jpeg_baseline(
                             bw_.write(amp, size)
                         run = 0
                         for k in range(1, 64):
-                            v = int(coefs[k])
+                            v = coefs[k]
                             if v == 0:
                                 run += 1
                                 continue
@@ -537,8 +589,10 @@ def _decode_scan(b, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+    # Entropy-decode all coefficients first (sequential by nature),
+    # then IDCT every block of each plane in one stacked matmul.
+    coef_store = [
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64)
         for c in comps
     ]
     br = _BitReader(b[pos:])
@@ -551,10 +605,13 @@ def _decode_scan(b, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval):
                 pred = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
-                q = qt[c["tq"]]
+                blocks_per_row = mcux * c["h"]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coefs = np.zeros(64, dtype=np.int64)
+                        coefs = coef_store[ci][
+                            (my * c["v"] + by) * blocks_per_row
+                            + (mx * c["h"] + bx)
+                        ]
                         size = _decode_huff(br, huff_dc[c["td"]])
                         diff = _extend(br.read_bits(size), size)
                         pred[ci] += diff
@@ -573,13 +630,12 @@ def _decode_scan(b, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval):
                                 raise ValueError("AC index out of range")
                             coefs[k] = _extend(br.read_bits(size), size)
                             k += 1
-                        raster = np.zeros(64, dtype=np.int64)
-                        raster[ZIGZAG] = coefs
-                        blk = raster.reshape(8, 8) * q
-                        pix = _T.T @ blk.astype(np.float64) @ _T + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    planes = [
+        _idct_all(coef_store[ci], qt[c["tq"]], ZIGZAG,
+                  mcuy * c["v"], mcux * c["h"])
+        for ci, c in enumerate(comps)
+    ]
 
     if nc == 1:
         out = np.clip(np.round(planes[0][:fh, :fw]), 0, 255).astype(np.uint8)
@@ -653,17 +709,13 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 100) -> bytes:
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
     zz = ZIGZAG
-    # Quantized zigzag coefficient blocks per component, raster order.
-    blocks: list[list[np.ndarray]] = []
+    # Quantized zigzag coefficient blocks per component, raster order
+    # — all blocks of a plane in one stacked FDCT.
+    blocks: list[np.ndarray] = []
     for ci, c in enumerate(comps):
         q = ql if ci == 0 else qc
         p = _pad_to_blocks(c, bh * 8, bw * 8)
-        rows = []
-        for by in range(bh):
-            for bx in range(bw):
-                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                rows.append(_fdct_quant(blk, q).reshape(64)[zz])
-        blocks.append(rows)
+        blocks.append(_fdct_quant_all(p, q, zz))
 
     enc_dc = [_build_huffman(*HUFF_DC_LUMA), _build_huffman(*HUFF_DC_CHROMA)]
     enc_ac = [_build_huffman(*HUFF_AC_LUMA), _build_huffman(*HUFF_AC_CHROMA)]
@@ -671,10 +723,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 100) -> bytes:
     # --- DC scan (interleaved; all sampling 1x1 so MCU == block) ---
     bw_ = _BitWriter()
     pred = [0] * len(comps)
+    dc_cols = [blocks[ci][:, 0].tolist() for ci in range(len(comps))]
     for bi in range(bh * bw):
         for ci in range(len(comps)):
             t = enc_dc[0 if ci == 0 else 1]
-            dc = int(blocks[ci][bi][0])
+            dc = dc_cols[ci][bi]
             size, amp = _magnitude(dc - pred[ci])
             pred[ci] = dc
             code, ln = t[size]
@@ -701,7 +754,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 100) -> bytes:
                 eobrun -= 1
 
         for coefs in blocks[ci]:
-            band = [int(coefs[k]) for k in range(ss, se + 1)]
+            band = coefs[ss : se + 1].tolist()
             if not any(band):
                 eobrun += 1
                 if eobrun == 0x7FFF:
@@ -971,14 +1024,7 @@ def decode_jpeg_progressive(b: bytes) -> tuple[str, int, int, np.ndarray]:
     planes = []
     for idx, c in enumerate(comps):
         q = qt[c["tq"]]
-        plane = np.zeros((bh * 8, bw2 * 8), dtype=np.float64)
-        for bi in range(bh * bw2):
-            raster = np.zeros(64, dtype=np.int64)
-            raster[ZIGZAG] = coef[idx][bi]
-            blk = raster.reshape(8, 8) * q
-            pix = _T.T @ blk.astype(np.float64) @ _T + 128.0
-            by, bx = divmod(bi, bw2)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        plane = _idct_all(coef[idx], q, ZIGZAG, bh, bw2)
         planes.append(plane[:fh, :fw])
 
     if nc == 1:

@@ -15,6 +15,19 @@ from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
 from climate_anomaly_bigdata_pipeline_spark.operators import multimodal as MM
 from climate_anomaly_bigdata_pipeline_spark.queries import query
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """CPU-bound codec stages must not inherit the scan's partitioning:
+    a small corpus arrives as ONE file split, so the whole
+    encode→decode pipeline would run serially in a single Python
+    worker (measured 5× on these profiles at sf0.1). Round-robin
+    repartition to the session's core count — the shuffle moves only
+    doc_ids (payloads are rendered on the far side), and decode
+    parallelism becomes cluster cores instead of input file count,
+    which is exactly the shape a 100 TB binary corpus needs."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n)
+
+
 # DuckDB's md5 takes VARCHAR only; since the payload is exactly the
 # UTF-8 bytes of `text`, md5(text) hashes the same bytes as Spark's
 # md5(binary payload) — identical digests.
@@ -83,7 +96,7 @@ def png_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from collections.abc import Iterator
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -139,7 +152,7 @@ def jpeg_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -196,7 +209,7 @@ def wav_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from collections.abc import Iterator
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -251,7 +264,7 @@ def video_frame_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from collections.abc import Iterator
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -316,7 +329,7 @@ def flac_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import encode_flac
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -365,7 +378,7 @@ def jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from climate_anomaly_bigdata_pipeline_spark.operators import jpegcodec as J
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -413,7 +426,7 @@ def flac_lpc_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_flac_lpc,
     )
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
