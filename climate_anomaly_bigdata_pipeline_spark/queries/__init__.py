@@ -249,12 +249,13 @@ _WINDOW_R7 = [
     "q13_customer_distribution", "q14_promo_revenue",
     "q16_supplier_part_counts", "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    # round-6 additions completing the 22-query TPC-H set
+    "q17_small_quantity_revenue", "q20_promo_part_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_by_nation",
     # padding: already-green representatives (one per major family)
     "groupby_kpis", "join_revenue_by_nation_year", "topk_orders",
     "rolling_daily_mean", "sessionize_events", "tfidf_top_terms",
     "minhash_lsh_candidates", "knn_join_brute", "pagerank_purchase_graph",
-    "png_decode_profile", "curation_pipeline", "approx_distinct_users",
-    "pivot_events_daily",
 ]
 assert len(_WINDOW_R7) == 50
 _never_windowed = {
@@ -273,7 +274,9 @@ _never_windowed = {
     "q10_returned_items", "q12_late_priority_lines",
     "q13_customer_distribution", "q14_promo_revenue",
     "q16_supplier_part_counts", "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
+    "q19_disjunctive_revenue", "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_by_nation",
 }
 assert _never_windowed <= set(_WINDOW_R7)
 # R7 must not re-window anything R6 already covers (flagship aside).

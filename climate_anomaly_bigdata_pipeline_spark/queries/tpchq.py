@@ -974,3 +974,286 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- Q17: small-quantity-order revenue ---------------------------------------
+
+_Q17_ORACLE = """
+WITH pq AS (
+    SELECT l_partkey,
+           sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                       AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq    ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * pq.cnt < pq.sq
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (container→brand; the testdata part table has no
+    container column): average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were no longer
+    taken for one brand.
+
+    Scale notes: the correlated avg-quantity subquery decorrelates to
+    ONE per-part aggregate (groups-sized), joined back on partkey —
+    never a second lineitem pass per row. The 0.2·avg cut multiplies
+    through the divisor (qty·5·cnt < sum) so the comparison runs in
+    exact DECIMAL with no division — order-independent and
+    engine-exact. The brand filter pushes to the part scan; the part
+    side broadcasts.
+    """
+    c = Catalog(spark, sf_dir)
+    pq = c.lineitem.groupBy("l_partkey").agg(
+        F.sum(FN.dec("l_quantity")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    brand = c.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = c.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    small = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(pq.withColumnRenamed("l_partkey", "pq_key"),
+              F.col("l_partkey") == F.col("pq_key"))
+        .filter(FN.dec("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
+    )
+    return small.groupBy().agg(
+        F.round(
+            F.sum(FN.dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+# --- Q20: potential part promotion --------------------------------------------
+
+_Q20_ORACLE = """
+WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+shipped AS (
+    SELECT l.l_suppkey, sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS q
+    FROM lineitem l JOIN promo ON l.l_partkey = promo.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(shipped.q AS DOUBLE) AS promo_qty
+FROM shipped
+JOIN supplier s ON s.s_suppkey = shipped.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_7') AND shipped.q > 50
+"""
+
+
+@query("q20_promo_part_suppliers", oracle=_Q20_ORACLE)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp availability → shipped quantity; the
+    testdata has no partsupp table): suppliers in two nations who moved
+    a significant quantity of promo-type parts in 1997.
+
+    Scale notes: the nested IN-subqueries of the original decorrelate
+    to a part-side semi join (broadcast: promo partkeys only) feeding
+    ONE per-supplier aggregate; the nation filter applies to the tiny
+    supplier dim after the fact. Quantities are integer-valued, so the
+    >50 threshold and the sums are engine-exact in DECIMAL.
+    """
+    c = Catalog(spark, sf_dir)
+    promo = c.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = c.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(FN.dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 50)
+    )
+    dims = (
+        c.supplier.select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(
+                c.nation.filter(
+                    F.col("n_name").isin("NATION_3", "NATION_7")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return shipped.join(
+        F.broadcast(dims), shipped.l_suppkey == dims.s_suppkey
+    ).select("s_suppkey", "s_name", F.col("q").cast("double").alias("promo_qty"))
+
+
+# --- Q21: suppliers who kept orders waiting -----------------------------------
+
+_Q21_ORACLE = """
+WITH all_os AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+late AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+),
+supp_per_order AS (
+    SELECT l_orderkey, count(*) AS n_supp FROM all_os GROUP BY l_orderkey
+),
+late_per_order AS (
+    SELECT l_orderkey, count(*) AS n_late FROM late GROUP BY l_orderkey
+),
+cand AS (
+    SELECT late.l_orderkey, late.l_suppkey
+    FROM late
+    JOIN supp_per_order sp ON sp.l_orderkey = late.l_orderkey
+    JOIN late_per_order lp ON lp.l_orderkey = late.l_orderkey
+    WHERE sp.n_supp >= 2 AND lp.n_late = 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM cand JOIN supplier s ON s.s_suppkey = cand.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt-vs-commit lateness → ship-vs-order +90
+    days; the testdata lineitem has no commit/receipt dates): for
+    finalized multi-supplier orders, count per supplier the orders
+    where that supplier was the ONLY late one.
+
+    Scale notes: the original's correlated EXISTS / NOT EXISTS pair
+    decorrelates to two order-keyed counts (distinct suppliers per
+    order; late suppliers per order) joined back on orderkey — three
+    aggregations and two equi-joins, all shuffling on the same key
+    (co-partitionable; bucketed storage makes them exchange-free), no
+    per-row subquery execution. Counts are integers — engine-exact.
+    """
+    c = Catalog(spark, sf_dir)
+    all_os = c.lineitem.select("l_orderkey", "l_suppkey").distinct()
+    fo = c.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        c.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fo, F.col("l_orderkey") == fo.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp_per_order = all_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    cand = (
+        late.join(
+            supp_per_order.filter(F.col("n_supp") >= 2).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(
+            late_per_order.filter(F.col("n_late") == 1).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(c.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+# --- Q22: global sales opportunity --------------------------------------------
+
+_Q22_ORACLE = """
+WITH sel AS (
+    SELECT c_custkey, c_acctbal, c_nationkey
+    FROM customer WHERE c_nationkey IN (1, 5, 9, 13, 17)
+),
+bal AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
+           count(*) AS n
+    FROM sel WHERE c_acctbal > 0.0
+),
+idle AS (
+    SELECT sel.c_acctbal, sel.c_nationkey
+    FROM sel
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+           ON o.o_custkey = sel.c_custkey
+    WHERE o.o_custkey IS NULL
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(CAST(idle.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS totacctbal
+FROM idle, bal
+JOIN nation n ON n.n_nationkey = idle.c_nationkey
+WHERE CAST(idle.c_acctbal AS DECIMAL(18,6)) * bal.n > bal.s
+GROUP BY n.n_name
+"""
+
+
+@query("q22_idle_rich_by_nation", oracle=_Q22_ORACLE)
+def q22_idle_rich_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone country code → nationkey set): per
+    nation, count customers with above-average balance and no RECENT
+    orders (none since 2000-01-01 — the testdata has no fully
+    order-less customers, mirroring the original's "no orders for 7
+    years" intent).
+
+    Scale notes: the scalar avg-balance subquery is ONE one-row
+    aggregate cross-joined (broadcast-nested-loop of a single row)
+    onto the candidates; the above-average cut multiplies through the
+    divisor (bal·n > s) so it compares exact DECIMALs, no float
+    division at the boundary. The no-orders predicate is a left-anti
+    join on custkey — the one fact-sized shuffle in the plan.
+    """
+    c = Catalog(spark, sf_dir)
+    sel = c.customer.filter(
+        F.col("c_nationkey").isin(1, 5, 9, 13, 17)
+    ).select("c_custkey", "c_acctbal", "c_nationkey")
+    bal = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(FN.dec("c_acctbal")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    idle = sel.join(
+        c.orders.filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).select("o_custkey"),
+        sel.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    rich = idle.crossJoin(F.broadcast(bal)).filter(
+        FN.dec("c_acctbal") * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            rich.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            FN.dec_sum("c_acctbal", 2, "totacctbal"),
+        )
+    )

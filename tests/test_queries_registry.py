@@ -23,43 +23,69 @@ def test_priority_window_is_the_first_50():
 def test_priority_window_rotation():
     """The driver window ROTATES each round so every query eventually
     earns a driver-verified CORRECTNESS row (VERDICT r4 item 1). The
-    round-5 window must keep the flagship, be otherwise disjoint from
-    the round-4 window, and still touch every judge-graded family
-    (any representative qualifies — the r4 window already banked the
+    round-6 window must keep the flagship, be otherwise disjoint from
+    the r4 AND r5 windows, and still touch every judge-graded family
+    (any representative qualifies — earlier windows already banked the
     canonical ones)."""
-    from climate_anomaly_bigdata_pipeline_spark.queries import _WINDOW_R4
+    from climate_anomaly_bigdata_pipeline_spark.queries import (
+        _WINDOW_R4,
+        _WINDOW_R5,
+    )
 
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     assert "zscore_anomaly" in window
-    assert window & set(_WINDOW_R4) == {"zscore_anomaly"}
+    assert window & (set(_WINDOW_R4) | set(_WINDOW_R5)) == {"zscore_anomaly"}
     families = {
-        "anomaly": {"zscore_anomaly", "zscore_lineitem", "iqr_outliers_events"},
-        "agg_quality": {"data_quality_orders", "null_profile", "groupby_kpis"},
-        "join_merge": {"merge_upsert_users", "join_revenue_by_nation_year"},
-        "set_ops": {"except_high_balance_no_f", "intersect_customers",
-                    "union_multi_source"},
-        "window_ts": {"ntile_price_deciles", "rolling_7d_customer_revenue",
-                      "ewma_user_value", "rolling_daily_mean"},
-        "sessionization": {"session_window_stats", "sessionize_events"},
-        "parsing": {"jsonl_parse_roundtrip", "json_extract_props",
-                    "parse_delimited_roundtrip"},
-        "text_analysis": {"tfidf_top_terms", "unigram_lm_scores",
-                          "term_frequency_top50", "lang_id_heuristic"},
-        "dedup": {"winnow_fingerprints", "levenshtein_neardup",
-                  "prefix_jaccard_pairs", "minhash_lsh_candidates"},
-        "entity_resolution": {"entity_resolution_customers",
-                              "chain_components_star"},
-        "curation": {"curation_pipeline", "stratified_sample_events",
-                     "mix_rebalance_sources"},
-        "similarity": {"knn_join_brute", "knn_join_ivf", "cosine_topk"},
-        "multimodal": {"png_decode_profile", "wav_decode_profile",
-                       "multimodal_binary_profile"},
-        "graph": {"pagerank_purchase_graph", "triangle_parts_copurchase"},
-        "stats": {"welch_ttest_purchase_click", "chisq_event_type_dow",
-                  "spearman_parts_rev_vs_qty"},
+        "anomaly": {"zscore_anomaly"},
+        "sketches": {"hll_sketch_rollup", "quantile_digest_rollup",
+                     "cms_heavy_hitters"},
+        "relational_coverage": {"unpivot_lineitem_yearly",
+                                "full_outer_reconcile_customers",
+                                "pct_rank_orders"},
+        "sampling": {"weighted_sample_customers", "equidepth_hist_orders"},
+        "incremental_history": {"scd2_user_type_history",
+                                "cdc_snapshot_diff",
+                                "cohort_retention_monthly"},
+        "window_ts": {"rolling_corr_daily", "acf_daily_revenue",
+                      "stl_decompose_daily_revenue"},
+        "stats": {"linreg_price_by_qty", "mannwhitney_purchase_click",
+                  "gini_order_value_by_nation", "benford_first_digit_orders"},
+        "text_analysis": {"char_entropy_docs", "bpe_token_profile",
+                          "bpe_first_merge_pairs"},
+        "dedup": {"chunk_dedup_docs", "semdedup_prune_embeddings"},
+        "curation": {"temperature_mix_weights", "dsir_importance_weights"},
+        "retrieval": {"bm25_topk_docs", "hybrid_rrf_retrieval"},
+        "similarity": {"ivf_train_codebook", "knn_join_exact",
+                       "pq_train_codebooks", "pq_ann_topk"},
+        "multimodal": {"jpeg_decode_profile"},
+        "graph": {"bfs_copurchase_distances", "kcore_copurchase",
+                  "copurchase_degree_assortativity"},
     }
     missing = [k for k, alts in families.items() if not (alts & window)]
     assert not missing, f"families fell out of the driver window: {missing}"
+
+
+def test_window_r7_completes_full_driver_coverage():
+    """After the staged round-7 window runs, every registry entry has
+    appeared in some driver window (r1-r5 verified names come from the
+    committed CORRECTNESS artifacts)."""
+    import glob
+    import json
+    import os
+
+    from climate_anomaly_bigdata_pipeline_spark.queries import (
+        _WINDOW_R6,
+        _WINDOW_R7,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            verified |= set(json.load(f))
+    covered = verified | set(_WINDOW_R6) | set(_WINDOW_R7)
+    missing = [n for n in QUERIES if n not in covered]
+    assert not missing, f"queries no staged window will ever verify: {missing}"
 
 
 def test_every_query_has_an_oracle():
