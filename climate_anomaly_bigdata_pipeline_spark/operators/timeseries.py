@@ -568,6 +568,7 @@ def ewma_by_key(
     value_col: str,
     alpha: float = 0.3,
     scale: int = 4,
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """Final exponentially-weighted moving average per key:
     ``y_0 = x_0; y_i = (1-alpha)*y_{i-1} + alpha*x_i`` (pandas
@@ -575,27 +576,58 @@ def ewma_by_key(
     last smoothed value and the observation count.
 
     EWMA is inherently recursive — no ANSI window frame expresses it —
-    so this is the engine's canonical ``applyInPandas`` shape: one
-    shuffle by key, Arrow-batched per-group pandas, a vectorized C loop
-    inside each group. Per-key sequences are the unit of memory, so at
-    100 TB the bound is the hottest key's row count, not table size
-    (same bound as any per-key sort); the output is one row per key.
+    so this is the engine's canonical ``applyInPandas`` shape. Grouping
+    Arrow batches per KEY would pay pandas fixed costs once per key
+    (tens of thousands of tiny frames); instead keys are hashed into
+    ``num_buckets`` coarse groups and each bucket runs pandas'
+    C-kernel ``groupby().ewm()`` across all its keys in one call —
+    bit-identical per-key results (same cython kernel per group),
+    ~``num_buckets``/|keys| of the per-group overhead. One shuffle
+    (by bucket), memory bounded by the bucket — size ``num_buckets``
+    to the cluster (buckets ≫ cores); the output is one row per key.
     """
     import pandas as pd  # local import: executor-side dependency
 
     keys = list(key_cols)
     out_fields = ", ".join(f"{k} long" for k in keys)
     schema = f"{out_fields}, ewma double, n_obs long"
+    order = list(order_cols)
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
-        y = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
-        row = {k: pdf[k].iloc[0] for k in keys}
-        row["ewma"] = round(float(y), scale)
-        row["n_obs"] = len(pdf)
-        return pd.DataFrame([row])
+    def smooth_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + order, kind="mergesort")
+        g = pdf.groupby(keys, sort=False)
+        # MultiIndex result follows (group-appearance, in-group row)
+        # order == the sorted frame's row order, so .values aligns.
+        pdf = pdf.assign(
+            _ewma=g[value_col].ewm(alpha=alpha, adjust=False).mean().values
+        )
+        out = (
+            pdf.groupby(keys, sort=False)
+            .agg(ewma=("_ewma", "last"), n_obs=("_ewma", "size"))
+            .reset_index()
+        )
+        out["ewma"] = out["ewma"].astype(float).round(scale)
+        return out[keys + ["ewma", "n_obs"]]
 
-    return df.groupBy(*keys).applyInPandas(smooth, schema=schema)
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+    ).alias("_bucket")
+    # Explicit-count repartition by the bucket: AQE's byte-based
+    # partition coalescing would fold this small-bytes/large-CPU
+    # exchange onto one or two cores (pandas time is invisible to the
+    # size estimator); a fixed-count hash repartition on the grouping
+    # key both keeps the stage wide and already satisfies
+    # applyInPandas' clustering requirement, so no second exchange.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("*", bucket)
+        .repartition(n_parts, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(
+            lambda pdf: smooth_bucket(pdf.drop(columns=["_bucket"])),
+            schema=schema,
+        )
+    )
 
 
 def interval_overlap_join(
