@@ -91,3 +91,72 @@ def test_kcore_fixpoint_margin_vs_unrolled_oracle(spark):
         f"engine peeled {core.kcore_rounds} rounds; oracle unrolls "
         f"{_KCORE_ROUNDS} — margin too thin"
     )
+
+
+# ---- EWMA bucketed-pandas parity + wide-stage guard -------------------------
+
+
+def test_ewma_bucketed_matches_per_key_reference(spark):
+    """ewma_by_key groups Arrow batches by coarse hash bucket and runs
+    pandas' grouped ewm across all keys of a bucket in one C call.
+    Parity gate: identical (key, ewma, n_obs) to the straightforward
+    per-key pandas fold, over many keys with out-of-order rows, ties
+    broken by the secondary order column, and a null value in the mix."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(606)
+    rows = []
+    for k in range(97):  # enough keys to spread across buckets
+        n = rng.randint(1, 12)
+        ts = list(range(n))
+        rng.shuffle(ts)
+        for t in ts:
+            v = None if (k == 13 and t == 0) else round(rng.uniform(-50, 50), 3)
+            rows.append((k, t, t, v))
+    df = spark.createDataFrame(rows, "k long, t long, tie long, v double")
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+
+    got = {
+        r.k: (r.ewma, r.n_obs)
+        for r in TS.ewma_by_key(
+            df, ["k"], ["t", "tie"], "v", alpha=0.3, num_buckets=16
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["k", "t", "tie", "v"])
+    pdf = pdf.sort_values(["k", "t", "tie"], kind="mergesort")
+    want = {}
+    for k, g in pdf.groupby("k"):
+        y = g["v"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        want[k] = (round(float(y), 4), len(g))
+    assert got == want
+
+
+def test_ewma_pandas_stage_stays_wide_under_aqe(spark):
+    """Regression gate for the AQE starvation bug: byte-based partition
+    coalescing folded the small-bytes exchange before the CPU-bound
+    applyInPandas down to 1-2 partitions. The explicit-count hash
+    repartition must keep the pandas stage at the session's default
+    parallelism regardless of input size."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [(i % 50, i, float(i)) for i in range(2000)], "k long, t long, v double"
+    )
+    out = TS.ewma_by_key(df, ["k"], ["t"], "v")
+    # mapInPandas/applyInPandas is narrow: the result's partitioning IS
+    # the pandas stage's partitioning.
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # exactly one exchange (in the FINAL adaptive plan — the dump
+    # repeats the initial plan below it): the explicit repartition
+    # doubles as the clustering applyInPandas needs.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0].lower()
+    assert final.count("exchange hashpartitioning") == 1, plan
+    assert "repartition_by_num" in final, plan
