@@ -252,8 +252,10 @@ _WINDOW_R7 = [
     # round-6 additions completing the 22-query TPC-H set
     "q17_small_quantity_revenue", "q20_promo_part_suppliers",
     "q21_waiting_suppliers", "q22_idle_rich_by_nation",
+    # round-6 external-query ANN serving (streaming server's batch form)
+    "ann_serve_external",
     # padding: already-green representatives (one per major family)
-    "groupby_kpis", "join_revenue_by_nation_year", "topk_orders",
+    "join_revenue_by_nation_year", "topk_orders",
     "rolling_daily_mean", "sessionize_events", "tfidf_top_terms",
     "minhash_lsh_candidates", "knn_join_brute", "pagerank_purchase_graph",
 ]

@@ -970,3 +970,83 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_codebook=_ivf_codebook(spark, sf_dir),
         pq_books=_pq_books(spark, sf_dir), dim=_DIM,
     )
+
+
+# ---- external-query ANN serving (the streaming micro-batch server) ----------
+#
+# queries/streaming composition: the SAME ann_serve_batch that
+# streaming/vector_serve.py runs under foreachBatch, exercised as a
+# batch registry query so the serving math earns a DuckDB oracle row.
+# External semantics: the query batch is an arbitrary (id, vector) set
+# — no self-exclusion (a query that happens to be a corpus member
+# finds itself at rank 1, cosine 1), unlike the self-join knn queries.
+
+_SERVE_QUERY_MOD = 97
+
+_ANN_SERVE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_lloyd_ctes(_TRAIN_ITERS)},
+pairs AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, v, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+probe AS (
+    SELECT vec_id, cid
+    FROM pairs
+    WHERE vec_id % {_SERVE_QUERY_MOD} = 0
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC)
+            <= {_NPROBE}
+),
+cand AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="a.v", b="q.v")} AS cosine
+    FROM probe p
+    JOIN e q ON q.vec_id = p.vec_id
+    JOIN assign a ON a.cell = p.cid
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS INTEGER) AS rank,
+       cosine
+FROM cand
+QUALIFY rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_serve_external", oracle=_ANN_SERVE_ORACLE)
+def ann_serve_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-query ANN serving — the batch form of the streaming
+    vector-search server (`streaming/vector_serve.py`, whose
+    foreachBatch wrapper runs THIS plan per micro-batch): every 97th
+    vector acts as an arriving query batch, probe cells come row-local
+    from the offline codebook artifact, candidates from the cell
+    equi-join against the once-assigned corpus, top-5 per query. The
+    oracle retrains the quantizer in CTEs and must match bit-exactly —
+    same determinism contract as `knn_join_ivf`."""
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.streaming import (
+        vector_serve as VS,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = _ivf_codebook(spark, sf_dir)
+    assigned = VS.assign_corpus_cells(emb, cents)
+    queries = emb.filter(F.col("vec_id") % _SERVE_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return VS.ann_serve_batch(
+        queries, assigned, cents, k=_KNN_K, nprobe=_NPROBE
+    )

@@ -118,7 +118,7 @@ def ann_serve_batch(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 
