@@ -310,3 +310,16 @@ def test_ntile_deciles_no_single_partition_sort(spark, sf_dir):
     exchange), so no Window over SinglePartition may appear."""
     plan = plan_of(QUERIES["ntile_deciles_orders"](spark, sf_dir))
     assert "SinglePartition" not in plan, plan
+
+
+def test_ann_serve_external_broadcasts_queries_on_cell_join(spark, sf_dir):
+    """The serving plan (streaming server's per-micro-batch shape) must
+    broadcast the probe/query side into a cell EQUI-join — the corpus
+    never shuffles for candidate generation; the only hash exchange is
+    the per-query ranking window over (id, id, score) triples."""
+    import re
+
+    plan = plan_of(QUERIES["ann_serve_external"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
