@@ -183,9 +183,12 @@ _WINDOW_R5 = [
 assert len(_WINDOW_R5) == 50
 assert set(_WINDOW_R5) & set(_WINDOW_R4) == {"zscore_anomaly"}
 
-# Round-6 ACTIVE window: 49 queries never yet driver-verified + the
-# flagship. The 36 left over (TPC-H fill-ins, round-5 stats/codec
-# additions) rotate in _WINDOW_R7 below.
+# Round-6 window, STILL ACTIVE in round 7: 49 queries never yet
+# driver-verified + the flagship. Round 6 ended without the driver's
+# end-of-round verification (no CORRECTNESS_r06.json was ever written),
+# so this window has no driver-green rows yet; keeping it active lets
+# round 7's check (CORRECTNESS_r07.json) cover it. _WINDOW_R7 below
+# (the remaining never-windowed names) rotates in next round.
 _WINDOW_R6 = [
     "zscore_anomaly",
     # sketches / sampling / relational coverage
@@ -221,12 +224,13 @@ assert set(_WINDOW_R6) & (set(_WINDOW_R4) | set(_WINDOW_R5)) == {"zscore_anomaly
 
 _PRIORITY = _WINDOW_R6
 
-# Round-7 window, PREPARED but NOT active (round 6's driver check must
-# run against _WINDOW_R6). To activate next round: set
-# _PRIORITY = _WINDOW_R7 (one line). After rounds 1-6 every registry
-# name except these 36 has a driver-verified CORRECTNESS row; R7
-# completes full coverage. The window is padded to 50 with 13
-# already-green representatives (driver re-verification is harmless).
+# Round-8 window (authored in round 6 as "R7", held back one round
+# because round 6's driver check never ran): PREPARED but NOT active.
+# To activate next round: set _PRIORITY = _WINDOW_R7 (one line). Once
+# _WINDOW_R6 earns its CORRECTNESS_r07.json rows, every registry name
+# except these has a driver-verified row; this window completes full
+# coverage. Padding slots (already-green representatives at the tail)
+# are replaced by round-7 additions as they land.
 _WINDOW_R7 = [
     "zscore_anomaly",
     # never-windowed round-5 additions: retrieval / ANN / codecs
