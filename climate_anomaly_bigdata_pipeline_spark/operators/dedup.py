@@ -1193,3 +1193,120 @@ def embedding_neardup_pairs_gemm(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+# ---- exact substring (k-char window) duplication ----------------------------
+
+
+def substring_windows(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per strided character window of each document:
+    ``(id_col, pos, win)`` where ``win = substring(text, pos+1, window)``
+    for ``pos ∈ {0, stride, 2·stride, …, ≤ length-window}``. Documents
+    shorter than ``window`` produce no rows.
+
+    This is the candidate-generation step of exact-substring
+    deduplication (the suffix-array recipe of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", re-expressed for a
+    distributed engine): instead of one global suffix array, emit
+    strided fixed-width windows and find repeats by hash equality — a
+    linear explode (``length/stride`` rows per document) followed by
+    one equi-shuffle, with no quadratic candidate join anywhere.
+
+    Built-ins only (``sequence`` + ``explode`` + ``substring``), so the
+    whole expansion stays inside whole-stage codegen."""
+    return (
+        docs.filter(F.length(text_col) >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.length(text_col) - window,
+                    F.lit(stride),
+                )
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(f"substring({text_col}, pos + 1, {window})").alias("win"),
+        )
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document exact-substring duplication profile:
+    ``(id_col, n_windows, n_dup_windows, dup_frac)`` where a window is
+    "duplicated" if its exact ``window``-char text occurs ≥2 times
+    anywhere in the corpus (within- or cross-document).
+
+    Shape: the strided window explode (linear), an md5-keyed count per
+    window (one shuffle with map-side combine), a join of windows onto
+    their corpus counts (same key — AQE co-partitions it with the agg),
+    then one shuffle back to the document. Windows shuffle as 32-byte
+    digests, not 40-char texts; at 100 TB both exchanges stay linear in
+    corpus size / stride, which is the whole point vs. a suffix array
+    (global sort) or pairwise comparison (quadratic)."""
+    wins = substring_windows(docs, window, stride, id_col, text_col).select(
+        id_col, F.md5("win").alias("h")
+    )
+    occ = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        wins.join(occ, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_windows",
+        "n_dup_windows",
+        (
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def top_duplicated_windows(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ``top_k`` most-repeated exact ``window``-char substrings in
+    the corpus: ``(win, n_occ, n_docs)`` ordered by ``n_occ`` desc with
+    the window text as the deterministic tiebreak. One grouped
+    aggregation (count + distinct-doc count share the shuffle) and a
+    top-k — the "what IS the boilerplate" companion to
+    :func:`substring_dup_stats`'s per-document fractions."""
+    wins = substring_windows(docs, window, stride, id_col, text_col)
+    return (
+        wins.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.col("n_occ").desc(), F.col("win"))
+        .limit(top_k)
+    )

@@ -746,14 +746,31 @@ def running_total(
     n_parts: int | None = None,
 ) -> DataFrame:
     """Global cumulative sum (inclusive prefix sum) in ``order_cols``
-    order WITHOUT the single-partition window: the
-    :func:`stable_global_index` recipe generalized from counting rows
-    to summing a value — range-partition on the order key, SUM each
-    partition (bounded collect, one row per partition), prefix-sum the
-    partition totals driver-side into offsets, then add a
-    partition-LOCAL window sum to the broadcast offset.
+    order WITHOUT the single-partition window — single-column wrapper
+    over :func:`running_totals` (see there for the recipe)."""
+    return running_totals(df, order_cols, [(value_col, out_col)], n_parts)
 
-    ``value_col`` should be integral (long) or DECIMAL so partial sums
+
+def running_totals(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_out: Sequence[tuple[str, str]],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global cumulative sums (inclusive prefix sums) of SEVERAL value
+    columns in one pass, in ``order_cols`` order, WITHOUT the
+    single-partition window: the :func:`stable_global_index` recipe
+    generalized from counting rows to summing values — range-partition
+    on the order key, SUM each partition per value column (bounded
+    collect, one row per partition), prefix-sum the partition totals
+    driver-side into per-column offsets, then add a partition-LOCAL
+    window sum to the broadcast offset. Sharing the one range
+    partitioning across columns is what makes multi-ECDF statistics
+    (KS, Cramér-von Mises) a single extra exchange instead of one per
+    distribution.
+
+    ``value_out`` is a sequence of ``(value_col, out_col)`` pairs; each
+    value column should be integral (long) or DECIMAL so partial sums
     are exact and the result is independent of partitioning; the same
     ``localCheckpoint`` pin as stable_global_index keeps the count and
     sum passes on one sampled range partitioning. ``order_cols`` must
@@ -764,20 +781,23 @@ def running_total(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
+    totals = part.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__t_{i}") for i, (v, _) in enumerate(value_out)]
+    ).collect()
+    offsets: list[dict[int, int]] = [{} for _ in value_out]
+    accs = [0] * len(value_out)
     for r in sorted(totals, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["t"] or 0
-    off_expr = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )[F.col("__pid")]
+        for i in range(len(value_out)):
+            offsets[i][r["__pid"]] = accs[i]
+            accs[i] += r[f"__t_{i}"] or 0
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return part.withColumn(
-        out_col, off_expr + F.sum(value_col).over(w)
-    ).drop("__pid")
+    for i, (value_col, out_col) in enumerate(value_out):
+        off_expr = F.create_map(
+            *[F.lit(v) for kv in offsets[i].items() for v in kv]
+        )[F.col("__pid")]
+        part = part.withColumn(out_col, off_expr + F.sum(value_col).over(w))
+    return part.drop("__pid")

@@ -258,10 +258,12 @@ _WINDOW_R7 = [
     "q21_waiting_suppliers", "q22_idle_rich_by_nation",
     # round-6 external-query ANN serving (streaming server's batch form)
     "ann_serve_external",
+    # round-7 additions (never windowed)
+    "exact_substring_dup_stats", "top_duplicated_substrings",
+    "ks_test_purchase_click", "zipf_fit_terms",
     # padding: already-green representatives (one per major family)
     "join_revenue_by_nation_year", "topk_orders",
-    "rolling_daily_mean", "sessionize_events", "tfidf_top_terms",
-    "minhash_lsh_candidates", "knn_join_brute", "pagerank_purchase_graph",
+    "rolling_daily_mean", "sessionize_events",
 ]
 assert len(_WINDOW_R7) == 50
 _never_windowed = {
@@ -283,6 +285,8 @@ _never_windowed = {
     "q19_disjunctive_revenue", "q17_small_quantity_revenue",
     "q20_promo_part_suppliers", "q21_waiting_suppliers",
     "q22_idle_rich_by_nation",
+    "exact_substring_dup_stats", "top_duplicated_substrings",
+    "ks_test_purchase_click", "zipf_fit_terms",
 }
 assert _never_windowed <= set(_WINDOW_R7)
 # R7 must not re-window anything R6 already covers (flagship aside).

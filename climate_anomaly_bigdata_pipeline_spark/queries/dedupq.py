@@ -743,3 +743,73 @@ def chain_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_label"
         ),
     )
+
+
+# ---- exact substring duplication (Lee et al. style) --------------------------
+
+# 40-char windows on a 10-char stride: long enough that the word-soup
+# corpus makes cross-document repeats rare (so duplicated windows are
+# signal, not noise), short enough that every injected mutant shares
+# nearly all of its source's windows. Strides bound the explode at
+# length/10 rows per document.
+_SSW, _SSS = 40, 10
+
+_SUBSTR_WINS_CTE = f"""
+wins AS (
+    SELECT doc_id, substr(text, CAST(i AS INT) + 1, {_SSW}) AS win
+    FROM corpus, UNNEST(range(0, len(text) - {_SSW} + 1, {_SSS})) AS t(i)
+    WHERE len(text) >= {_SSW}
+)
+"""
+
+_SUBSTR_STATS_ORACLE = f"""
+WITH {_CORPUS_CTE},
+{_SUBSTR_WINS_CTE},
+occ AS (SELECT win, count(*) AS n_occ FROM wins GROUP BY win)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows,
+       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM wins JOIN occ USING (win)
+GROUP BY doc_id
+"""
+
+
+@query("exact_substring_dup_stats", oracle=_SUBSTR_STATS_ORACLE)
+def exact_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication profile over strided
+    40-char windows (the distributed re-expression of Lee et al.'s
+    suffix-array dedup — see operators/dedup.py:substring_dup_stats for
+    the shape). Every injected mutant and its source score dup_frac
+    near 1; organic cross-document phrase reuse surfaces as partial
+    fractions. Linear explode + two hash-keyed exchanges — no suffix
+    sort, no pair join."""
+    return DD.substring_dup_stats(
+        _doc_corpus(spark, sf_dir), window=_SSW, stride=_SSS
+    )
+
+
+_TOP_SUBSTR_ORACLE = f"""
+WITH {_CORPUS_CTE},
+{_SUBSTR_WINS_CTE}
+SELECT win, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM wins
+GROUP BY win
+HAVING count(*) >= 2
+ORDER BY n_occ DESC, win
+LIMIT 20
+"""
+
+
+@query("top_duplicated_substrings", oracle=_TOP_SUBSTR_ORACLE)
+def top_duplicated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-repeated exact 40-char substrings in the corpus
+    (count + distinct-doc count in one grouped aggregation, then a
+    deterministic top-k): the "what IS the boilerplate" report that
+    drives removal rules in a curation pipeline."""
+    return DD.top_duplicated_windows(
+        _doc_corpus(spark, sf_dir), window=_SSW, stride=_SSS, top_k=20
+    )

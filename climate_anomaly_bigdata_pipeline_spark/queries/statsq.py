@@ -1023,3 +1023,114 @@ def ols2_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d1 / det).alias("beta_quantity"),
         (d2 / det).alias("beta_discount"),
     )
+
+
+# ---- two-sample Kolmogorov-Smirnov test --------------------------------------
+
+# Same tie-safe shape as the Mann-Whitney query: group to per-distinct-
+# value arm counts first (one shuffle), cumulative counts via the
+# distributed prefix sum (never a single-partition window), then
+# D = max |F_a - F_b| over the distinct values. Every ECDF step is an
+# exact integer ratio, so D and the one-term asymptotic p-value are
+# bit-deterministic in any engine.
+_KS_ORACLE = """
+WITH f AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+    SELECT value,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_cnt,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_cnt
+    FROM f GROUP BY value
+),
+c AS (
+    SELECT value, a_cnt, b_cnt,
+           sum(a_cnt) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS a_cum,
+           sum(b_cnt) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS b_cum
+    FROM g
+),
+tot AS (
+    SELECT CAST(sum(a_cnt) AS DOUBLE) AS na,
+           CAST(sum(b_cnt) AS DOUBLE) AS nb
+    FROM g
+),
+s AS (
+    SELECT na, nb,
+           max(abs(CAST(a_cum AS DOUBLE) / na
+                   - CAST(b_cum AS DOUBLE) / nb)) AS d
+    FROM c, tot
+    GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_purchase,
+       CAST(nb AS BIGINT) AS n_click,
+       d AS ks_stat,
+       2.0 * exp(-2.0 * (na * nb / (na + nb)) * d * d) AS p_one_term
+FROM s
+WHERE na > 0 AND nb > 0
+"""
+
+
+@query("ks_test_purchase_click", oracle=_KS_ORACLE)
+def ks_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between purchase and click
+    event values: D = sup |ECDF_a - ECDF_b| plus the one-term
+    asymptotic p-value 2·exp(-2·m·D²), m = n_a·n_b/(n_a+n_b).
+
+    Shape: per-distinct-value arm counts (one shuffle with map-side
+    combine), BOTH cumulative counts from ONE distributed prefix-sum
+    pass (:func:`running_totals` — range partition + bounded
+    per-partition totals collect + local window; no single-partition
+    ORDER BY window anywhere), then a global max of exact integer
+    ratios. The per-value ECDF differences are pure integer algebra, so
+    the statistic is bit-identical in any engine."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_totals,
+    )
+
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+    )
+    c = running_totals(g, ["value"], [("a_cnt", "a_cum"), ("b_cnt", "b_cum")])
+    tot = g.agg(
+        F.sum("a_cnt").cast("double").alias("na"),
+        F.sum("b_cnt").cast("double").alias("nb"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("a_cum").cast("double") / F.col("na")
+                    - F.col("b_cum").cast("double") / F.col("nb")
+                )
+            ).alias("d")
+        )
+    )
+    na, nb, d = F.col("na"), F.col("nb"), F.col("d")
+    return s.select(
+        na.cast("long").alias("n_purchase"),
+        nb.cast("long").alias("n_click"),
+        d.alias("ks_stat"),
+        (
+            F.lit(2.0)
+            * F.exp(F.lit(-2.0) * (na * nb / (na + nb)) * d * d)
+        ).alias("p_one_term"),
+    ).filter((na > 0) & (nb > 0))

@@ -882,3 +882,53 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", (F.col("dcg") / F.col("idcg")).alias("ndcg10"), "mrr", "p_at_10")
         .orderBy("tok")
     )
+
+
+# ---- Zipf's-law fit over the term-frequency distribution ---------------------
+
+# ln(freq) ~ ln(rank) OLS over the full vocabulary: the standard
+# corpus-health check (natural text fits slope ≈ -1; template/spam
+# corpora flatten or step). Rank comes from the distributed global
+# index, never a single-partition row_number; the fit is one regr_*
+# aggregate. round(·, 6) is the cross-engine float-parity recipe used
+# by every regression query in this repo.
+_ZIPF_ORACLE = r"""
+WITH toks AS (
+    SELECT unnest(str_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk
+    FROM counts
+)
+SELECT round(regr_slope(ln(n), ln(rnk)), 6) AS slope,
+       round(regr_intercept(ln(n), ln(rnk)), 6) AS intercept,
+       round(regr_r2(ln(n), ln(rnk)), 6) AS r2,
+       CAST(regr_count(ln(n), ln(rnk)) AS BIGINT) AS n_terms
+FROM ranked
+"""
+
+
+@query("zipf_fit_terms", oracle=_ZIPF_ORACLE)
+def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(term frequency) against ln(frequency rank) over
+    the whole vocabulary — the Zipf's-law slope/R² corpus fingerprint.
+
+    Shape: term counts (one shuffle), frequency ranks via
+    :func:`stable_global_index` (range partition + bounded offsets
+    collect — a vocabulary-sized global row_number would otherwise plan
+    a single-partition sort), then one single-pass regr_* aggregate.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    tf = TX.term_frequency(docs)
+    ranked = R.stable_global_index(
+        tf.withColumn("neg_n", -F.col("n")), ["neg_n", "term"], out_col="rnk0"
+    ).select(
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.log((F.col("rnk0") + 1).cast("double")).alias("x"),
+    )
+    fit = R.grouped_linreg(ranked, [], "x", "y", scale=6)
+    return fit.select(
+        "slope", "intercept", "r2", F.col("n_pairs").cast("long").alias("n_terms")
+    )

@@ -1,0 +1,230 @@
+"""Round-7 additions: exact-substring duplication profiling (the
+distributed Lee-et-al. dedup mode), the multi-column distributed prefix
+sum, the two-sample Kolmogorov-Smirnov test, and the Zipf's-law fit.
+
+Each operator is checked against a closed-form plain-Python reference
+on data small enough to enumerate — the oracle sweep covers the
+DuckDB-parity side at sf0.01."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+from pyspark.sql import functions as F
+
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---- substring windows / duplication stats -----------------------------------
+
+
+def _brute_windows(text: str, window: int, stride: int) -> list[str]:
+    if len(text) < window:
+        return []
+    return [text[p : p + window] for p in range(0, len(text) - window + 1, stride)]
+
+
+CORPUS = {
+    # "x" * 60: every window within the doc is identical -> all dup.
+    1: "x" * 60,
+    # two docs sharing an exact 45-char run at aligned positions
+    2: "the quick brown fox jumps over the lazy dog padding tail",
+    3: "the quick brown fox jumps over the lazy dog ENTIRELY other end",
+    # unique content, long enough for windows
+    4: "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOP",
+    # too short for any window
+    5: "tiny",
+}
+
+
+def test_substring_windows_match_brute(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["win"])
+        for r in DD.substring_windows(docs, window=40, stride=10).collect()
+    }
+    want = {
+        (i, p * 10, w)
+        for i, t in CORPUS.items()
+        for p, w in enumerate(_brute_windows(t, 40, 10))
+    }
+    assert got == want
+    assert not any(i == 5 for i, _, _ in got)  # short doc excluded
+
+
+def test_substring_dup_stats_match_brute(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in DD.substring_dup_stats(docs, window=40, stride=10).collect()
+    }
+    # brute force: global window occurrence counts, then per-doc stats
+    from collections import Counter
+
+    occ: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for i, t in CORPUS.items():
+        ws = _brute_windows(t, 40, 10)
+        if ws:
+            per_doc[i] = ws
+            occ.update(ws)
+    want = {
+        i: (
+            len(ws),
+            sum(1 for w in ws if occ[w] >= 2),
+            sum(1 for w in ws if occ[w] >= 2) / len(ws),
+        )
+        for i, ws in per_doc.items()
+    }
+    assert got == want
+    # doc 1's repeated-character windows are all duplicated WITHIN the doc
+    assert got[1][2] == 1.0
+    # docs 2/3 share their aligned 40-char prefix window, nothing else is
+    assert got[4][1] == 0
+
+
+def test_top_duplicated_windows(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], "doc_id long, text string"
+    )
+    rows = DD.top_duplicated_windows(docs, window=40, stride=10, top_k=5).collect()
+    assert rows, "the repeated-character doc guarantees duplicated windows"
+    # ordered by n_occ desc then window text
+    occs = [r["n_occ"] for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    assert rows[0]["win"] == "x" * 40 and rows[0]["n_docs"] == 1
+    assert all(r["n_occ"] >= 2 for r in rows)
+
+
+def test_substring_query_plan_is_linear(spark):
+    """The registered query must not plan a cartesian/nested-loop join:
+    window counting is hash-keyed end to end."""
+    plan = plan_of(QUERIES["exact_substring_dup_stats"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- multi-column distributed prefix sum --------------------------------------
+
+
+def test_running_totals_multi_column(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10**6), rng.randrange(100), rng.randrange(100))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(13)
+    got = (
+        R.running_totals(df, ["k", "a", "b"], [("a", "a_cum"), ("b", "b_cum")])
+        .orderBy("k", "a", "b")
+        .collect()
+    )
+    want_a = want_b = 0
+    for r, (k, a, b) in zip(got, sorted(rows)):
+        assert (r["k"], r["a"], r["b"]) == (k, a, b)
+        want_a += a
+        want_b += b
+        assert r["a_cum"] == want_a and r["b_cum"] == want_b
+
+
+def test_running_totals_no_single_partition_sort(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    plan = plan_of(R.running_totals(df, ["k"], [("v", "v_cum")]))
+    # the local window runs per range-partition, never over SinglePartition
+    assert "SinglePartition" not in plan
+
+
+# ---- Kolmogorov-Smirnov --------------------------------------------------------
+
+
+def test_ks_statistic_matches_brute(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    vals = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type", "value"
+    ).collect()
+    a = sorted(r["value"] for r in vals if r["event_type"] == "purchase")
+    b = sorted(r["value"] for r in vals if r["event_type"] == "click")
+    import bisect
+
+    points = sorted(set(a) | set(b))
+    d_want = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in points
+    )
+    row = QUERIES["ks_test_purchase_click"](spark, sf_dir).collect()[0]
+    assert row["n_purchase"] == len(a) and row["n_click"] == len(b)
+    assert math.isclose(row["ks_stat"], d_want, rel_tol=1e-12)
+    m = len(a) * len(b) / (len(a) + len(b))
+    assert math.isclose(
+        row["p_one_term"], 2.0 * math.exp(-2.0 * m * d_want * d_want), rel_tol=1e-12
+    )
+    assert 0.0 <= row["ks_stat"] <= 1.0 and 0.0 < row["p_one_term"] <= 2.0
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [("purchase", float(i % 13)) for i in range(200)] + [
+        ("click", float(i % 13)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_totals,
+    )
+
+    g = df.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+    )
+    c = running_totals(g, ["value"], [("a_cnt", "a_cum"), ("b_cnt", "b_cum")])
+    d = c.agg(
+        F.max(
+            F.abs(F.col("a_cum") / F.lit(200.0) - F.col("b_cum") / F.lit(200.0))
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert d == 0.0
+
+
+# ---- Zipf fit ------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    docs = Catalog(spark, sf_dir).documents.select("text").collect()
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for r in docs:
+        cnt.update(r["text"].strip().lower().split())
+    freqs = sorted(cnt.values(), reverse=True)
+    y = np.log(np.array(freqs, dtype=float))
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    row = QUERIES["zipf_fit_terms"](spark, sf_dir).collect()[0]
+    assert row["n_terms"] == len(freqs)
+    assert math.isclose(row["slope"], slope, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(row["intercept"], intercept, rel_tol=0, abs_tol=5e-6)
