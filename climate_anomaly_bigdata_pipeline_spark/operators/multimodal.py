@@ -572,3 +572,54 @@ def extract_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInArrow(batches, schema=FEATURE_SCHEMA)
+
+
+# ---- perceptual image hashing -------------------------------------------------
+
+
+def perceptual_hash_images(
+    df: DataFrame, id_col: str = "doc_id", kind: str = "ahash"
+) -> DataFrame:
+    """Perceptual hash per image payload → ``(id_col, phash)`` with the
+    hash as a 16-hex-char string (64 bits for aHash, 56 for dHash,
+    zero-padded).
+
+    * ``ahash``: decode → exact 8×8 block-mean pool (dims must be
+      multiples of 8) → bit per cell, 1 iff cell > global mean. By
+      construction invariant to uniform brightness shifts (every cell
+      AND the mean shift together), which is what makes it a
+      *perceptual* dedup key: byte-distinct payloads hash equal.
+    * ``dhash``: same pooling, bit per horizontal neighbor pair,
+      1 iff right cell > left cell — invariant to brightness AND
+      contrast scaling.
+
+    Arrow-batched ``mapInPandas``; the downstream dedup is a plain
+    groupBy on the hash — near-dup image clustering with one linear
+    decode pass and one hash-keyed exchange, no pairwise image
+    comparison anywhere (the 100 TB shape)."""
+    if kind not in ("ahash", "dhash"):
+        raise ValueError(f"unknown perceptual hash kind: {kind}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                mode, w, h, arr = _decode_any_image(bytes(payload))
+                luma = (arr @ _LUMA) if mode == "RGB" else arr.astype(np.float64)
+                if h % 8 or w % 8:
+                    raise ValueError(
+                        f"perceptual hash needs dims divisible by 8, got {w}x{h}"
+                    )
+                cells = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                if kind == "ahash":
+                    bits = (cells > cells.mean()).ravel()
+                else:
+                    bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                ids.append(doc_id)
+                hashes.append(format(v, "016x"))
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, phash string")

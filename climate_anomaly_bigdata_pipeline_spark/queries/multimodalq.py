@@ -443,3 +443,71 @@ def flac_lpc_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return MM.decode_audio(clips)
+
+
+# ---- perceptual-hash image dedup ----------------------------------------------
+
+# Deterministic near-duplicate image corpus: pattern group g = doc_id %
+# 16 fixes an 8×8 binary cell grid (cell k of the row-major grid is 100
+# iff bit k of g is set), upsampled to 32×24 by 4×3 cell replication;
+# a per-doc brightness offset c = doc_id % 64 is added on top. Payload
+# bytes therefore differ within a group (different c → different PNG),
+# but aHash is brightness-invariant, so the engine's hash clusters must
+# be EXACTLY the doc_id % 16 groups — which is what the SQL oracle
+# predicts. Every quantity in the hash is exactly representable
+# (integer pixels, block means over equal values, a /64 global mean),
+# so no bit ever sits on a float boundary.
+_PHASH_DEDUP_ORACLE = """
+SELECT CAST(doc_id % 16 AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT doc_id % 64) AS BIGINT) AS n_payload_variants
+FROM documents
+GROUP BY doc_id % 16
+"""
+
+
+@query("phash_image_dedup", oracle=_PHASH_DEDUP_ORACLE)
+def phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image clustering by perceptual hash: render →
+    decode → aHash (operators/multimodal.py:perceptual_hash_images) →
+    groupBy hash. Outputs per-cluster (representative doc_id, image
+    count, DISTINCT payload count) — the payload-variant count proves
+    the members are byte-distinct files that only the perceptual key
+    unifies. One linear decode pass + one hash-keyed exchange; no
+    pairwise image comparison (the shape that survives a 100 TB image
+    corpus, unlike embedding-cosine all-pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                g, c = int(doc_id) % 16, int(doc_id) % 64
+                bits = (g >> np.arange(64)) & 1
+                grid = (100 * bits).reshape(8, 8)
+                img = (np.kron(grid, np.ones((3, 4), dtype=np.int64)) + c).astype(
+                    np.uint8
+                )
+                payloads.append(MM.encode_png(img, filters="cycle"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    # localCheckpoint: the rendered payloads feed BOTH the hash pass and
+    # the distinct-payload audit; pin them so the render runs once.
+    images = images.localCheckpoint()
+    hashed = MM.perceptual_hash_images(images, kind="ahash")
+    return (
+        hashed.join(images.select("doc_id", F.md5("payload").alias("pmd5")), "doc_id")
+        .groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("pmd5").alias("n_payload_variants"),
+        )
+        .select("cluster_id", "n_images", "n_payload_variants")
+    )

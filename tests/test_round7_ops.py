@@ -228,3 +228,70 @@ def test_zipf_fit_matches_numpy(spark, sf_dir):
     assert row["n_terms"] == len(freqs)
     assert math.isclose(row["slope"], slope, rel_tol=0, abs_tol=5e-6)
     assert math.isclose(row["intercept"], intercept, rel_tol=0, abs_tol=5e-6)
+
+
+# ---- perceptual image hashing ---------------------------------------------------
+
+
+def _phash_local(arr, kind="ahash"):
+    import numpy as np
+
+    h, w = arr.shape
+    cells = arr.astype(float).reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (
+        (cells > cells.mean()).ravel()
+        if kind == "ahash"
+        else (cells[:, 1:] > cells[:, :-1]).ravel()
+    )
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return format(v, "016x")
+
+
+def test_perceptual_hash_invariances(spark):
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(20, 120, size=(24, 32), dtype=np.int64)
+    variants = [
+        (0, base),                    # original
+        (1, base + 50),               # brightness shift (no saturation)
+        (2, base * 2),                # contrast scale (max 240 < 256)
+        (3, 255 - base),              # inverted: must NOT collide
+    ]
+    rows = [(i, MM.encode_png(a.astype(np.uint8))) for i, a in variants]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got_a = {r["doc_id"]: r["phash"]
+             for r in MM.perceptual_hash_images(df, kind="ahash").collect()}
+    # engine matches the closed-form local hash
+    for i, a in variants:
+        assert got_a[i] == _phash_local(a, "ahash")
+    # aHash: brightness-invariant; inversion flips it
+    assert got_a[0] == got_a[1]
+    assert got_a[0] != got_a[3]
+
+    got_d = {r["doc_id"]: r["phash"]
+             for r in MM.perceptual_hash_images(df, kind="dhash").collect()}
+    for i, a in variants:
+        assert got_d[i] == _phash_local(a, "dhash")
+    # dHash: brightness AND contrast invariant
+    assert got_d[0] == got_d[1] == got_d[2]
+    assert got_d[0] != got_d[3]
+
+
+def test_perceptual_hash_rejects_bad_dims(spark):
+    import numpy as np
+    import pytest
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, MM.encode_png(np.zeros((10, 32), dtype=np.uint8)))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="divisible by 8"):
+        MM.perceptual_hash_images(df).collect()
