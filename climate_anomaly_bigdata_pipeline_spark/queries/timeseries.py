@@ -677,3 +677,98 @@ def stl_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---- Holt linear-trend forecast ----------------------------------------------
+
+# Double exponential smoothing (Holt's linear trend) over the daily
+# revenue series, forecasting 7 days past the end:
+#   l_1 = y_1,  b_1 = y_2 - y_1
+#   l_t = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+#   b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+#   ŷ_{T+h} = l_T + h·b_T
+# α = β = 1/2: exact halvings, and every recurrence step below is
+# written with IDENTICAL parenthesization in the Spark fold and the
+# recursive-CTE oracle, so the smoothed state is bit-equal across
+# engines (the fold is sequential by definition — no distributed-sum
+# reordering anywhere). NOTE: DuckDB 1.0's list_reduce evaluates struct
+# fields against an in-place-mutated accumulator (the 'b' expression
+# would see the NEW 'l'), so the oracle recursion uses WITH RECURSIVE,
+# which has well-defined snapshot semantics.
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS y
+    FROM lineitem GROUP BY 1
+),
+idx AS (SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily),
+holt(i, l, b) AS (
+    SELECT 1, y1.y, y2.y - y1.y
+    FROM idx y1, idx y2 WHERE y1.i = 1 AND y2.i = 2
+    UNION ALL
+    SELECT d.i,
+           0.5 * d.y + 0.5 * (h.l + h.b),
+           0.5 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+    FROM holt h JOIN idx d ON d.i = h.i + 1
+),
+fin AS (SELECT l, b FROM holt ORDER BY i DESC LIMIT 1)
+SELECT CAST(h AS BIGINT) AS horizon,
+       round(l + h * b, 4) AS forecast,
+       round(l, 4) AS level_end,
+       round(b, 4) AS trend_end
+FROM fin, UNNEST(range(1, 8)) AS t(h)
+"""
+
+
+@query("holt_forecast_daily_revenue", oracle=_HOLT_ORACLE)
+def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt linear-trend forecast of daily revenue (α = β = ½).
+
+    Shape: the heavy lifting is the distributed daily pre-agg (exact
+    DECIMAL sums); the smoothing recursion then runs over the
+    calendar-bounded series as ONE Catalyst ``aggregate`` fold over the
+    date-sorted array — inherently sequential math kept JVM-side (no
+    Python, no per-row UDF), the same single-array posture as
+    `acf_daily_revenue`/`stl_decompose_daily_revenue`. Spark's
+    higher-order-function lambda evaluates the state struct with
+    snapshot semantics, matching the oracle's recursive CTE exactly."""
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("y")
+    )
+    ser = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    init = F.struct(
+        ys[0].alias("l"), (ys[1] - ys[0]).alias("b")
+    )
+    half = F.lit(0.5)
+
+    def step(acc, y):
+        new_l = half * y + half * (acc["l"] + acc["b"])
+        new_b = (
+            half * ((half * y + half * (acc["l"] + acc["b"])) - acc["l"])
+            + half * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    state = ser.select(
+        F.aggregate(
+            F.slice(ys, 2, F.size(ys) - 1), init, step
+        ).alias("st")
+    )
+    return state.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"), "st"
+    ).select(
+        F.col("h").cast("long").alias("horizon"),
+        F.round(
+            F.col("st")["l"] + F.col("h") * F.col("st")["b"], 4
+        ).alias("forecast"),
+        F.round(F.col("st")["l"], 4).alias("level_end"),
+        F.round(F.col("st")["b"], 4).alias("trend_end"),
+    )

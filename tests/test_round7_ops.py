@@ -295,3 +295,36 @@ def test_perceptual_hash_rejects_bad_dims(spark):
     )
     with pytest.raises(Exception, match="divisible by 8"):
         MM.perceptual_hash_images(df).collect()
+
+
+# ---- Holt linear-trend forecast ---------------------------------------------------
+
+
+def test_holt_forecast_matches_python(spark, sf_dir):
+    """The Catalyst fold must reproduce the sequential recursion
+    bit-for-bit (same parenthesization, same alpha=beta=1/2)."""
+    from climate_anomaly_bigdata_pipeline_spark import functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("y"))
+        .orderBy("d")
+        .collect()
+    )
+    ys = [r["y"] for r in daily]
+    l, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        nl = 0.5 * y + 0.5 * (l + b)
+        nb = 0.5 * ((0.5 * y + 0.5 * (l + b)) - l) + 0.5 * b
+        l, b = nl, nb
+    rows = (
+        QUERIES["holt_forecast_daily_revenue"](spark, sf_dir)
+        .orderBy("horizon")
+        .collect()
+    )
+    assert [r["horizon"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert r["level_end"] == round(l, 4)
+        assert r["trend_end"] == round(b, 4)
+        assert r["forecast"] == round(l + r["horizon"] * b, 4)
