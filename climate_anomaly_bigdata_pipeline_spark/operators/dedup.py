@@ -1253,19 +1253,24 @@ def substring_dup_stats(
     "duplicated" if its exact ``window``-char text occurs ≥2 times
     anywhere in the corpus (within- or cross-document).
 
-    Shape: the strided window explode (linear), an md5-keyed count per
-    window (one shuffle with map-side combine), a join of windows onto
-    their corpus counts (same key — AQE co-partitions it with the agg),
-    then one shuffle back to the document. Windows shuffle as 32-byte
-    digests, not 40-char texts; at 100 TB both exchanges stay linear in
-    corpus size / stride, which is the whole point vs. a suffix array
-    (global sort) or pairwise comparison (quadratic)."""
+    Shape: the strided window explode (linear), then the per-window
+    corpus count as a ``count() OVER (PARTITION BY hash)`` window — ONE
+    exchange on the md5 digest, no self-join and no second scan of the
+    corpus (an agg+join formulation plans the explode twice) — then one
+    shuffle back to the document. Windows shuffle as 32-byte digests,
+    not 40-char texts; at 100 TB both exchanges stay linear in corpus
+    size / stride, which is the whole point vs. a suffix array (global
+    sort) or pairwise comparison (quadratic)."""
+    from pyspark.sql import Window
+
     wins = substring_windows(docs, window, stride, id_col, text_col).select(
         id_col, F.md5("win").alias("h")
     )
-    occ = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    counted = wins.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     per_doc = (
-        wins.join(occ, "h")
+        counted
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
