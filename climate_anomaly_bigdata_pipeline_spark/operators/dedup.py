@@ -1255,16 +1255,18 @@ def substring_dup_stats(
 
     Shape: the strided window explode (linear), then the per-window
     corpus count as a ``count() OVER (PARTITION BY hash)`` window — ONE
-    exchange on the md5 digest, no self-join and no second scan of the
+    exchange on the window hash, no self-join and no second scan of the
     corpus (an agg+join formulation plans the explode twice) — then one
-    shuffle back to the document. Windows shuffle as 32-byte digests,
-    not 40-char texts; at 100 TB both exchanges stay linear in corpus
-    size / stride, which is the whole point vs. a suffix array (global
-    sort) or pairwise comparison (quadratic)."""
+    shuffle back to the document. Windows shuffle as 8-byte xxhash64
+    keys, not 40-char texts (the hash never leaves this plan, so the
+    repo's cross-engine md5 portability rule doesn't apply, and the
+    exchange + sort run on fixed-width longs); at 100 TB both exchanges
+    stay linear in corpus size / stride, which is the whole point vs. a
+    suffix array (global sort) or pairwise comparison (quadratic)."""
     from pyspark.sql import Window
 
     wins = substring_windows(docs, window, stride, id_col, text_col).select(
-        id_col, F.md5("win").alias("h")
+        id_col, F.xxhash64("win").alias("h")
     )
     counted = wins.withColumn(
         "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))

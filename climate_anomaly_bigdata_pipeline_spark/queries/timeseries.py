@@ -757,11 +757,14 @@ def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.struct(new_l.alias("l"), new_b.alias("b"))
 
+    # localCheckpoint (1 row): CollapseProject would otherwise inline
+    # the interpreted fold expression into all 4 output columns × 7
+    # horizon rows (28 re-evaluations of the whole recursion).
     state = ser.select(
         F.aggregate(
             F.slice(ys, 2, F.size(ys) - 1), init, step
         ).alias("st")
-    )
+    ).localCheckpoint()
     return state.select(
         F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"), "st"
     ).select(
