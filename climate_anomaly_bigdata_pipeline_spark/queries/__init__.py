@@ -261,9 +261,9 @@ _WINDOW_R7 = [
     # round-7 additions (never windowed)
     "exact_substring_dup_stats", "top_duplicated_substrings",
     "ks_test_purchase_click", "zipf_fit_terms", "phash_image_dedup",
-    "holt_forecast_daily_revenue",
+    "holt_forecast_daily_revenue", "km_survival_session_duration",
     # padding: already-green representatives (one per major family)
-    "join_revenue_by_nation_year", "topk_orders",
+    "join_revenue_by_nation_year",
 ]
 assert len(_WINDOW_R7) == 50
 _never_windowed = {
@@ -287,7 +287,7 @@ _never_windowed = {
     "q22_idle_rich_by_nation",
     "exact_substring_dup_stats", "top_duplicated_substrings",
     "ks_test_purchase_click", "zipf_fit_terms", "phash_image_dedup",
-    "holt_forecast_daily_revenue",
+    "holt_forecast_daily_revenue", "km_survival_session_duration",
 }
 assert _never_windowed <= set(_WINDOW_R7)
 # R7 must not re-window anything R6 already covers (flagship aside).

@@ -1134,3 +1134,131 @@ def ks_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.exp(F.lit(-2.0) * (na * nb / (na + nb)) * d * d)
         ).alias("p_one_term"),
     ).filter((na > 0) & (nb > 0))
+
+
+# ---- Kaplan-Meier survival over session durations ----------------------------
+
+# Survival unit: a 30-minute-gap user session. A session "dies" when its
+# gap closes it (completed); sessions whose last event is within one
+# hour of the corpus edge are right-CENSORED (they may still be open).
+# The KM estimator S(t) = Π_{u ≤ t} (1 - d(u)/n(u)) multiplies exact
+# integer ratios; the cumulative product's float GROUPING differs
+# between a sequential window product and the distributed prefix
+# product (multiplication is commutative, not associative), so survival
+# is rounded to 6 — everything upstream of the product is exact.
+_KM_ORACLE = """
+WITH flagged AS (
+    SELECT
+        user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us,
+        CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessions AS (
+    SELECT user_id, event_id, ts_us,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM flagged
+), sess AS (
+    SELECT user_id, session_id,
+           epoch_us(min(ts_us)) AS s_us, epoch_us(max(ts_us)) AS e_us
+    FROM sessions GROUP BY user_id, session_id
+), m AS (
+    SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events
+), du AS (
+    SELECT (e_us - s_us) // 60000000 AS dur,
+           CASE WHEN e_us <= mx - CAST(3600 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS completed
+    FROM sess, m
+), g AS (
+    SELECT dur, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(completed) AS BIGINT) AS d
+    FROM du GROUP BY dur
+), w2 AS (
+    SELECT dur, c, d,
+           CAST(sum(c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS c_cum,
+           CAST(sum(c) OVER () AS BIGINT) AS n_tot
+    FROM g
+), s AS (
+    SELECT dur, d, n_tot - c_cum + c AS n_risk,
+           product(1.0 - CAST(d AS DOUBLE)
+                   / CAST(n_tot - c_cum + c AS DOUBLE)) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS surv
+    FROM w2
+)
+SELECT dur AS duration_minutes, n_risk AS n_at_risk, d AS n_events,
+       round(surv, 6) AS survival
+FROM s WHERE d > 0
+"""
+
+
+@query("km_survival_session_duration", oracle=_KM_ORACLE)
+def km_survival_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session duration (minutes) with
+    right-censoring at the corpus edge: at each duration with ≥1
+    completed session, the at-risk count, event count, and the running
+    product survival estimate.
+
+    Shape: sessionization (one user_id shuffle shared by its windows),
+    a duration-keyed count agg, the at-risk suffix counts from
+    :func:`running_totals`' distributed prefix sum, and the survival
+    curve from :func:`running_products` — the multiplicative prefix
+    recipe; neither puts the series through a single-partition ORDER BY
+    window. Only the final product is float-grouping-sensitive, hence
+    the round(·, 6)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_products,
+        running_totals,
+    )
+    from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
+
+    ev = Catalog(spark, sf_dir).events
+    sess_rows = TS.sessionize(
+        ev, "ts", "user_id", gap_minutes=30, tiebreak_col="event_id"
+    )
+    sess = sess_rows.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+    )
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    du = sess.crossJoin(F.broadcast(mx)).select(
+        F.expr("(e_us - s_us) div 60000000").alias("dur"),
+        F.when(
+            # one literal long: 3600 * 1_000_000 as two int lits would
+            # overflow INT32 and wrap negative
+            F.col("e_us") <= F.col("mx") - F.lit(3_600_000_000), 1
+        )
+        .otherwise(0)
+        .alias("completed"),
+    )
+    g = du.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("completed").cast("long").alias("d"),
+    )
+    tot = g.agg(F.sum("c").alias("n_tot"))
+    w2 = running_totals(g, ["dur"], [("c", "c_cum")]).crossJoin(
+        F.broadcast(tot)
+    )
+    risk = (F.col("n_tot") - F.col("c_cum") + F.col("c")).alias("n_risk")
+    w3 = w2.select(
+        "dur", "c", "d", risk,
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double")
+            / (F.col("n_tot") - F.col("c_cum") + F.col("c")).cast("double")
+        ).alias("factor"),
+    )
+    s = running_products(w3, ["dur"], "factor", out_col="surv")
+    return s.filter(F.col("d") > 0).select(
+        F.col("dur").alias("duration_minutes"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.round("surv", 6).alias("survival"),
+    )

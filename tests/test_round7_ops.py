@@ -328,3 +328,48 @@ def test_holt_forecast_matches_python(spark, sf_dir):
         assert r["level_end"] == round(l, 4)
         assert r["trend_end"] == round(b, 4)
         assert r["forecast"] == round(l + r["horizon"] * b, 4)
+
+
+# ---- distributed prefix product / Kaplan-Meier ------------------------------------
+
+
+def test_running_products_matches_sequential(spark):
+    import math as m
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.uniform(0.5, 1.0)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, f double").repartition(9)
+    got = (
+        R.running_products(df, ["k"], "f", out_col="p")
+        .orderBy("k")
+        .collect()
+    )
+    acc = 1.0
+    for r, (k, f) in zip(got, sorted(rows)):
+        acc *= f
+        assert r["k"] == k
+        # grouping differs from the sequential fold -> ulp-level tolerance
+        assert m.isclose(r["p"], acc, rel_tol=1e-12)
+
+
+def test_km_curve_properties(spark, sf_dir):
+    rows = (
+        QUERIES["km_survival_session_duration"](spark, sf_dir)
+        .orderBy("duration_minutes")
+        .collect()
+    )
+    assert rows, "the events corpus always has completed sessions"
+    # survival is a (0,1] step function, non-increasing in duration
+    survs = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in survs)
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    # at-risk counts strictly decrease over event times
+    risks = [r["n_at_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    # every output row is an event time
+    assert all(r["n_events"] > 0 for r in rows)
+    # KM identity at the first event time: S = 1 - d/n (rounded)
+    r0 = rows[0]
+    assert r0["survival"] == round(1.0 - r0["n_events"] / r0["n_at_risk"], 6)
