@@ -623,3 +623,55 @@ def perceptual_hash_images(
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     return df.mapInPandas(batches, schema=f"{id_col} long, phash string")
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", frame: int = 256
+) -> DataFrame:
+    """Spectral fingerprint per audio payload → ``(id_col, afp)``: the
+    clip is cut into non-overlapping ``frame``-sample windows, each
+    window contributes its dominant FFT bin (argmax of the rFFT
+    magnitude over bins 1..frame/2 — bin 0 is DC, so the fingerprint is
+    loudness- and offset-invariant for a dominant tone), and the
+    fingerprint is the dash-joined bin sequence — a miniature
+    constellation hash (the Shazam recipe's skeleton: landmark =
+    per-window spectral peak).
+
+    REAL decode for 16-bit PCM WAV (stdlib ``wave``) and FLAC (repo
+    codec); Arrow-batched ``mapInPandas``; dedup downstream is a plain
+    groupBy on the fingerprint string — one linear decode+FFT pass and
+    one hash-keyed exchange, never a pairwise waveform comparison."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] == b"fLaC":
+                    from climate_anomaly_bigdata_pipeline_spark.operators.flaccodec import (
+                        decode_flac_bytes,
+                    )
+
+                    _rate, _ch, _bps, arr = decode_flac_bytes(b)
+                    samples = arr.astype(np.float64).reshape(-1)
+                elif b[:4] == b"RIFF":
+                    with wave.open(io.BytesIO(b), "rb") as wf:
+                        if wf.getsampwidth() != 2:
+                            raise ValueError("only 16-bit PCM WAV supported")
+                        samples = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        ).astype(np.float64)
+                else:
+                    _require("soundfile", f"decoding magic {b[:4]!r}")
+                n_frames = len(samples) // frame
+                peaks = []
+                for i in range(n_frames):
+                    mag = np.abs(
+                        np.fft.rfft(samples[i * frame : (i + 1) * frame])
+                    )
+                    peaks.append(int(np.argmax(mag[1:]) + 1))
+                ids.append(doc_id)
+                fps.append("-".join(map(str, peaks)))
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, afp string")

@@ -262,8 +262,7 @@ _WINDOW_R7 = [
     "exact_substring_dup_stats", "top_duplicated_substrings",
     "ks_test_purchase_click", "zipf_fit_terms", "phash_image_dedup",
     "holt_forecast_daily_revenue", "km_survival_session_duration",
-    # padding: already-green representatives (one per major family)
-    "join_revenue_by_nation_year",
+    "audio_fingerprint_dedup",
 ]
 assert len(_WINDOW_R7) == 50
 _never_windowed = {
@@ -288,6 +287,7 @@ _never_windowed = {
     "exact_substring_dup_stats", "top_duplicated_substrings",
     "ks_test_purchase_click", "zipf_fit_terms", "phash_image_dedup",
     "holt_forecast_daily_revenue", "km_survival_session_duration",
+    "audio_fingerprint_dedup",
 }
 assert _never_windowed <= set(_WINDOW_R7)
 # R7 must not re-window anything R6 already covers (flagship aside).

@@ -511,3 +511,75 @@ def phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster_id", "n_images", "n_payload_variants")
     )
+
+
+# ---- spectral-fingerprint audio dedup ------------------------------------------
+
+# Deterministic near-duplicate audio corpus: each doc renders 512
+# samples of 16-bit PCM — two 256-sample tones at exact bin
+# frequencies kA = 4 + doc_id % 12 and kB = 20 + (doc_id // 12) % 4,
+# with a per-doc GAIN a = 0.2 + 0.05 · ((doc_id // 48) % 3). A tone at
+# an exact bin concentrates all its energy in that bin (|rFFT[k]| =
+# a·N/2, other bins at int16-quantization noise ~60 dB down), so the
+# per-frame argmax is numerically unshakeable and the 2-frame
+# constellation fingerprint "kA-kB" clusters docs EXACTLY by
+# (doc_id % 12, (doc_id // 12) % 4) ⟺ doc_id % 48 — which the SQL
+# oracle predicts. Gain variation makes the payload bytes differ
+# within a cluster: only the spectral key unifies them (fingerprint is
+# loudness-invariant by construction — argmax is scale-free).
+_AFP_DEDUP_ORACLE = """
+SELECT CAST(doc_id % 48 AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(DISTINCT (doc_id // 48) % 3) AS BIGINT) AS n_payload_variants
+FROM documents
+GROUP BY doc_id % 48
+"""
+
+
+@query("audio_fingerprint_dedup", oracle=_AFP_DEDUP_ORACLE)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio clustering by spectral constellation
+    fingerprint: render → real WAV decode + per-frame FFT peak
+    (operators/multimodal.py:audio_fingerprint) → groupBy fingerprint.
+    Per cluster: representative doc_id, clip count, DISTINCT payload
+    count (proving byte-distinct clips that only the spectral key
+    unifies). One linear decode+FFT pass + one hash-keyed exchange —
+    the audio sibling of `phash_image_dedup`."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            t = np.arange(256, dtype=np.float64)
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ka, kb = 4 + d % 12, 20 + (d // 12) % 4
+                a = 0.2 + 0.05 * ((d // 48) % 3)
+                s1 = a * np.sin(2 * np.pi * ka * t / 256.0)
+                s2 = a * np.sin(2 * np.pi * kb * t / 256.0)
+                pcm = np.round(
+                    32767.0 * np.concatenate([s1, s2])
+                ).astype(np.int16)
+                payloads.append(MM.encode_wav(pcm, sample_rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    # pin: the payloads feed BOTH the fingerprint pass and the
+    # distinct-payload audit
+    clips = clips.localCheckpoint()
+    fps = MM.audio_fingerprint(clips, frame=256)
+    return (
+        fps.join(clips.select("doc_id", F.md5("payload").alias("pmd5")), "doc_id")
+        .groupBy("afp")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_clips"),
+            F.countDistinct("pmd5").alias("n_payload_variants"),
+        )
+        .select("cluster_id", "n_clips", "n_payload_variants")
+    )

@@ -373,3 +373,34 @@ def test_km_curve_properties(spark, sf_dir):
     # KM identity at the first event time: S = 1 - d/n (rounded)
     r0 = rows[0]
     assert r0["survival"] == round(1.0 - r0["n_events"] / r0["n_at_risk"], 6)
+
+
+# ---- spectral audio fingerprint -----------------------------------------------------
+
+
+def test_audio_fingerprint_invariances(spark):
+    import numpy as np
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import multimodal as MM
+
+    t = np.arange(256, dtype=float)
+
+    def tone(k, gain, dc=0.0):
+        return np.round(
+            32767.0 * np.clip(gain * np.sin(2 * np.pi * k * t / 256.0) + dc, -1, 1)
+        ).astype(np.int16)
+
+    rows = [
+        (0, MM.encode_wav(np.concatenate([tone(5, 0.3), tone(21, 0.3)]))),
+        (1, MM.encode_wav(np.concatenate([tone(5, 0.05), tone(21, 0.9)]))),  # gains differ
+        (2, MM.encode_wav(np.concatenate([tone(5, 0.3, dc=0.1), tone(21, 0.3, dc=0.1)]))),  # DC offset
+        (3, MM.encode_wav(np.concatenate([tone(6, 0.3), tone(21, 0.3)]))),  # different tone
+    ]
+    got = {r["doc_id"]: r["afp"]
+           for r in MM.audio_fingerprint(spark.createDataFrame(
+               rows, "doc_id long, payload binary"), frame=256).collect()}
+    assert got[0] == "5-21"
+    # loudness- and DC-invariant
+    assert got[0] == got[1] == got[2]
+    # frequency change breaks the cluster
+    assert got[3] == "6-21" and got[3] != got[0]
