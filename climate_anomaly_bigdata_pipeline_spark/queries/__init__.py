@@ -230,7 +230,10 @@ _PRIORITY = _WINDOW_R6
 # _WINDOW_R6 earns its CORRECTNESS_r07.json rows, every registry name
 # except these has a driver-verified row; this window completes full
 # coverage. Padding slots (already-green representatives at the tail)
-# are replaced by round-7 additions as they land.
+# are replaced by round-7 additions as they land. Round-7 additions
+# past this window's 50-slot capacity (currently:
+# lorenz_curve_order_value) wait for a future _WINDOW_R8 alongside
+# whatever later rounds add.
 _WINDOW_R7 = [
     "zscore_anomaly",
     # never-windowed round-5 additions: retrieval / ANN / codecs

@@ -1262,3 +1262,79 @@ def km_survival_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         F.round("surv", 6).alias("survival"),
     )
+
+
+# ---- Lorenz curve of order value ---------------------------------------------
+
+# Decile membership uses the explicit floor((rank-1)·10/N) formula on
+# BOTH engines (ntile's remainder placement is engine-defined; the
+# formula is not). Ranks come from the distributed global index; money
+# sums ride DECIMAL so every cumulative share is a ratio of exact
+# decimals evaluated identically.
+_LORENZ_ORACLE = """
+WITH r AS (
+    SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+           count(*) OVER () AS n
+    FROM orders
+),
+d AS (
+    SELECT CAST(((rn - 1) * 10) // n AS BIGINT) + 1 AS decile, x FROM r
+),
+g AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_orders, sum(x) AS rev
+    FROM d GROUP BY decile
+),
+t AS (SELECT sum(x) AS total FROM r)
+SELECT decile, n_orders,
+       CAST(rev AS DOUBLE) AS decile_revenue,
+       CAST(sum(rev) OVER (
+           ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM g, t
+"""
+
+
+@query("lorenz_curve_order_value", oracle=_LORENZ_ORACLE)
+def lorenz_curve_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of order-value concentration: for each value decile
+    (ascending), the cumulative share of total revenue — the curve
+    whose area complement is `gini_order_value_by_nation`'s scalar.
+
+    Shape: global ranks from :func:`stable_global_index` (never a
+    single-partition row_number over the fact table), decile floor
+    formula, a 10-row DECIMAL aggregation, and a cumulative sum over
+    the DECILE rows only — that window's input is bounded at 10 rows
+    by construction, the same bounded-series posture as the calendar
+    queries."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        stable_global_index,
+    )
+
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_totalprice").cast("decimal(18,6)").alias("x"),
+        "o_totalprice", "o_orderkey",
+    )
+    ranked = stable_global_index(
+        o, ["o_totalprice", "o_orderkey"], out_col="rn0"
+    )
+    n = ranked.count()
+    d = ranked.select(
+        ((F.col("rn0") * 10) / F.lit(n)).cast("long").alias("dm1"), "x"
+    ).select((F.col("dm1") + 1).alias("decile"), "x")
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("x").alias("rev")
+    )
+    tot = g.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_orders",
+            F.col("rev").cast("double").alias("decile_revenue"),
+            (
+                F.sum("rev").over(w).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

@@ -404,3 +404,27 @@ def test_audio_fingerprint_invariances(spark):
     assert got[0] == got[1] == got[2]
     # frequency change breaks the cluster
     assert got[3] == "6-21" and got[3] != got[0]
+
+
+# ---- Lorenz curve -------------------------------------------------------------------
+
+
+def test_lorenz_curve_properties(spark, sf_dir):
+    rows = (
+        QUERIES["lorenz_curve_order_value"](spark, sf_dir)
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    # cumulative, ends at exactly 1 (decimal-exact total / total)
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 1.0
+    # Lorenz curve lies below the diagonal (ascending-sorted values)
+    assert all(s <= (i + 1) / 10 + 1e-12 for i, s in enumerate(shares))
+    # convexity: increments non-decreasing
+    incs = [b - a for a, b in zip([0.0] + shares, shares)]
+    assert all(b >= a - 1e-12 for a, b in zip(incs, incs[1:]))
+    # decile sizes differ by at most 1
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
