@@ -296,6 +296,14 @@ assert _never_windowed <= set(_WINDOW_R7)
 # R7 must not re-window anything R6 already covers (flagship aside).
 assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
 
+# Seed of the NEXT rotation: additions that arrived after _WINDOW_R7
+# filled its 50 slots. When building _WINDOW_R8, start from these, then
+# pad with already-green representatives.
+_WINDOW_R8_SEED = [
+    "lorenz_curve_order_value",
+]
+assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
+
 
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -76,6 +76,7 @@ def test_window_r7_completes_full_driver_coverage():
     from climate_anomaly_bigdata_pipeline_spark.queries import (
         _WINDOW_R6,
         _WINDOW_R7,
+        _WINDOW_R8_SEED,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -83,7 +84,8 @@ def test_window_r7_completes_full_driver_coverage():
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         with open(path) as f:
             verified |= set(json.load(f))
-    covered = verified | set(_WINDOW_R6) | set(_WINDOW_R7)
+    covered = (verified | set(_WINDOW_R6) | set(_WINDOW_R7)
+               | set(_WINDOW_R8_SEED))
     missing = [n for n in QUERIES if n not in covered]
     assert not missing, f"queries no staged window will ever verify: {missing}"
 
