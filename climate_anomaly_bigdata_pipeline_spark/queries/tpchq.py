@@ -800,7 +800,7 @@ ranked AS (
     WHERE p.p_type = 'LARGE' AND p.p_size <= 15
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(unit_cost, 4) AS unit_cost
+       unit_cost
 FROM ranked WHERE rk = 1
 ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
 LIMIT 100
@@ -820,7 +820,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join). Part/supplier/nation/region filters are all pushed and the
     dim sides broadcast. Determinism: the per-row double division is
     the identical IEEE op on both engines, min() is order-independent,
-    and ties break on s_suppkey.
+    and ties break on s_suppkey. unit_cost ships RAW (bit-identical on
+    both engines); round(·, 4) was removed after the sf0.1 sweep caught
+    a value sitting exactly on a .xxxx5 boundary that Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-double rounding resolve
+    differently — rounding a bit-identical double can only ADD
+    divergence.
     """
     from pyspark.sql import Window
 
@@ -854,7 +859,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            "unit_cost",
         )
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
