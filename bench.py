@@ -102,6 +102,23 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 continue
             errors.pop(name, None)
+            # Trial hygiene: python gc releases DataFrame references so
+            # the ContextCleaner can drop localCheckpoint blocks (the
+            # ~190 checkpointing queries otherwise accumulate block-
+            # manager state: jpeg_decode_profile measured 11.9 s late-
+            # suite vs 1.2 s isolated before this collect).
+            # Deliberately NOT calling JVM System.gc() here: a full GC
+            # per query on this heap bleeds concurrent-GC phases into
+            # the NEXT measured query (tried; it manufactured 7-9 s
+            # spikes on sub-second queries). The residual effect is
+            # that the first heavy Arrow/python stage after a run of
+            # JVM-only queries can absorb a major GC (~+1-3 s on
+            # jpeg_decode_profile) — a measurement artifact of the
+            # one-JVM suite, not a plan property (isolated runs and
+            # BASELINE.md record the true cost).
+            import gc
+
+            gc.collect()
             while steal > steal_max and retries_left[name] > 0:
                 retries_left[name] -= 1
                 try:
