@@ -301,6 +301,7 @@ assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
 # pad with already-green representatives.
 _WINDOW_R8_SEED = [
     "lorenz_curve_order_value",
+    "cvm_test_purchase_click",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

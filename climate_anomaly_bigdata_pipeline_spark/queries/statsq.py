@@ -1338,3 +1338,120 @@ def lorenz_curve_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---- two-sample Cramér-von Mises test ----------------------------------------
+
+# T = (n_a·n_b/N²) · Σ_pooled (F_a − F_b)², summed over every pooled
+# observation (ties enter with their multiplicity). With
+# D_k = cum_a(k)·n_b − cum_b(k)·n_a (an exact integer), the statistic
+# is T = Σ_k w_k·D_k² / (n_a·n_b·N²): the numerator is a pure integer
+# sum — order-independent, no rounding anywhere — carried as
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because w·D² approaches
+# 2^63 already at sf0.1 scale. The division happens once, on identical
+# integers, so the double is bit-equal across engines.
+_CVM_ORACLE = """
+WITH f AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+    SELECT value,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_cnt,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_cnt
+    FROM f GROUP BY value
+),
+c AS (
+    SELECT value, a_cnt, b_cnt,
+           sum(a_cnt) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS a_cum,
+           sum(b_cnt) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS b_cum
+    FROM g
+),
+tot AS (
+    SELECT CAST(sum(a_cnt) AS BIGINT) AS na,
+           CAST(sum(b_cnt) AS BIGINT) AS nb
+    FROM g
+),
+s AS (
+    SELECT na, nb,
+           sum((a_cnt + b_cnt)
+               * (a_cum * nb - b_cum * na) * (a_cum * nb - b_cum * na))
+               AS num
+    FROM c, tot
+    GROUP BY na, nb
+)
+SELECT na AS n_purchase, nb AS n_click,
+       CAST(num AS DOUBLE)
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+              * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+           AS cvm_stat
+FROM s
+WHERE na > 0 AND nb > 0
+"""
+
+
+@query("cvm_test_purchase_click", oracle=_CVM_ORACLE)
+def cvm_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between purchase and click
+    event values — the integrated-squared-ECDF-gap companion to
+    `ks_test_purchase_click`'s sup-gap (CvM weights the whole
+    distribution, KS only the worst point).
+
+    Shape: identical to the KS query — per-distinct-value arm counts,
+    both cumulative counts from one :func:`running_totals` pass — plus
+    ONE exact-integer aggregation: the numerator sums
+    w·(cum_a·n_b − cum_b·n_a)² in DECIMAL(38,0), so the statistic
+    needs no rounding at any scale (the KS max was already exact;
+    here even the SUM is)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_totals,
+    )
+
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+    )
+    c = running_totals(g, ["value"], [("a_cnt", "a_cum"), ("b_cnt", "b_cum")])
+    tot = g.agg(
+        F.sum("a_cnt").cast("long").alias("na"),
+        F.sum("b_cnt").cast("long").alias("nb"),
+    )
+    d = (
+        F.col("a_cum") * F.col("nb") - F.col("b_cum") * F.col("na")
+    ).cast("decimal(38,0)")
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(
+                (F.col("a_cnt") + F.col("b_cnt")).cast("decimal(38,0)") * d * d
+            ).alias("num")
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    return s.select(
+        na.alias("n_purchase"),
+        nb.alias("n_click"),
+        (
+            F.col("num").cast("double")
+            / (
+                na.cast("double") * nb.cast("double")
+                * (na + nb).cast("double") * (na + nb).cast("double")
+            )
+        ).alias("cvm_stat"),
+    ).filter((na > 0) & (nb > 0))

@@ -428,3 +428,45 @@ def test_lorenz_curve_properties(spark, sf_dir):
     # decile sizes differ by at most 1
     sizes = [r["n_orders"] for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+# ---- Cramér-von Mises ---------------------------------------------------------------
+
+
+def test_cvm_statistic_matches_brute(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    vals = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type", "value"
+    ).collect()
+    a = sorted(r["value"] for r in vals if r["event_type"] == "purchase")
+    b = sorted(r["value"] for r in vals if r["event_type"] == "click")
+    import bisect
+    from collections import Counter
+
+    pooled = Counter([r["value"] for r in vals])
+    num = 0
+    for v, w in pooled.items():
+        da = bisect.bisect_right(a, v) * len(b) - bisect.bisect_right(b, v) * len(a)
+        num += w * da * da
+    want = num / (len(a) * len(b) * (len(a) + len(b)) ** 2)
+    row = QUERIES["cvm_test_purchase_click"](spark, sf_dir).collect()[0]
+    assert row["n_purchase"] == len(a) and row["n_click"] == len(b)
+    assert row["cvm_stat"] == want  # exact integer numerator -> bit-equal
+    assert row["cvm_stat"] >= 0.0
+
+
+def test_cvm_identical_samples_is_zero(spark):
+    import duckdb
+
+    # identical arm distributions -> F_a == F_b everywhere -> T = 0
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW events AS
+        SELECT CASE WHEN i % 2 = 0 THEN 'purchase' ELSE 'click' END AS event_type,
+               CAST(i // 2 % 13 AS DOUBLE) AS value
+        FROM range(400) t(i)
+    """)
+    from climate_anomaly_bigdata_pipeline_spark.queries import ORACLE
+
+    t = con.execute(ORACLE["cvm_test_purchase_click"]).fetchall()
+    assert t[0][2] == 0.0
