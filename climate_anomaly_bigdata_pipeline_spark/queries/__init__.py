@@ -302,6 +302,7 @@ assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
 _WINDOW_R8_SEED = [
     "lorenz_curve_order_value",
     "cvm_test_purchase_click",
+    "null_semantics_zoo",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

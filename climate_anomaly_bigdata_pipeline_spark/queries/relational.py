@@ -684,3 +684,64 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
     )
+
+
+# ---- NULL semantics, pinned explicitly ----------------------------------------
+
+# Engines disagree on DEFAULTS around NULL (Spark sorts ASC NULLS
+# FIRST, DuckDB ASC NULLS LAST), agree on the pinned forms. This query
+# exercises every NULL rule a pipeline relies on — aggregate skipping,
+# COUNT(*) vs COUNT(col), DISTINCT's null handling, nulls as a
+# group-by key, and an EXPLICIT "NULLS LAST" ordering — over a corpus
+# with injected nulls (every 7th customer's balance).
+_NULL_ZOO_ORACLE = """
+WITH base AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE CAST(c_acctbal AS DECIMAL(18,6)) END AS bal
+    FROM customer
+),
+ranked AS (
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey)
+               AS rk
+    FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(bal) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT bal) AS BIGINT) AS n_distinct_nonnull,
+       CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(sum(bal) AS DOUBLE) AS sum_nonnull,
+       CAST(min(bal) AS DOUBLE) AS min_nonnull,
+       (SELECT c_custkey FROM ranked WHERE rk = 1) AS top_custkey
+FROM base
+"""
+
+
+@query("null_semantics_zoo", oracle=_NULL_ZOO_ORACLE)
+def null_semantics_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics contract check over an injected-null balance
+    column: COUNT(*) counts nulls, COUNT(col)/SUM/MIN/DISTINCT skip
+    them, and the top-balance pick uses an EXPLICIT desc_nulls_last
+    (engine defaults differ — that's the point of pinning)."""
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal").cast("decimal(18,6)"))
+        .alias("bal"),
+    )
+    top = (
+        base.orderBy(F.desc_nulls_last("bal"), F.asc("c_custkey"))
+        .limit(1)  # TakeOrdered: per-partition heap, no global sort
+        .select(F.col("c_custkey").alias("top_custkey"))
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("bal").alias("n_nonnull"),
+        F.countDistinct("bal").alias("n_distinct_nonnull"),
+        F.sum(F.col("bal").isNull().cast("long")).alias("n_null"),
+        F.sum("bal").cast("double").alias("sum_nonnull"),
+        F.min("bal").cast("double").alias("min_nonnull"),
+    )
+    return agg.crossJoin(F.broadcast(top))
