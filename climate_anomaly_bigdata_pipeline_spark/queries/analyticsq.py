@@ -711,7 +711,7 @@ def _pagerank_oracle(n_iter: int) -> str:
     d = _PR_DAMPING
     ctes = [
         """base AS (
-    SELECT DISTINCT o_custkey AS a, -l_suppkey AS b
+    SELECT DISTINCT o_custkey AS a, -(l_suppkey + 1) AS b
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 edges AS (
@@ -769,15 +769,20 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("o_custkey").alias("a"),
-            (-F.col("l_suppkey")).alias("b"),
+            (-(F.col("l_suppkey") + 1)).alias("b"),
         )
         .distinct()
     )
     # base is distinct and the reversed copy can't collide with the
-    # forward one (customer nodes are positive custkeys, supplier
-    # nodes their negated suppkey — disjoint at EVERY scale factor,
-    # unlike a fixed additive offset that custkey outgrows at SF≈7),
-    # so the union is already duplicate-free — the oracle's
+    # forward one (customer nodes are their custkeys >= 0, supplier
+    # nodes STRICTLY negative via -(suppkey+1) — disjoint at EVERY
+    # scale factor, unlike a fixed additive offset that custkey
+    # outgrows at SF~7). The +1 shift matters: keys start at 0, and a
+    # bare negation maps supplier 0 onto customer 0 — merging the two
+    # into one node and, when customer 0 buys from supplier 0, minting
+    # a (0,0) self-loop that UNION DISTINCT dedups but UNION ALL keeps
+    # twice (caught by the sf0.001 sweep: 2887 vs 2888 edges). With
+    # the shift the union is provably duplicate-free — the oracle's
     # UNION DISTINCT dedups nothing and Spark needn't shuffle for it.
     edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         base.select(F.col("b").alias("src"), F.col("a").alias("dst"))

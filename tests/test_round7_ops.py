@@ -470,3 +470,34 @@ def test_cvm_identical_samples_is_zero(spark):
 
     t = con.execute(ORACLE["cvm_test_purchase_click"]).fetchall()
     assert t[0][2] == 0.0
+
+
+# ---- bipartite node-id separation (zero-key regression) ----------------------------
+
+
+def test_purchase_graph_union_is_duplicate_free(spark):
+    """Keys start at 0, so supplier ids must be shifted before negation:
+    a bare -suppkey maps supplier 0 onto customer 0 and (when customer
+    0 buys from supplier 0) mints a self-loop the symmetrizing UNION
+    ALL keeps twice. sf0.001 contains exactly that order — the sweep
+    caught a 2887-vs-2888 edge mismatch before this fix."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    c = Catalog(spark, "/root/testdata/sf0.001")
+    base = (
+        c.orders.join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (-(F.col("l_suppkey") + 1)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    assert edges.count() == edges.distinct().count()
+    # the raw data really does contain the zero-zero order that made
+    # the unshifted mapping wrong
+    assert (
+        base.filter((F.col("a") == 0) & (F.col("b") == -1)).count() == 1
+    )
