@@ -297,8 +297,12 @@ assert _never_windowed <= set(_WINDOW_R7)
 assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
 
 # Seed of the NEXT rotation: additions that arrived after _WINDOW_R7
-# filled its 50 slots. When building _WINDOW_R8, start from these, then
-# pad with already-green representatives.
+# filled its 50 slots. Grow this list as new queries land; when the
+# _WINDOW_R7 rotation has run, build the next 50-slot window from
+# these plus already-green padding (rotation recipe in _reorder's
+# comment block above). Keep every new query in here until it has a
+# driver-verified CORRECTNESS row — test_queries_registry.py enforces
+# that no registry name is outside every staged window.
 _WINDOW_R8_SEED = [
     "lorenz_curve_order_value",
     "cvm_test_purchase_click",
