@@ -307,6 +307,7 @@ _WINDOW_R8_SEED = [
     "lorenz_curve_order_value",
     "cvm_test_purchase_click",
     "null_semantics_zoo",
+    "hhi_supplier_concentration",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

@@ -1455,3 +1455,87 @@ def cvm_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cvm_stat"),
     ).filter((na > 0) & (nb > 0))
+
+
+# ---- Herfindahl-Hirschman supplier concentration ------------------------------
+
+# HHI = Σ_i share_i² per nation, with share_i = rev_i / total. Computed
+# as Σ rev_i² / total² over r4 = rev·10⁴ — an exact INTEGER (price has
+# 2 decimals, discount 2, so revenue has at most 4), cast to
+# DECIMAL(38,0) whose square (≤1e26) and sums stay exact in both
+# engines; the 10⁴ scaling cancels between numerator and denominator
+# and the one double division happens on identical integers — the
+# rounding-free recipe of the CvM numerator. (A direct DECIMAL(38,12)
+# square overflows DuckDB's 38-digit multiply.)
+_HHI_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name, l.l_suppkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS r
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, l.l_suppkey
+),
+r4 AS (
+    SELECT n_name, CAST(r * 10000 AS DECIMAL(38,0)) AS r4 FROM rev
+),
+agg AS (
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           sum(r4 * r4) AS sq,
+           sum(r4) AS tot
+    FROM r4 GROUP BY n_name
+)
+SELECT n_name, n_suppliers,
+       CAST(sq AS DOUBLE)
+           / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi
+FROM agg
+"""
+
+
+@query("hhi_supplier_concentration", oracle=_HHI_ORACLE)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation (1/n_suppliers = perfectly even, 1 = monopoly) — the market-
+    concentration audit, computed as Σrev²/ (Σrev)² so both sums stay
+    exact DECIMAL and the statistic needs no rounding. Two grouped
+    aggregations (supplier revenue, then nation roll-up) with the
+    dimension joins broadcast."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("x"),
+    )
+    rev = (
+        li.join(
+            F.broadcast(
+                c.supplier.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(c.nation.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("x").alias("r"))
+    )
+    # r*10**4 is integer-valued, so Spark's precision-loss scale cut on
+    # the (38,12)*int product drops only zero digits — the cast to
+    # DECIMAL(38,0) is exact.
+    r4 = (F.col("r") * F.lit(10000)).cast("decimal(38,0)")
+    agg = rev.select("n_name", r4.alias("r4")).groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("r4") * F.col("r4")).alias("sq"),
+        F.sum("r4").alias("tot"),
+    )
+    return agg.select(
+        "n_name", "n_suppliers",
+        (
+            F.col("sq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        ).alias("hhi"),
+    )
