@@ -183,12 +183,9 @@ _WINDOW_R5 = [
 assert len(_WINDOW_R5) == 50
 assert set(_WINDOW_R5) & set(_WINDOW_R4) == {"zscore_anomaly"}
 
-# Round-6 window, STILL ACTIVE in round 7: 49 queries never yet
-# driver-verified + the flagship. Round 6 ended without the driver's
-# end-of-round verification (no CORRECTNESS_r06.json was ever written),
-# so this window has no driver-green rows yet; keeping it active lets
-# round 7's check (CORRECTNESS_r07.json) cover it. _WINDOW_R7 below
-# (the remaining never-windowed names) rotates in next round.
+# Round-6 window (active through round 7 because round 6 ended without
+# the driver's end-of-round verification): earned its 50/50 green rows
+# in CORRECTNESS_r07.json. _WINDOW_R7 below is now the active window.
 _WINDOW_R6 = [
     "zscore_anomaly",
     # sketches / sampling / relational coverage
@@ -222,18 +219,15 @@ _WINDOW_R6 = [
 assert len(_WINDOW_R6) == 50
 assert set(_WINDOW_R6) & (set(_WINDOW_R4) | set(_WINDOW_R5)) == {"zscore_anomaly"}
 
-_PRIORITY = _WINDOW_R6
+_PRIORITY_R6 = _WINDOW_R6  # driver-verified 50/50 green in CORRECTNESS_r07.json
 
-# Round-8 window (authored in round 6 as "R7", held back one round
-# because round 6's driver check never ran): PREPARED but NOT active.
-# To activate next round: set _PRIORITY = _WINDOW_R7 (one line). Once
-# _WINDOW_R6 earns its CORRECTNESS_r07.json rows, every registry name
-# except these has a driver-verified row; this window completes full
-# coverage. Padding slots (already-green representatives at the tail)
-# are replaced by round-7 additions as they land. Round-7 additions
-# past this window's 50-slot capacity (currently:
-# lorenz_curve_order_value) wait for a future _WINDOW_R8 alongside
-# whatever later rounds add.
+# Round-8 ACTIVE window (authored in round 6 as "R7", held back one
+# round because round 6's driver check never ran; activated in round 8
+# now that _WINDOW_R6 earned its CORRECTNESS_r07.json rows). Covers the
+# 49 never-driver-verified queries + the flagship; once it runs, every
+# registry name except the _WINDOW_R8_SEED tail has a driver-verified
+# row. Round-8 additions past capacity go to _WINDOW_R8_SEED for the
+# next rotation.
 _WINDOW_R7 = [
     "zscore_anomaly",
     # never-windowed round-5 additions: retrieval / ANN / codecs
@@ -295,6 +289,10 @@ _never_windowed = {
 assert _never_windowed <= set(_WINDOW_R7)
 # R7 must not re-window anything R6 already covers (flagship aside).
 assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
+assert set(_WINDOW_R7) & set(_WINDOW_R4) == {"zscore_anomaly"}
+assert set(_WINDOW_R7) & set(_WINDOW_R5) == {"zscore_anomaly"}
+
+_PRIORITY = _WINDOW_R7  # ACTIVE for round 8's driver correctness check
 
 # Seed of the NEXT rotation: additions that arrived after _WINDOW_R7
 # filled its 50 slots. Grow this list as new queries land; when the

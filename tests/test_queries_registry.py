@@ -38,28 +38,47 @@ def test_priority_window_rotation():
     families = {
         "anomaly": {"zscore_anomaly"},
         "sketches": {"hll_sketch_rollup", "quantile_digest_rollup",
-                     "cms_heavy_hitters"},
+                     "cms_heavy_hitters", "embedding_dim_scale"},
         "relational_coverage": {"unpivot_lineitem_yearly",
                                 "full_outer_reconcile_customers",
-                                "pct_rank_orders"},
-        "sampling": {"weighted_sample_customers", "equidepth_hist_orders"},
+                                "pct_rank_orders", "q1_pricing_summary",
+                                "q13_customer_distribution"},
+        "sampling": {"weighted_sample_customers", "equidepth_hist_orders",
+                     "significant_parts_by_value"},
         "incremental_history": {"scd2_user_type_history",
                                 "cdc_snapshot_diff",
-                                "cohort_retention_monthly"},
+                                "cohort_retention_monthly",
+                                "idle_rich_customers",
+                                "q22_idle_rich_by_nation"},
         "window_ts": {"rolling_corr_daily", "acf_daily_revenue",
-                      "stl_decompose_daily_revenue"},
+                      "stl_decompose_daily_revenue",
+                      "ccf_purchase_click_daily",
+                      "holt_forecast_daily_revenue"},
         "stats": {"linreg_price_by_qty", "mannwhitney_purchase_click",
-                  "gini_order_value_by_nation", "benford_first_digit_orders"},
+                  "gini_order_value_by_nation", "benford_first_digit_orders",
+                  "ks_test_purchase_click", "km_survival_session_duration",
+                  "ols2_price_qty_discount", "cuped_ab_purchase_rate"},
         "text_analysis": {"char_entropy_docs", "bpe_token_profile",
-                          "bpe_first_merge_pairs"},
-        "dedup": {"chunk_dedup_docs", "semdedup_prune_embeddings"},
-        "curation": {"temperature_mix_weights", "dsir_importance_weights"},
-        "retrieval": {"bm25_topk_docs", "hybrid_rrf_retrieval"},
+                          "bpe_first_merge_pairs", "top_event_trigrams",
+                          "zipf_fit_terms"},
+        "dedup": {"chunk_dedup_docs", "semdedup_prune_embeddings",
+                  "exact_substring_dup_stats", "top_duplicated_substrings",
+                  "phash_image_dedup", "audio_fingerprint_dedup"},
+        "curation": {"temperature_mix_weights", "dsir_importance_weights",
+                     "k_anonymity_audit", "referential_integrity_audit",
+                     "loo_target_encoding_orders"},
+        "retrieval": {"bm25_topk_docs", "hybrid_rrf_retrieval",
+                      "retrieval_eval_ndcg"},
         "similarity": {"ivf_train_codebook", "knn_join_exact",
-                       "pq_train_codebooks", "pq_ann_topk"},
-        "multimodal": {"jpeg_decode_profile"},
+                       "pq_train_codebooks", "pq_ann_topk",
+                       "pq_code_histogram", "ivfpq_ann_topk",
+                       "ann_serve_external"},
+        "multimodal": {"jpeg_decode_profile", "flac_decode_profile",
+                       "jpeg_progressive_profile",
+                       "flac_lpc_decode_profile"},
         "graph": {"bfs_copurchase_distances", "kcore_copurchase",
-                  "copurchase_degree_assortativity"},
+                  "copurchase_degree_assortativity",
+                  "item_cooccurrence_similarity"},
     }
     missing = [k for k, alts in families.items() if not (alts & window)]
     assert not missing, f"families fell out of the driver window: {missing}"

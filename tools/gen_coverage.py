@@ -50,6 +50,18 @@ def render() -> str:
     from climate_anomaly_bigdata_pipeline_spark.queries import ORACLE, QUERIES
 
     verified = driver_rounds()
+    pending = [n for n in QUERIES if n not in verified]
+    in_window = set(list(QUERIES)[:50])
+    pending_txt = (
+        "All queries have ≥1 driver-green row."
+        if not pending
+        else "Driver-pending (no green CORRECTNESS row yet): "
+        + ", ".join(
+            f"`{n}`" + (" (in active window)" if n in in_window else "")
+            for n in pending
+        )
+        + "."
+    )
     lines = [
         BEGIN,
         "",
@@ -61,14 +73,19 @@ def render() -> str:
         "driver-verified CORRECTNESS row. Position = current registry "
         "order (driver verifies positions 1-50).",
         "",
-        "| # | Query | Module | Oracle | Driver-green rounds |",
-        "|---|---|---|---|---|",
+        pending_txt,
+        "",
+        "| # | Query | Module | Oracle | Driver-green rounds | Pending |",
+        "|---|---|---|---|---|---|",
     ]
     for i, (name, fn) in enumerate(QUERIES.items(), 1):
         mod = fn.__module__.rsplit(".", 1)[-1]
         oracle = "yes" if name in ORACLE else "—"
         rounds = ", ".join(f"r{r}" for r in verified.get(name, [])) or "—"
-        lines.append(f"| {i} | `{name}` | `{mod}` | {oracle} | {rounds} |")
+        pend = "pending" if name not in verified else "—"
+        lines.append(
+            f"| {i} | `{name}` | `{mod}` | {oracle} | {rounds} | {pend} |"
+        )
     lines += ["", END]
     return "\n".join(lines)
 
