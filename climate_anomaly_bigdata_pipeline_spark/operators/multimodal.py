@@ -663,6 +663,13 @@ def audio_fingerprint(
                         ).astype(np.float64)
                 else:
                     _require("soundfile", f"decoding magic {b[:4]!r}")
+                    # _require raises when soundfile is absent (this
+                    # container); if it IS installed there is still no
+                    # decode path here, so fail loudly either way
+                    # instead of falling through with `samples` unbound.
+                    raise NotImplementedError(
+                        f"no decoder wired for audio magic {b[:4]!r}"
+                    )
                 n_frames = len(samples) // frame
                 peaks = []
                 for i in range(n_frames):

@@ -697,7 +697,8 @@ def stable_global_index(
     order_cols: Sequence[str],
     out_col: str = "idx",
     n_parts: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Dense 0-based global index in ``order_cols`` order WITHOUT the
     single-task bottleneck: ``row_number() OVER (ORDER BY ...)`` plans
     a global sort into ONE partition — the classic driver-killer at
@@ -714,6 +715,11 @@ def stable_global_index(
     ``checkpoint`` — same contract). ``order_cols`` must be a total
     order (include a unique tiebreak column) for the index to be
     deterministic.
+
+    With ``return_total=True`` also returns the total row count,
+    summed from the SAME per-partition counts collect — callers that
+    need N (decile formulas, shares) get it with zero extra actions
+    instead of re-scanning via ``df.count()``.
     """
     from pyspark.sql import Window
 
@@ -733,9 +739,10 @@ def stable_global_index(
         *[F.lit(v) for kv in offsets.items() for v in kv]
     )[F.col("__pid")]
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return part.withColumn(
+    out = part.withColumn(
         out_col, (off_expr + F.row_number().over(w) - 1).cast("long")
     ).drop("__pid")
+    return (out, acc) if return_total else out
 
 
 def running_total(

@@ -306,6 +306,8 @@ _WINDOW_R8_SEED = [
     "cvm_test_purchase_click",
     "null_semantics_zoo",
     "hhi_supplier_concentration",
+    # round-8 additions
+    "maximal_repeat_spans",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

@@ -813,3 +813,63 @@ def top_duplicated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.top_duplicated_windows(
         _doc_corpus(spark, sf_dir), window=_SSW, stride=_SSS, top_k=20
     )
+
+
+# ---- exact maximal repeat spans (arbitrary length ≥ 40) -----------------------
+
+# The strided profile above bounds detection at ≥40-char repeats on a
+# 10-char grid; this query reports the EXACT maximal spans of ANY
+# duplicated substring of length ≥ 40 — the true Lee-et-al output —
+# via the duplicated-L-gram union identity (operators/dedup.py:
+# maximal_repeat_spans). The oracle recomputes it in DuckDB on the
+# gram TEXT itself (no hashing anywhere), so the engine's xxhash64
+# shuffle-key path is independently cross-checked.
+_REPEAT_SPANS_ORACLE = f"""
+WITH {_CORPUS_CTE},
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           substr(text, CAST(i AS INT) + 1, {_SSW}) AS g
+    FROM corpus, UNNEST(range(0, len(text) - {_SSW} + 1)) AS t(i)
+    WHERE len(text) >= {_SSW}
+),
+occ AS (SELECT g, count(*) AS n_occ FROM grams GROUP BY g),
+dup AS (
+    SELECT doc_id, pos FROM grams JOIN occ USING (g) WHERE n_occ >= 2
+),
+flag AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {_SSW}
+                THEN 1 ELSE 0 END AS brk
+    FROM dup
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS g_id
+    FROM flag
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SSW} - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM grp
+GROUP BY doc_id, g_id
+"""
+
+
+@query("maximal_repeat_spans", oracle=_REPEAT_SPANS_ORACLE)
+def maximal_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal repeat spans of length ≥ 40 per document (the
+    arbitrary-length Lee-et-al upgrade of `exact_substring_dup_stats`):
+    every maximal character interval covered by a corpus-duplicated
+    substring, with its start, length, and duplicated-gram count.
+    Three linear exchanges — stride-1 gram explode on 8-byte hash
+    keys, corpus occurrence count, doc-keyed gaps-and-islands merge —
+    never a suffix sort or a pair join."""
+    return DD.maximal_repeat_spans(
+        _doc_corpus(spark, sf_dir), min_len=_SSW
+    )

@@ -457,8 +457,13 @@ def flac_lpc_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicts. Every quantity in the hash is exactly representable
 # (integer pixels, block means over equal values, a /64 global mean),
 # so no bit ever sits on a float boundary.
+# The oracle groups by the corpus-construction formula (doc_id % 16,
+# which fully determines the rendered pattern) but emits the SAME
+# representative the engine does — min(doc_id) per cluster — so parity
+# holds for any doc_id population (filtered, 1-based, gappy), not just
+# the generator's contiguous-from-0 ids (ADVICE r7).
 _PHASH_DEDUP_ORACLE = """
-SELECT CAST(doc_id % 16 AS BIGINT) AS cluster_id,
+SELECT CAST(min(doc_id) AS BIGINT) AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_images,
        CAST(count(DISTINCT doc_id % 64) AS BIGINT) AS n_payload_variants
 FROM documents
@@ -527,8 +532,10 @@ def phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle predicts. Gain variation makes the payload bytes differ
 # within a cluster: only the spectral key unifies them (fingerprint is
 # loudness-invariant by construction — argmax is scale-free).
+# min(doc_id) representative for the same reason as the phash oracle:
+# no reliance on contiguous-from-0 doc_ids (ADVICE r7).
 _AFP_DEDUP_ORACLE = """
-SELECT CAST(doc_id % 48 AS BIGINT) AS cluster_id,
+SELECT CAST(min(doc_id) AS BIGINT) AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_clips,
        CAST(count(DISTINCT (doc_id // 48) % 3) AS BIGINT) AS n_payload_variants
 FROM documents

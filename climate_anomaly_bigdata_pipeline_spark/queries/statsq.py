@@ -1142,12 +1142,19 @@ def ks_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gap closes it (completed); sessions whose last event is within one
 # hour of the corpus edge are right-CENSORED (they may still be open).
 # The KM estimator S(t) = Π_{u ≤ t} (1 - d(u)/n(u)) multiplies exact
-# integer ratios; the cumulative product's float GROUPING differs
-# between a sequential window product and the distributed prefix
-# product (multiplication is commutative, not associative), so survival
-# is rounded to 6 — everything upstream of the product is exact.
+# integer ratios; float multiplication is commutative but NOT
+# associative, so any two engines that group the product differently
+# can diverge in the last ulp — and the earlier round(·, 6) answer was
+# flaky at rounding boundaries (ADVICE r7). The fix is the Holt recipe:
+# after the distributed duration-grouped agg, the curve is a SMALL
+# calendar-bounded series (one row per distinct session duration), so
+# both engines run the SAME strictly-sequential left-to-right product —
+# Spark as one JVM-side `aggregate` fold over the sorted array, DuckDB
+# as a recursive CTE — with identical parenthesization
+# surv' = surv * (1 - d/n_risk). The doubles are bit-equal, so the
+# output needs NO rounding at all.
 _KM_ORACLE = """
-WITH flagged AS (
+WITH RECURSIVE flagged AS (
     SELECT
         user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us,
         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
@@ -1178,24 +1185,24 @@ WITH flagged AS (
     SELECT dur, CAST(count(*) AS BIGINT) AS c,
            CAST(sum(completed) AS BIGINT) AS d
     FROM du GROUP BY dur
-), w2 AS (
-    SELECT dur, c, d,
-           CAST(sum(c) OVER (
-               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS c_cum,
-           CAST(sum(c) OVER () AS BIGINT) AS n_tot
+), idx AS (
+    SELECT CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i, dur, c, d
     FROM g
-), s AS (
-    SELECT dur, d, n_tot - c_cum + c AS n_risk,
-           product(1.0 - CAST(d AS DOUBLE)
-                   / CAST(n_tot - c_cum + c AS DOUBLE)) OVER (
-               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS surv
-    FROM w2
+), tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM g
+), km(i, dur, n_risk, d, c_cum, surv) AS (
+    SELECT r.i, r.dur, t.n_tot, r.d, r.c,
+           1.0 * (1 - CAST(r.d AS DOUBLE) / CAST(t.n_tot AS DOUBLE))
+    FROM idx r CROSS JOIN tot t WHERE r.i = 1
+    UNION ALL
+    SELECT r.i, r.dur, t.n_tot - km.c_cum, r.d, km.c_cum + r.c,
+           km.surv * (1 - CAST(r.d AS DOUBLE)
+                      / CAST(t.n_tot - km.c_cum AS DOUBLE))
+    FROM km JOIN idx r ON r.i = km.i + 1 CROSS JOIN tot t
 )
 SELECT dur AS duration_minutes, n_risk AS n_at_risk, d AS n_events,
-       round(surv, 6) AS survival
-FROM s WHERE d > 0
+       surv AS survival
+FROM km WHERE d > 0
 """
 
 
@@ -1206,17 +1213,15 @@ def km_survival_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed session, the at-risk count, event count, and the running
     product survival estimate.
 
-    Shape: sessionization (one user_id shuffle shared by its windows),
-    a duration-keyed count agg, the at-risk suffix counts from
-    :func:`running_totals`' distributed prefix sum, and the survival
-    curve from :func:`running_products` — the multiplicative prefix
-    recipe; neither puts the series through a single-partition ORDER BY
-    window. Only the final product is float-grouping-sensitive, hence
-    the round(·, 6)."""
-    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
-        running_products,
-        running_totals,
-    )
+    Shape: sessionization (one user_id shuffle shared by its windows)
+    and a duration-keyed count agg carry all the data-sized work; the
+    curve itself is calendar-bounded (one row per distinct duration
+    minute), so the at-risk counts and the survival product run as ONE
+    JVM-side ``aggregate`` fold over the sorted array — the Holt
+    recipe: strictly sequential, parenthesization pinned to the
+    oracle's recursive CTE, doubles bit-equal across engines, no
+    rounding anywhere (the previous round(·, 6) was boundary-flaky,
+    ADVICE r7)."""
     from climate_anomaly_bigdata_pipeline_spark.operators import timeseries as TS
 
     ev = Catalog(spark, sf_dir).events
@@ -1239,28 +1244,54 @@ def km_survival_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("completed"),
     )
     g = du.groupBy("dur").agg(
-        F.count(F.lit(1)).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("c"),
         F.sum("completed").cast("long").alias("d"),
     )
-    tot = g.agg(F.sum("c").alias("n_tot"))
-    w2 = running_totals(g, ["dur"], [("c", "c_cum")]).crossJoin(
-        F.broadcast(tot)
+    ser = g.agg(
+        F.array_sort(F.collect_list(F.struct("dur", "c", "d"))).alias("arr"),
+        F.sum("c").cast("long").alias("n_tot"),
     )
-    risk = (F.col("n_tot") - F.col("c_cum") + F.col("c")).alias("n_risk")
-    w3 = w2.select(
-        "dur", "c", "d", risk,
-        (
-            F.lit(1.0)
-            - F.col("d").cast("double")
-            / (F.col("n_tot") - F.col("c_cum") + F.col("c")).cast("double")
-        ).alias("factor"),
+    row_t = "array<struct<dur:bigint,n_risk:bigint,d:bigint,surv:double>>"
+    init = F.struct(
+        F.lit(0).cast("long").alias("c_cum"),
+        F.lit(1.0).alias("surv"),
+        F.array().cast(row_t).alias("rows"),
     )
-    s = running_products(w3, ["dur"], "factor", out_col="surv")
-    return s.filter(F.col("d") > 0).select(
-        F.col("dur").alias("duration_minutes"),
-        F.col("n_risk").alias("n_at_risk"),
-        F.col("d").alias("n_events"),
-        F.round("surv", 6).alias("survival"),
+
+    def step(acc, s):
+        # n_risk BEFORE this duration's sessions leave the risk set;
+        # parenthesization mirrors the oracle's recursive CTE exactly.
+        n_risk = F.col("n_tot") - acc["c_cum"]
+        surv = acc["surv"] * (
+            F.lit(1.0) - s["d"].cast("double") / n_risk.cast("double")
+        )
+        row = F.struct(
+            s["dur"].alias("dur"),
+            n_risk.alias("n_risk"),
+            s["d"].alias("d"),
+            surv.alias("surv"),
+        )
+        return F.struct(
+            (acc["c_cum"] + s["c"]).alias("c_cum"),
+            surv.alias("surv"),
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+        )
+
+    # localCheckpoint (1 row): keeps CollapseProject from inlining the
+    # whole interpreted fold into every exploded output column.
+    state = ser.select(
+        F.aggregate(F.col("arr"), init, step)["rows"].alias("rows")
+    ).localCheckpoint()
+    r = F.col("r")
+    return (
+        state.select(F.explode("rows").alias("r"))
+        .filter(r["d"] > 0)
+        .select(
+            r["dur"].alias("duration_minutes"),
+            r["n_risk"].alias("n_at_risk"),
+            r["d"].alias("n_events"),
+            r["surv"].alias("survival"),
+        )
     )
 
 
@@ -1315,10 +1346,11 @@ def lorenz_curve_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,6)").alias("x"),
         "o_totalprice", "o_orderkey",
     )
-    ranked = stable_global_index(
-        o, ["o_totalprice", "o_orderkey"], out_col="rn0"
+    # N comes from the index operator's own per-partition-counts
+    # collect — no second scan of the range-exchanged fact (ADVICE r7).
+    ranked, n = stable_global_index(
+        o, ["o_totalprice", "o_orderkey"], out_col="rn0", return_total=True
     )
-    n = ranked.count()
     d = ranked.select(
         ((F.col("rn0") * 10) / F.lit(n)).cast("long").alias("dm1"), "x"
     ).select((F.col("dm1") + 1).alias("decile"), "x")
@@ -1348,7 +1380,13 @@ def lorenz_curve_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is T = Σ_k w_k·D_k² / (n_a·n_b·N²): the numerator is a pure integer
 # sum — order-independent, no rounding anywhere — carried as
 # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because w·D² approaches
-# 2^63 already at sf0.1 scale. The division happens once, on identical
+# 2^63 already at sf0.1 scale. EVERY multiply is lifted to the wide
+# type first (ADVICE r7: a LONG intermediate a_cum·n_b wraps silently
+# past 2^63 in Spark's non-ANSI mode while DuckDB's BIGINT errors —
+# the two engines would diverge). Exactness bound: the 38-digit carrier
+# holds while Σ w·D² < 10^38 (arms up to ~10^8 rows each); past that
+# Spark yields NULL and DuckDB raises — loud on both engines, never a
+# silently wrong number. The division happens once, on identical
 # integers, so the double is bit-equal across engines.
 _CVM_ORACLE = """
 WITH f AS (
@@ -1382,8 +1420,11 @@ tot AS (
 ),
 s AS (
     SELECT na, nb,
-           sum((a_cnt + b_cnt)
-               * (a_cum * nb - b_cum * na) * (a_cum * nb - b_cum * na))
+           sum(CAST(a_cnt + b_cnt AS HUGEINT)
+               * (CAST(a_cum AS HUGEINT) * CAST(nb AS HUGEINT)
+                  - CAST(b_cum AS HUGEINT) * CAST(na AS HUGEINT))
+               * (CAST(a_cum AS HUGEINT) * CAST(nb AS HUGEINT)
+                  - CAST(b_cum AS HUGEINT) * CAST(na AS HUGEINT)))
                AS num
     FROM c, tot
     GROUP BY na, nb
@@ -1408,9 +1449,11 @@ def cvm_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: identical to the KS query — per-distinct-value arm counts,
     both cumulative counts from one :func:`running_totals` pass — plus
     ONE exact-integer aggregation: the numerator sums
-    w·(cum_a·n_b − cum_b·n_a)² in DECIMAL(38,0), so the statistic
-    needs no rounding at any scale (the KS max was already exact;
-    here even the SUM is)."""
+    w·(cum_a·n_b − cum_b·n_a)² entirely in DECIMAL(38,0) — operands
+    lifted BEFORE the multiplies, so no 64-bit intermediate can wrap —
+    exact up to ~10^8 rows per arm and loudly NULL/error (Spark/DuckDB)
+    beyond, never silently wrong (the KS max was already exact; here
+    even the SUM is)."""
     from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
         running_totals,
     )
@@ -1431,9 +1474,11 @@ def cvm_test_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a_cnt").cast("long").alias("na"),
         F.sum("b_cnt").cast("long").alias("nb"),
     )
-    d = (
-        F.col("a_cum") * F.col("nb") - F.col("b_cum") * F.col("na")
-    ).cast("decimal(38,0)")
+    # Every operand is lifted to DECIMAL(38,0) BEFORE any multiply: the
+    # LONG intermediate a_cum*nb can exceed 2^63 at large scale factors
+    # and Spark's non-ANSI mode would wrap silently (ADVICE r7 medium).
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = dec("a_cum") * dec("nb") - dec("b_cum") * dec("na")
     s = (
         c.crossJoin(F.broadcast(tot))
         .groupBy("na", "nb")

@@ -370,9 +370,11 @@ def test_km_curve_properties(spark, sf_dir):
     assert all(a > b for a, b in zip(risks, risks[1:]))
     # every output row is an event time
     assert all(r["n_events"] > 0 for r in rows)
-    # KM identity at the first event time: S = 1 - d/n (rounded)
+    # KM identity at the first event time: S = 1 - d/n, now EXACT —
+    # all earlier (censored-only) factors are exactly 1.0 and the fold
+    # multiplies sequentially, so no rounding is involved anymore.
     r0 = rows[0]
-    assert r0["survival"] == round(1.0 - r0["n_events"] / r0["n_at_risk"], 6)
+    assert r0["survival"] == 1.0 - r0["n_events"] / r0["n_at_risk"]
 
 
 # ---- spectral audio fingerprint -----------------------------------------------------

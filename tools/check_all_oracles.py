@@ -6,10 +6,17 @@ compare in tests/oracle_utils.py, and prints one line per query plus
 a failing summary. Exit code 1 if any query fails.
 
 Usage: python tools/check_all_oracles.py [sf_dir] [name ...]
+       python tools/check_all_oracles.py --json OUT.json [sf_dir] [name ...]
+
+With --json the per-query results are also written as a
+CORRECTNESS_r*-shaped artifact (name -> {ok, msg, seconds}) so the
+sweep is a committed, diffable record rather than terminal scrollback
+(VERDICT r7 item 5: CORRECTNESS_sf01_local.json each round).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -23,11 +30,16 @@ from tests.oracle_utils import run_check
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out: str | None = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] if len(args) > 1 else sorted(QUERIES)
     spark = get_spark("oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[tuple[str, str]] = []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.monotonic()
         try:
@@ -37,11 +49,25 @@ def main() -> int:
         dt = time.monotonic() - t0
         print(f"{'PASS' if ok else 'FAIL'} {name:40s} {dt:6.1f}s  {msg}")
         sys.stdout.flush()
+        results[name] = {"ok": ok, "msg": msg, "seconds": round(dt, 2)}
         if not ok:
             failures.append((name, msg))
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     for name, msg in failures:
         print(f"  FAIL {name}: {msg}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "passed": len(names) - len(failures),
+                    "total": len(names),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
