@@ -308,6 +308,9 @@ _WINDOW_R8_SEED = [
     "hhi_supplier_concentration",
     # round-8 additions
     "maximal_repeat_spans",
+    "dup_char_fraction",
+    "mann_kendall_trend_daily",
+    "cusum_changepoint_daily",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

@@ -873,3 +873,90 @@ def maximal_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.maximal_repeat_spans(
         _doc_corpus(spark, sf_dir), min_len=_SSW
     )
+
+
+# ---- corpus duplicated-character fraction -------------------------------------
+
+# The Lee-et-al headline number: what fraction of corpus CHARACTERS sit
+# inside some duplicated substring of length ≥ 40. Every term is an
+# exact integer (span lengths, text lengths), so the one final division
+# is bit-equal across engines.
+_DUP_CHAR_FRAC_ORACLE = f"""
+WITH {_CORPUS_CTE},
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           substr(text, CAST(i AS INT) + 1, {_SSW}) AS g
+    FROM corpus, UNNEST(range(0, len(text) - {_SSW} + 1)) AS t(i)
+    WHERE len(text) >= {_SSW}
+),
+occ AS (SELECT g, count(*) AS n_occ FROM grams GROUP BY g),
+dup AS (
+    SELECT doc_id, pos FROM grams JOIN occ USING (g) WHERE n_occ >= 2
+),
+flag AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {_SSW}
+                THEN 1 ELSE 0 END AS brk
+    FROM dup
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS g_id
+    FROM flag
+),
+spans AS (
+    SELECT doc_id, max(pos) + {_SSW} - min(pos) AS span_len
+    FROM grp GROUP BY doc_id, g_id
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars
+    FROM corpus
+)
+SELECT n_docs,
+       total_chars,
+       CAST(count(s.span_len) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs_with_dups,
+       CAST(coalesce(sum(s.span_len), 0) AS BIGINT) AS dup_chars,
+       CAST(coalesce(sum(s.span_len), 0) AS DOUBLE)
+           / CAST(total_chars AS DOUBLE) AS dup_char_frac
+FROM tot LEFT JOIN spans s ON true
+GROUP BY n_docs, total_chars
+"""
+
+
+@query("dup_char_fraction", oracle=_DUP_CHAR_FRAC_ORACLE)
+def dup_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-character fraction (the headline metric
+    of Lee et al.): total characters, characters inside ≥40-char
+    maximal repeat spans, span/doc counts, and the fraction. One
+    linear spans pass (see `maximal_repeat_spans`) plus a broadcast
+    1-row corpus total; all terms exact integers, one bit-equal
+    division."""
+    corpus = _doc_corpus(spark, sf_dir)
+    spans = DD.maximal_repeat_spans(corpus, min_len=_SSW)
+    tot = corpus.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    agg = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_with_dups"),
+        F.coalesce(F.sum("span_len"), F.lit(0)).cast("long").alias("dup_chars"),
+    )
+    return tot.crossJoin(agg).select(
+        "n_docs",
+        "total_chars",
+        "n_spans",
+        "n_docs_with_dups",
+        "dup_chars",
+        (
+            F.col("dup_chars").cast("double")
+            / F.col("total_chars").cast("double")
+        ).alias("dup_char_frac"),
+    )

@@ -1584,3 +1584,217 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot").cast("double") * F.col("tot").cast("double"))
         ).alias("hhi"),
     )
+
+
+# ---- Mann-Kendall trend test over daily revenue --------------------------------
+
+# S = Σ_{i<j} sign(x_j − x_i) over the date-ordered daily series: a pure
+# INTEGER, order-independent, so the distributed SUM needs no float
+# discipline at all. The variance's 18× numerator
+# var18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) is likewise integer
+# (tie groups are exact double-equality groups — both engines see
+# bit-identical daily values, see the ACF note). The ONE float op is
+# z = (S ∓ 1)/sqrt(var18/18), computed from identical integers with
+# identical parenthesization → bit-equal. The pair join is
+# calendar-bounded (n days ~ thousands for a century), the same
+# bounded-series posture as ACF/Holt — the data-sized work is only the
+# daily pre-aggregation.
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1
+),
+s AS (
+    SELECT CAST(coalesce(sum(
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT)
+               AS s_stat
+    FROM daily a JOIN daily b ON a.d < b.d
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+ties AS (
+    SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x) g
+),
+v AS (
+    SELECT n, s_stat,
+           n * (n - 1) * (2 * n + 5) - tie_term AS var18
+    FROM nn, s, ties
+)
+SELECT n AS n_days, s_stat, var18,
+       CASE WHEN var18 <= 0 THEN 0.0
+            WHEN s_stat > 0
+                THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN s_stat < 0
+                THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_stat
+FROM v
+"""
+
+
+@query("mann_kendall_trend_daily", oracle=_MANN_KENDALL_ORACLE)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily revenue series:
+    the nonparametric companion to `linreg_price_by_qty`'s parametric
+    slope and `acf_daily_revenue`'s seasonality scan. Outputs n, the
+    exact integer S and 18·Var(S), and the tie-corrected z.
+
+    Shape: distributed daily pre-agg carries the data-sized work; the
+    pair join runs over the calendar-bounded series (broadcast
+    nested-loop on a ~thousands-row side — the declared bounded-side
+    posture, same as ACF's in-row folds). S is an integer sum, so no
+    accumulation-order discipline is needed anywhere except the final
+    z division, which both engines compute from identical integers."""
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x")
+    ).localCheckpoint()  # reused 3×: pairs (both sides), count, ties
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+    sd, var18 = F.col("s_stat").cast("double"), F.col("var18")
+    denom = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var18",
+        F.when(var18 <= 0, F.lit(0.0))
+        .when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / denom)
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+# ---- CUSUM change-point detection over daily revenue ---------------------------
+
+# Mean-shift change point via the CUSUM peak, kept EXACT by clearing
+# the mean's division: with prefix P_i (cents) and total T over n days,
+# the classic S_i = P_i − i·T/n is replaced by the integer
+# D_i = n·P_i − i·T = 18-digit-safe in DECIMAL(38,0)/HUGEINT; the
+# change point is argmax |D_i| (ties → earliest day). The prefix sum is
+# the distributed running_totals recipe and the day index comes from
+# stable_global_index — never a single-partition window over the fact;
+# the series itself is calendar-bounded, the argmax is a 1-row ordered
+# limit.
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100
+                AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+w AS (
+    SELECT d,
+           CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i,
+           CAST(sum(c) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS HUGEINT) AS pre
+    FROM daily
+),
+tot AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS total
+    FROM daily
+),
+t AS (SELECT d, n, n * pre - i * total AS di FROM w, tot)
+SELECT d AS change_day,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(abs(di) AS DOUBLE) AS cusum_peak,
+       CAST(CASE WHEN di > 0 THEN 1 WHEN di < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS drift_sign
+FROM t ORDER BY abs(di) DESC, d LIMIT 1
+"""
+
+
+@query("cusum_changepoint_daily", oracle=_CUSUM_ORACLE)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: the day where the
+    cumulative deviation from the global mean peaks — the mean-shift
+    locator that complements `mean_shift_scores`' per-window z test.
+    All arithmetic is exact integer cents with the mean's division
+    cleared (D_i = n·P_i − i·T), so the argmax and the peak are
+    bit-equal across engines; only the reported peak is cast to double
+    at the very end."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_totals,
+        stable_global_index,
+    )
+
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        (F.round(F.sum(FN.revenue_expr()), 2) * 100)
+        .cast("long")
+        .alias("c")
+    )
+    idx = stable_global_index(daily, ["d"], out_col="i0")
+    pre = running_totals(idx, ["d"], [("c", "pre")])
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("total"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    t = pre.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (
+            dec("n") * dec("pre") - (dec("i0") + F.lit(1)) * dec("total")
+        ).alias("di"),
+    )
+    return (
+        t.orderBy(F.abs(F.col("di")).desc(), F.col("d"))
+        .limit(1)
+        .select(
+            F.col("d").alias("change_day"),
+            F.col("n").cast("long").alias("n_days"),
+            F.abs(F.col("di")).cast("double").alias("cusum_peak"),
+            F.when(F.col("di") > 0, 1)
+            .when(F.col("di") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("drift_sign"),
+        )
+    )
