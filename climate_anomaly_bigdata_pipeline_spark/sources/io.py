@@ -86,6 +86,33 @@ def write_range_clustered(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed (and optionally sorted) managed-table Parquet sink:
+    pays the shuffle ONCE at write time so that every later equi-join or
+    aggregation on ``bucket_col`` between same-bucketed tables is
+    exchange-free — the amortize-the-shuffle layout for fact⋈fact joins
+    that repeat every day at 100 TB (the write-side twin of
+    :func:`write_range_clustered`'s read-side pruning). With ``sort``
+    the per-bucket files are also sorted, so the downstream
+    SortMergeJoin skips its sort as well.
+
+    Bucket join elimination requires equal bucket counts on both sides
+    and the join keys to be exactly the bucket columns —
+    ``tests/test_scale_techniques.py::test_bucketed_join_eliminates_shuffle``
+    plan-gates the contract."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

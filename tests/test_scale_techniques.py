@@ -364,3 +364,39 @@ def test_join_strategy_hints_control_physical_join(spark, sf_dir):
     assert "SortMergeJoin" in plan(od.hint("merge"))
     assert "ShuffledHashJoin" in plan(od.hint("shuffle_hash"))
     assert "BroadcastHashJoin" in plan(od.hint("broadcast"))
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Two tables bucketed by their join keys with equal bucket counts
+    join WITHOUT any Exchange in the plan — the write-time shuffle is
+    amortized across every later co-located join (sources/io.py:
+    write_bucketed). Broadcast is disabled so the test exercises the
+    sort-merge path a 100 TB fact⋈fact join would take."""
+    from climate_anomaly_bigdata_pipeline_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+    write_bucketed(lineitem, "t_lineitem_b", "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
