@@ -314,6 +314,27 @@ _WINDOW_R8_SEED = [
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 
+# Round-9 window, PREPARED but NOT active (activate next round with
+# _PRIORITY = _WINDOW_R8). Slots 2-9 are the only registry names that
+# will still lack a driver-verified CORRECTNESS row once _WINDOW_R7
+# runs (the seed). The remaining 41 slots are RE-VERIFICATION padding
+# drawn from the oldest driver-green window (_WINDOW_R4, green since
+# r4) — replace padding entries with round-9 additions as they land
+# (newest-first, padding drops from the tail).
+_WINDOW_R8 = (
+    ["zscore_anomaly"]
+    + _WINDOW_R8_SEED
+    + [n for n in _WINDOW_R4 if n != "zscore_anomaly"][
+        : 50 - 1 - len(_WINDOW_R8_SEED)
+    ]
+)
+assert len(_WINDOW_R8) == 50
+assert len(set(_WINDOW_R8)) == 50
+# every non-padding (seed) name is new to the driver:
+assert not set(_WINDOW_R8_SEED) & (
+    set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
+)
+
 
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
