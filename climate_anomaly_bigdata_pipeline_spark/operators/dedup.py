@@ -1204,6 +1204,7 @@ def substring_windows(
     stride: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """One row per strided character window of each document:
     ``(id_col, pos, win)`` where ``win = substring(text, pos+1, window)``
@@ -1219,9 +1220,20 @@ def substring_windows(
     one equi-shuffle, with no quadratic candidate join anywhere.
 
     Built-ins only (``sequence`` + ``explode`` + ``substring``), so the
-    whole expansion stays inside whole-stage codegen."""
+    whole expansion stays inside whole-stage codegen.
+
+    The docs are round-robin re-exchanged to ``n_parts`` (default: the
+    cluster's defaultParallelism) BEFORE the explode: input partitioning
+    is sized by document BYTES, but the explode multiplies rows by
+    ~len/stride (300× at stride 1), so a 2-partition parquet scan would
+    run the whole expansion 2-way — the same rows-vs-bytes starvation as
+    SCALE.md round-6's pandas stages (measured: stride-1 stage at sf1
+    15.1 s → 1.3 s warm with the exchange; the docs shuffle itself is
+    one cheap pass over the raw text)."""
+    n = n_parts or docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.filter(F.length(text_col) >= window)
+        .repartition(n)
         .select(
             id_col,
             F.explode(
