@@ -982,14 +982,23 @@ def ngram_contamination(
     The benchmark side is eval-set-sized, so its exploded shingles are
     broadcast — the corpus side streams through map-side: shingle
     (row-local explode), hash-join against the broadcast set, one
-    grouped count by (corpus_id, benchmark_id). No corpus-side shuffle
-    until the tiny match set aggregates.
+    grouped count by (corpus_id, benchmark_id).
+
+    Both sides are round-robin re-exchanged BEFORE the explode (the
+    rows-vs-bytes rule: a compressed document table arrives in a
+    handful of byte-sized input splits, but the shingle explode
+    multiplies rows ~|tokens|×, so without the exchange the whole
+    scan+join runs on 1-2 tasks — measured at sf10: 583 s starved vs
+    ~30 s spread). The docs exchange itself is one cheap pass over the
+    raw text; no other corpus-side shuffle happens until the tiny
+    match set aggregates.
     """
-    c_sh = corpus.select(
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c_sh = corpus.repartition(par, id_col).select(
         F.col(id_col).alias("corpus_id"),
         F.explode(shingles_expr(text_col, n)).alias("__sh"),
     )
-    b_sh = benchmark.select(
+    b_sh = benchmark.repartition(par, id_col).select(
         F.col(id_col).alias("benchmark_id"),
         F.explode(shingles_expr(text_col, n)).alias("__sh"),
     )
@@ -1395,23 +1404,37 @@ def maximal_repeat_spans(
     ``[pos, pos+L)`` intervals — no suffix sort, no prefix-doubling
     rounds, no pairwise comparison.
 
-    Shape (three linear exchanges, each on a narrow fixed-width key):
-    stride-1 window explode (O(total_chars) rows of (id, pos, hash) —
-    the grams shuffle as 8-byte xxhash64 keys, never as text), a
-    corpus-wide occurrence count as ``count() OVER (PARTITION BY
-    hash)``, then one doc-keyed exchange where a classic
+    Shape: the duplicated-gram SET comes from a map-side-combined
+    ``groupBy(hash)`` count (the partial aggregation collapses the
+    O(total_chars) gram stream to one row per distinct hash BEFORE the
+    exchange — a ``count() OVER (PARTITION BY hash)`` formulation
+    instead exchanges AND sorts every gram row: measured 71-110 s at
+    sf10); the gram stream then BROADCAST-joins that set (codegen
+    re-explode — cheaper than materializing 10⁸ rows; the set is
+    8 bytes per distinct duplicated gram, ~40 MB even on the
+    worst-case tiled sf10 corpus), and one doc-keyed exchange runs the
+    classic
     gaps-and-islands window (break when the gap exceeds L, running-sum
-    the breaks, group) merges overlapping/touching intervals. Interval
-    ends are monotone in ``pos``, so comparing each position only with
-    its predecessor is sufficient for the merge."""
+    the breaks, group) to merge overlapping/touching intervals.
+    Interval ends are monotone in ``pos``, so comparing each position
+    only with its predecessor is sufficient for the merge. Everything
+    shuffles as 8-byte xxhash64 keys / fixed-width longs, never text.
+    At 100 TB a truly enormous dup-hash set would outgrow the
+    broadcast — drop the hint there and the same plan runs as a
+    co-partitioned hash join on the pre-aggregated set, still linear
+    and still sort-free."""
     from pyspark.sql import Window
 
     wins = substring_windows(
         docs, window=min_len, stride=1, id_col=id_col, text_col=text_col
     ).select(id_col, "pos", F.xxhash64("win").alias("h"))
-    dup = wins.withColumn(
-        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("n_occ") >= 2)
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    dup = wins.join(F.broadcast(dup_hashes), "h")
     w = Window.partitionBy(id_col).orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
     flagged = dup.select(

@@ -282,6 +282,22 @@ def ivf_knn_join(
     import numpy as np
     import pandas as pd
 
+    # The PROBE side is chunked (per-cell row_number -> fixed-size
+    # query batches); the corpus side stays one whole-cell blob per
+    # task. One whole-cell×whole-probe task goes quadratic in task
+    # memory and serializes the stage onto n_centroids tasks as |cell|
+    # grows (measured at sf10, 200k vecs / 16 cells: 1373 s with
+    # 12.5k × 25k = 2.5 GB cosine blocks on 12 live tasks). Chunking
+    # the CORPUS side instead is a trap: the margin rule keeps ≥k rows
+    # per query PER CORPUS CHUNK, so candidates multiply by the chunk
+    # count — measured at sf10 it spilled the rescore sort to disk
+    # exhaustion. Query-side chunks keep candidates at O(queries × k)
+    # while bounding the GEMM block to |cell| × qchunk; the per-query
+    # k-th-best margin rule still sees the whole cell, so the exact
+    # rescore + exact window below reproduce the whole-cell result
+    # bit-for-bit. |cell| itself is bounded by the documented contract
+    # (grow n_centroids with the corpus so a cell stays task-sized).
+    qchunk_rows = 2048
     queries = assigned.select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -294,10 +310,15 @@ def ivf_knn_join(
         .groupBy("cell")
         .agg(F.collect_list(F.struct("nid", "v")).alias("cb"))
     )
-    qblob = queries.groupBy("cell").agg(
-        F.collect_list(F.struct("query_id", "qv")).alias("qb")
+    wq = Window.partitionBy("cell").orderBy("query_id")
+    qblob = (
+        queries.withColumn(
+            "qc", F.floor((F.row_number().over(wq) - 1) / F.lit(qchunk_rows))
+        )
+        .groupBy("cell", "qc")
+        .agg(F.collect_list(F.struct("query_id", "qv")).alias("qb"))
     )
-    tasks = cblob.join(qblob, "cell").repartition(F.col("cell"))
+    tasks = cblob.join(qblob, "cell").repartition(F.col("cell"), F.col("qc"))
     kk = int(k)
     mg = 1e-6
 
@@ -593,37 +614,80 @@ def semdedup_prune(
     e = _normed(df, id_col, vec_col).withColumn(
         "cell", F.array_max(_cell_assign_structs(codebook)).getField("i")
     )
-    # In-cell pair evaluation is one float64 GEMM per cell (the
+    # In-cell pair evaluation is float64 GEMM (the
     # embedding_neardup_pairs_gemm recipe: executor-side blobs, margin
     # candidates, exact-fold refilter) — the within-cell equi-join with
     # per-pair interpreted folds was 63 s at sf1, the GEMM path 3-16 s,
     # and the final dup set is bit-identical because survivors are
     # re-verified with the exact expression.
+    #
+    # Cells are additionally CHUNKED (per-cell row_number -> fixed-size
+    # batches) and paired upper-triangle (a.chunk <= b.chunk) inside
+    # each cell: one whole-cell blob per task goes quadratic in task
+    # memory and serializes the stage onto n_centroids tasks as |cell|
+    # grows with the corpus — measured at sf10 (200k vecs, 16 cells):
+    # whole-cell blobs 378 s (12 live tasks, 2.5 GB cosine blocks);
+    # bounded chunk-pair GEMMs restore full-core parallelism. The pair
+    # set is unchanged: chunking only partitions the in-cell upper
+    # triangle (candidates are threshold-hits, not per-chunk top-k, so
+    # chunking cannot multiply them). Rank-based chunks (not id-range):
+    # a cell's ids are spread over the whole id domain, so id-range
+    # chunking shatters cells into hundreds of tiny overhead-bound
+    # tasks.
+    from pyspark.sql import Window
+
     import numpy as np
     import pandas as pd
 
     thr_cand = float(threshold) - 1e-6
-    cells = e.groupBy("cell").agg(F.collect_list(F.struct(id_col, "v")).alias("blob"))
+    chunk_rows = 4096
+    wc = Window.partitionBy("cell").orderBy(id_col)
+    ec = e.withColumn(
+        "chunk", F.floor((F.row_number().over(wc) - 1) / F.lit(chunk_rows))
+    )
+    blobs = ec.groupBy("cell", "chunk").agg(
+        F.collect_list(F.struct(id_col, "v")).alias("blob")
+    )
+    tasks = (
+        blobs.select(
+            "cell", F.col("chunk").alias("ca"), F.col("blob").alias("blob_a")
+        )
+        .join(
+            blobs.select(
+                "cell", F.col("chunk").alias("cb"), F.col("blob").alias("blob_b")
+            ),
+            "cell",
+        )
+        .filter(F.col("ca") <= F.col("cb"))
+        .repartition(F.col("cell"), F.col("ca"), F.col("cb"))
+    )
 
     def score(batches):
         for pdf in batches:
             outs = []
             for _, row in pdf.iterrows():
-                ids = np.fromiter((r[id_col] for r in row["blob"]), dtype=np.int64)
-                m = np.array([r["v"] for r in row["blob"]], dtype=np.float64)
-                if len(ids) < 2:
-                    continue
-                n = np.sqrt((m * m).sum(axis=1))
-                cs = (m @ m.T) / np.outer(n, n)
+                ia = np.fromiter((r[id_col] for r in row["blob_a"]), dtype=np.int64)
+                va = np.array([r["v"] for r in row["blob_a"]], dtype=np.float64)
+                same = row["ca"] == row["cb"]
+                if same:
+                    ib, vb = ia, va
+                else:
+                    ib = np.fromiter(
+                        (r[id_col] for r in row["blob_b"]), dtype=np.int64
+                    )
+                    vb = np.array([r["v"] for r in row["blob_b"]], dtype=np.float64)
+                na = np.sqrt((va * va).sum(axis=1))
+                nb = na if same else np.sqrt((vb * vb).sum(axis=1))
+                cs = (va @ vb.T) / np.outer(na, nb)
                 i, j = np.nonzero(cs >= thr_cand)
-                keep = ids[i] < ids[j]
+                keep = ia[i] < ib[j]  # strict order also kills the diagonal
                 outs.append(
-                    pd.DataFrame({"id1": ids[i][keep], "id2": ids[j][keep]})
+                    pd.DataFrame({"id1": ia[i][keep], "id2": ib[j][keep]})
                 )
             if outs:
                 yield pd.concat(outs)
 
-    cands = cells.mapInPandas(score, "id1 long, id2 long")
+    cands = tasks.mapInPandas(score, "id1 long, id2 long")
     v1 = e.select(
         F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
     )

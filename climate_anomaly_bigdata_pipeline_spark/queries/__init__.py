@@ -311,6 +311,11 @@ _WINDOW_R8_SEED = [
     "dup_char_fraction",
     "mann_kendall_trend_daily",
     "cusum_changepoint_daily",
+    "kruskal_wallis_event_values",
+    "theil_sen_slope_daily",
+    "kendall_tau_purchase_click_daily",
+    "adamic_adar_linkpred",
+    "bigram_lm_scores",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

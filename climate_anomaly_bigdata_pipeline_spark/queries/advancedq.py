@@ -966,3 +966,114 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=2,
     ).select(F.col("u"), F.col("v"))
     return G.k_core(edges, k=_KCORE_K)
+
+
+# ---- Adamic-Adar link prediction on the co-purchase graph -------------------
+
+# Classic link prediction: for part pairs NOT currently adjacent,
+# score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common neighbors,
+# discounted by how promiscuous each shared neighbor is. Candidate
+# pairs come from the wedge equi-join on the shared-neighbor key
+# (never an all-pairs comparison); degrees attach to the adjacency
+# rows BEFORE the wedge join so no post-explosion lookup is needed.
+# Every shared neighbor has deg ≥ 2 by construction, so ln(deg) > 0.
+# Float parity: the per-pair score folds cnt/ln(deg) over the
+# degree-sorted (deg, cnt) list in pinned order (the ccf/list_reduce
+# recipe) and is rounded to 6 decimals to absorb the documented
+# cross-engine ln() ulp (same guard as unigram_lm_scores); the top-20
+# ordering ties on the rounded score break by (u, v).
+_AA_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+adj AS (SELECT u AS node, v AS nbr FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS k FROM adj GROUP BY node),
+adjd AS (SELECT a.node, a.nbr, d.k AS kw FROM adj a JOIN deg d ON d.node = a.nbr),
+wedge AS (
+    SELECT a.node AS u, b.node AS v, a.kw
+    FROM adjd a JOIN adjd b ON a.nbr = b.nbr AND a.node < b.node
+),
+cand AS (
+    SELECT w.u, w.v, w.kw FROM wedge w
+    LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+    WHERE e.u IS NULL
+),
+gt AS (
+    SELECT u, v, kw, CAST(count(*) AS BIGINT) AS cnt
+    FROM cand GROUP BY u, v, kw
+),
+sc AS (
+    SELECT u, v,
+           CAST(sum(cnt) AS BIGINT) AS common_neighbors,
+           round(list_reduce(
+               list(CAST(cnt AS DOUBLE) / ln(CAST(kw AS DOUBLE))
+                    ORDER BY kw),
+               (acc, x) -> acc + x
+           ), 6) AS aa_score
+    FROM gt GROUP BY u, v
+)
+SELECT u AS part_u, v AS part_v, common_neighbors, aa_score
+FROM sc ORDER BY aa_score DESC, u, v LIMIT 20
+"""
+
+
+@query("adamic_adar_linkpred", oracle=_AA_ORACLE)
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 Adamic-Adar link predictions on the part co-purchase
+    graph: the next-edge recommender that complements the existing
+    descriptive graph queries (triangles, k-core, PageRank). Wedge
+    generation, degree attachment, and the existing-edge anti-join are
+    all equi-joins on derived keys; per-pair scores fold the
+    degree-grouped terms in pinned order. The wedge fan-out is
+    Σ_w deg(w)² — bounded here by the support-≥2 edge filter; on a
+    hub-skewed 100 TB graph the documented mitigation is a degree cap
+    on w (drop shared neighbors above a threshold: they contribute
+    ≤ 1/ln(cap) each and dominate the blow-up)."""
+    li = Catalog(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+        .drop("w")
+        .localCheckpoint()  # reused: adjacency (twice) + the anti-join
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    adjd = adj.join(
+        deg.select(F.col("node").alias("nbr"), F.col("k").alias("kw")),
+        "nbr",
+    )
+    a, b = adjd.alias("a"), adjd.alias("b")
+    wedge = a.join(
+        b,
+        (F.col("a.nbr") == F.col("b.nbr"))
+        & (F.col("a.node") < F.col("b.node")),
+    ).select(
+        F.col("a.node").alias("u"),
+        F.col("b.node").alias("v"),
+        F.col("a.kw").alias("kw"),
+    )
+    cand = wedge.join(edges, ["u", "v"], "left_anti")
+    gt = cand.groupBy("u", "v", "kw").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sc = gt.groupBy("u", "v").agg(
+        F.sum("cnt").cast("long").alias("common_neighbors"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("kw", "cnt"))),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s["cnt"].cast("double") / F.log(s["kw"].cast("double")),
+            ),
+            6,
+        ).alias("aa_score"),
+    )
+    return (
+        sc.select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            "common_neighbors",
+            "aa_score",
+        )
+        .orderBy(F.col("aa_score").desc(), "part_u", "part_v")
+        .limit(20)
+    )

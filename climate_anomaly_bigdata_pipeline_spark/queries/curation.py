@@ -185,7 +185,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
 
     docs = Catalog(spark, sf_dir).documents
-    toks = docs.select(
+    # Pre-explode round-robin exchange: the compressed doc table scans
+    # as 1-2 byte-sized splits, but the token explode multiplies rows
+    # ~|tokens|x — without it the whole pipeline runs on 1-2 tasks
+    # (measured at sf10: 110 s starved).
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),

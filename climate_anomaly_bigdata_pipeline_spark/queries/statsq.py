@@ -1798,3 +1798,371 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_sign"),
         )
     )
+
+
+# ---- Kruskal-Wallis k-sample rank test over event values -----------------------
+
+# The k-sample generalization of `mannwhitney_purchase_click`: are the
+# event-value distributions of the k event types drawn from one
+# population? Ranks stay INTEGER end-to-end by carrying twice the
+# midrank (2·avgrank = 2·S_v + t_v + 1 for a value with S_v strictly
+# smaller rows and tie count t_v), so per-group rank sums T2_g = 2·R_g
+# are exact longs; the only float work is the per-group term
+# T2_g²/n_g (computed from integers, bit-identical in both engines)
+# folded over the event_type-sorted group list with pinned order (the
+# ccf/list_reduce parity recipe), and the final H algebra with pinned
+# parenthesization. Tie correction Σ(t³−t) rides DECIMAL(38,0)/HUGEINT
+# because N³ overflows a long past N ≈ 2·10⁶.
+_KW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+vc AS (SELECT value, CAST(count(*) AS BIGINT) AS t FROM ev GROUP BY value),
+pre AS (SELECT value, t, sum(t) OVER (ORDER BY value) AS cum FROM vc),
+rankmap AS (SELECT value, CAST(2 * cum - t + 1 AS BIGINT) AS tr FROM pre),
+gv AS (
+    SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+),
+grp AS (
+    SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+           CAST(sum(c * tr) AS BIGINT) AS t2
+    FROM gv JOIN rankmap USING (value) GROUP BY event_type
+),
+folded AS (
+    SELECT list_reduce(
+               list(CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY event_type),
+               (acc, x) -> acc + x
+           ) AS ssum,
+           CAST(count(*) AS BIGINT) AS k_groups
+    FROM grp
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev),
+ties AS (
+    SELECT CAST(coalesce(sum(
+               CAST(t AS HUGEINT) * (t - 1) * (t + 1)), 0) AS HUGEINT) AS tie3
+    FROM vc
+)
+SELECT n_total, k_groups,
+       3.0 * ssum / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+           - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_stat,
+       CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
+                     / CAST(CAST(n_total AS HUGEINT) * n_total * n_total
+                            - n_total AS DOUBLE) > 0
+            THEN (3.0 * ssum / (CAST(n_total AS DOUBLE)
+                                * (CAST(n_total AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / CAST(CAST(n_total AS HUGEINT) * n_total * n_total
+                                 - n_total AS DOUBLE))
+            ELSE 0.0 END AS h_tie_corrected
+FROM folded, tot, ties
+"""
+
+
+@query("kruskal_wallis_event_values", oracle=_KW_ORACLE)
+def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across the k event types' value
+    distributions — the k-sample companion to the Mann-Whitney pair
+    test. Twice-midranks keep every rank sum an exact long; the
+    per-group terms fold in event_type order (pinned, both engines);
+    tie correction rides DECIMAL(38,0)/HUGEINT.
+
+    Shape: the data-sized work is two grouped counts and one
+    value-keyed equi-join (rank map onto per-group value counts); the
+    global rank prefix is the distributed running_totals recipe —
+    never a single-partition window. The fold is k-sized (k = event
+    types)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_totals,
+    )
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    vc = ev.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    pre = running_totals(vc, ["value"], [("t", "cum")])
+    rankmap = pre.select(
+        "value",
+        (2 * F.col("cum") - F.col("t") + 1).cast("long").alias("tr"),
+    )
+    gv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = (
+        gv.join(rankmap, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("tr")).cast("long").alias("t2"),
+        )
+    )
+    t2d, ngd = F.col("t2").cast("double"), F.col("n_g").cast("double")
+    folded = (
+        grp.select("event_type", (t2d * t2d / ngd).alias("term"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "term"))
+            ).alias("lt"),
+            F.count(F.lit(1)).cast("long").alias("k_groups"),
+        )
+        .select(
+            F.aggregate(
+                F.transform("lt", lambda s: s["term"]),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("ssum"),
+            "k_groups",
+        )
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    tdec = F.col("t").cast("decimal(38,0)")
+    ties = vc.agg(
+        F.coalesce(
+            F.sum(tdec * (F.col("t") - 1) * (F.col("t") + 1)), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3")
+    )
+    j = folded.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ties))
+    nd = F.col("n_total").cast("double")
+    h = F.lit(3.0) * F.col("ssum") / (nd * (nd + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (nd + F.lit(1.0))
+    nn = F.col("n_total").cast("decimal(38,0)")
+    denom3 = (nn * nn * nn - nn).cast("double")
+    cfac = F.lit(1.0) - F.col("tie3").cast("double") / denom3
+    return j.select(
+        "n_total",
+        "k_groups",
+        h.alias("h_stat"),
+        F.when(cfac > 0, h / cfac).otherwise(F.lit(0.0)).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+# ---- Theil-Sen robust slope of daily revenue ------------------------------------
+
+# Median of the n(n−1)/2 pairwise slopes over the date-ordered daily
+# series — the robust companion to `linreg_price_by_qty`'s OLS slope
+# and `mann_kendall_trend_daily`'s trend sign (the classic pairing:
+# MK detects, Theil-Sen sizes). Every slope is one IEEE subtraction
+# and division on bit-identical inputs, the median picks elements by
+# a pinned (slope, da, db) order, and the two-middle average is a
+# 2-element sum — all bit-equal across engines. The pair join is
+# calendar-bounded (same posture as Mann-Kendall: ~3M pairs at ANY
+# scale factor, because the calendar doesn't grow with data volume);
+# the median selection uses the distributed stable_global_index, not
+# a single-partition row_number window.
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1
+),
+pairs AS (
+    SELECT a.d AS da, b.d AS db,
+           (b.x - a.x) / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+    FROM daily a JOIN daily b ON a.d < b.d
+),
+idx AS (
+    SELECT slope, row_number() OVER (ORDER BY slope, da, db) AS rn
+    FROM pairs
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+np AS (
+    SELECT CAST(n_days * (n_days - 1) / 2 AS BIGINT) AS n_pairs FROM nn
+),
+mid AS (
+    SELECT avg(i.slope) AS theil_sen_slope
+    FROM idx i, np
+    WHERE i.rn = (np.n_pairs + 1) // 2 OR i.rn = (np.n_pairs + 2) // 2
+)
+SELECT nn.n_days, np.n_pairs, mid.theil_sen_slope
+FROM nn, np, mid
+"""
+
+
+@query("theil_sen_slope_daily", oracle=_THEIL_SEN_ORACLE)
+def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the median of
+    all pairwise slopes. Robust to outlier days (up to ~29%
+    contamination), unlike the OLS slope. Median selection is exact:
+    a distributed global index over (slope, da, db) picks the one or
+    two middle elements; n_pairs derives from n_days in closed form
+    (no second pass over the pairs)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        stable_global_index,
+    )
+
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x"))
+        .localCheckpoint()  # reused: both pair sides + the day count
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    idx = stable_global_index(pairs, ["slope", "da", "db"], out_col="rn0")
+    sc = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days")).select(
+        "n_days",
+        (F.col("n_days") * (F.col("n_days") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    mid = (
+        idx.crossJoin(F.broadcast(sc))
+        .filter(
+            (F.col("rn0") + 1 == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("rn0") + 1 == F.expr("(n_pairs + 2) div 2"))
+        )
+        .agg(F.avg("slope").alias("theil_sen_slope"))
+    )
+    return sc.crossJoin(mid).select("n_days", "n_pairs", "theil_sen_slope")
+
+
+# ---- Kendall tau-b between daily purchase and click counts ----------------------
+
+# Rank correlation of the two daily event series: S = Σ_{i<j}
+# sign(Δx)·sign(Δy) plus the tie-pair counts n1 = Σ t(t−1)/2 per
+# x-value and n2 per y-value — ALL integers over the calendar-bounded
+# pair join, so the only float op is the final tau-b division,
+# computed from identical longs in both engines.
+_KENDALL_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT CAST(coalesce(sum(
+               (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                     ELSE 0 END)
+               * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                       ELSE 0 END)), 0) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b ON a.d < b.d
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+n0c AS (SELECT CAST(n_days * (n_days - 1) / 2 AS BIGINT) AS n0 FROM nn),
+n1c AS (
+    SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n1
+    FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x) g
+),
+n2c AS (
+    SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+    FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y) g
+)
+SELECT n_days, s_stat, n0, n1, n2,
+       CASE WHEN n0 > n1 AND n0 > n2
+            THEN CAST(s_stat AS DOUBLE)
+                 / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+            ELSE 0.0 END AS tau_b
+FROM nn, s, n0c, n1c, n2c
+"""
+
+
+@query("kendall_tau_purchase_click_daily", oracle=_KENDALL_ORACLE)
+def kendall_tau_purchase_click_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall tau-b rank correlation between the daily purchase and
+    click counts — the tie-robust companion to
+    `spearman_parts_rev_vs_qty` (Spearman) and
+    `ccf_purchase_click_daily` (Pearson at lags). Integer-exact S and
+    tie counts; one final float division.
+
+    Shape: distributed daily pre-agg; the pair join is
+    calendar-bounded (broadcast nested-loop over ~thousands of days,
+    the declared bounded-side posture shared with Mann-Kendall)."""
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint()  # reused 4x: pair sides, count, tie groups
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn_x = (
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+    )
+    sgn_y = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    s = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).agg(
+        F.coalesce(F.sum(sgn_x * sgn_y), F.lit(0))
+        .cast("long")
+        .alias("s_stat")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    n0c = nn.select(
+        "n_days",
+        (F.col("n_days") * (F.col("n_days") - 1) / 2)
+        .cast("long")
+        .alias("n0"),
+    )
+    t = F.col("t")
+
+    def _tie_pairs(col: str, out: str) -> DataFrame:
+        return (
+            daily.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .agg(
+                F.coalesce(F.sum(t * (t - 1) / 2), F.lit(0))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    n1c, n2c = _tie_pairs("x", "n1"), _tie_pairs("y", "n2")
+    j = (
+        n0c.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(n1c))
+        .crossJoin(F.broadcast(n2c))
+    )
+    return j.select(
+        "n_days",
+        "s_stat",
+        "n0",
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+            F.col("s_stat").cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tau_b"),
+    )

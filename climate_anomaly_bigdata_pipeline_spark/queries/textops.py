@@ -576,7 +576,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k is a TakeOrdered on the raw (unrounded, bit-identical)
     score with a doc_id tiebreak."""
     docs = Catalog(spark, sf_dir).documents
-    toks = docs.select(
+    # Pre-explode round-robin exchange (rows-vs-bytes rule): the
+    # compressed doc table scans as 1-2 byte-sized splits; without the
+    # exchange the token explode runs on 1-2 tasks (measured at sf10:
+    # 21.6 s starved).
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
@@ -799,7 +804,12 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = Catalog(spark, sf_dir).documents
-    toks = docs.select(
+    # Pre-explode round-robin exchange (rows-vs-bytes rule): the
+    # compressed doc table scans as 1-2 byte-sized splits; without the
+    # exchange the token explode runs on 1-2 tasks (measured at sf10:
+    # 21.6 s starved).
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
@@ -931,4 +941,113 @@ def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = R.grouped_linreg(ranked, [], "x", "y", scale=6)
     return fit.select(
         "slope", "intercept", "r2", F.col("n_pairs").cast("long").alias("n_terms")
+    )
+
+
+# ---- Self-trained bigram-LM scoring (context-aware quality filter) ----------
+
+# The bigram upgrade of `unigram_lm_scores`: p(v|u) = (c(uv)+1) /
+# (c(u·)+V) with add-one smoothing over the corpus's own bigram
+# counts (V = unigram vocabulary size). Catches locally-incoherent
+# text that unigram perplexity misses (every token common, no token
+# PAIR common). Bigram construction is identical in both engines:
+# the non-empty whitespace tokens in position order, adjacent pairs
+# only — docs with < 2 tokens contribute no bigrams and drop out.
+# All counts are exact longs; the per-doc avg(-ln p) rounds to 4
+# decimals, the unigram query's documented ln-ulp guard.
+_BIGRAM_LM_ORACLE = r"""
+WITH dl AS (
+    SELECT doc_id,
+           list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS l
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, b['u'] AS u, b['v'] AS v
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 1, 0)),
+                   i -> struct_pack(u := l[i], v := l[i + 1])
+               )) AS b
+        FROM dl
+    )
+),
+cbg AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv FROM bg GROUP BY u, v),
+cu AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu_n FROM cbg GROUP BY u),
+vocab AS (
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vv
+    FROM (SELECT unnest(l) AS tok FROM dl)
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((CAST(cuv AS DOUBLE) + 1.0)
+                     / (CAST(cu_n AS DOUBLE) + CAST(vv AS DOUBLE)))), 4)
+           AS avg_neg_logp
+FROM bg
+JOIN cbg ON cbg.u = bg.u AND cbg.v = bg.v
+JOIN cu ON cu.u = bg.u
+CROSS JOIN vocab
+GROUP BY bg.doc_id
+"""
+
+
+@query("bigram_lm_scores", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity score: avg(-ln p(v|u)) with
+    add-one smoothing, trained on the corpus itself. The LM tables
+    (bigram counts, prefix totals, vocabulary size) are grouped
+    aggregates joined back onto the exploded bigram stream on their
+    natural keys — the same broadcast-the-model-not-the-corpus shape
+    as the unigram scorer, one level of context up."""
+    # Pre-explode round-robin exchange (rows-vs-bytes rule): the
+    # compressed doc table scans as 1-2 byte-sized splits; the bigram
+    # explode multiplies rows ~|tokens|x.
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            ).alias("l"),
+        )
+    )
+    # Adjacent pairs in position order; sequence(1, n) would count DOWN
+    # for n < 1 (Spark semantics), so short docs get an explicit empty.
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("l") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("l", i).alias("u"),
+                        F.element_at("l", i + 1).alias("v"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    cbg = bg.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("cuv"))
+    cu = cbg.groupBy("u").agg(F.sum("cuv").cast("long").alias("cu_n"))
+    vocab = (
+        docs.select(F.explode("l").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("vv"))
+    )
+    p = (F.col("cuv").cast("double") + F.lit(1.0)) / (
+        F.col("cu_n").cast("double") + F.col("vv").cast("double")
+    )
+    return (
+        bg.join(cbg, ["u", "v"])
+        .join(cu, "u")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logp"),
+        )
     )
