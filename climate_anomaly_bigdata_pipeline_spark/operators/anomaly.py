@@ -114,13 +114,18 @@ def zscore_exact(
     exchanges AND sorts the whole fact on the group key (measured at
     sf10: 31.8 s for 60 M lineitem rows vs 4-6 s with the join-back;
     the window's sort is pure waste since z needs no ordering). The
-    grouped aggregate is map-side combined (groups-sized shuffle);
-    AQE broadcasts it back when small (bounded dims like suppkey) and
-    falls back to a co-partitioned join for high-cardinality groups —
-    either way the fact is never sorted. Join keys are null-safe to
-    mirror the window's null-grouping semantics; the DECIMAL moment
-    sums are order-independent, so z is bit-identical to the window
-    formulation.
+    grouped aggregate is map-side combined (groups-sized shuffle) and
+    carries an explicit broadcast hint: without it Catalyst size
+    estimates pick a sort-merge join at scale and the fact gets sorted
+    anyway (measured at sf10: 37.5 s SMJ vs the hinted plan), or —
+    worse — broadcast the FACT side at toy scale. The moments table is
+    one row per group (suppkey/user_id/event-type dims: well under the
+    8 GB broadcast ceiling at any realistic cardinality); for a
+    pathological group count drop the hint and the plan degrades to
+    one co-partitioned join, still sort-free on the hash path. Join
+    keys are null-safe to mirror the window's null-grouping semantics;
+    the DECIMAL moment sums are order-independent, so z is
+    bit-identical to the window formulation.
     """
     from functools import reduce
 
@@ -147,7 +152,7 @@ def zscore_exact(
                 for c in partition_cols
             ],
         )
-        joined = df.join(keyed, cond).drop(
+        joined = df.join(F.broadcast(keyed), cond).drop(
             *[f"__k_{c}" for c in partition_cols]
         )
     else:
