@@ -28,6 +28,7 @@ import sys
 KNOWN_ARTIFACT = {
     "jpeg_decode_profile": "GC debt in full-map runs; 1.2s isolated-warm",
     "zscore_lineitem": "GC debt in full-map runs; 1.6s isolated-warm",
+    "flac_decode_profile": "GC debt in full-map runs; 1.0s isolated-warm",
 }
 
 
