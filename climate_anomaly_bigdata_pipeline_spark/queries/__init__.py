@@ -316,6 +316,7 @@ _WINDOW_R8_SEED = [
     "kendall_tau_purchase_click_daily",
     "adamic_adar_linkpred",
     "bigram_lm_scores",
+    "rbo_bm25_vs_tf",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

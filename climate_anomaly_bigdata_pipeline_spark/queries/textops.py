@@ -1051,3 +1051,187 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logp"),
         )
     )
+
+
+# ---- Rank-biased overlap between two retrieval rankings ----------------------
+
+# RBO (Webber, Moffat & Zobel 2010) truncated at depth K: how much do
+# the BM25 ranking and the raw term-frequency ranking of the same
+# 3-term query agree? RBO@K = Σ_d w_d · |S_1:d ∩ T_1:d| with
+# w_d = (1−p)·p^(d−1)/d — the top-weighted agreement measure the
+# retrieval family (`bm25_topk_docs`, `hybrid_rrf_retrieval`,
+# `retrieval_eval_ndcg`) was missing. Both lists are bounded (top-20
+# via TakeOrdered), so prefix overlaps are in-row array ops on one
+# collected row; the depth weights are embedded as full-precision
+# python-repr literals in BOTH engines, so no pow() is evaluated at
+# query time (cross-engine pow ulp risk avoided by construction) and
+# the weighted sum folds over d in pinned order — bit-exact, no
+# rounding needed.
+_RBO_P = 0.9
+_RBO_K = 20
+_RBO_WEIGHTS = [
+    (1.0 - _RBO_P) * _RBO_P ** (d - 1) / d for d in range(1, _RBO_K + 1)
+]
+
+_RBO_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+    GROUP BY doc_id, tok
+),
+dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           ln((CAST(st.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+              / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+               AS s
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfx ON dfx.tok = tf.tok
+    CROSS JOIN st
+),
+bm AS (
+    SELECT doc_id,
+           list_reduce(list(s ORDER BY tok), (a, x) -> a + x) AS raw
+    FROM scored GROUP BY doc_id
+),
+tfsum AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tfs FROM tf GROUP BY doc_id
+),
+s_list AS (
+    SELECT list(doc_id ORDER BY raw DESC, doc_id) AS s
+    FROM (SELECT * FROM bm ORDER BY raw DESC, doc_id LIMIT {_RBO_K})
+),
+t_list AS (
+    SELECT list(doc_id ORDER BY tfs DESC, doc_id) AS t
+    FROM (SELECT * FROM tfsum ORDER BY tfs DESC, doc_id LIMIT {_RBO_K})
+),
+w AS (SELECT {[repr(x) for x in _RBO_WEIGHTS]}::DOUBLE[] AS wts)
+SELECT CAST({_RBO_K} AS INTEGER) AS depth,
+       CAST({_RBO_P!r} AS DOUBLE) AS persistence,
+       CAST(len(list_intersect(s, t)) AS BIGINT) AS n_common_topk,
+       list_reduce(
+           list_transform(
+               generate_series(1, {_RBO_K}),
+               d -> wts[d] * CAST(len(list_intersect(s[1:d], t[1:d]))
+                                  AS DOUBLE)
+           ),
+           (a, x) -> a + x
+       ) AS rbo
+FROM s_list, t_list, w
+"""
+
+
+@query("rbo_bm25_vs_tf", oracle=_RBO_ORACLE)
+def rbo_bm25_vs_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, depth 20) between the BM25 and raw
+    term-frequency rankings of the fixed 3-term query — the
+    ranking-agreement diagnostic that tells a retrieval pipeline
+    whether its cheap ranker is a usable approximation of its good
+    one. Both rankings are distributed TakeOrdered top-20s; the RBO
+    itself is in-row array algebra on one collected pair of bounded
+    lists."""
+    docs = Catalog(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    s_expr = idf * (
+        tfd
+        / (
+            tfd
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (dld / avgdl))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfx), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", s_expr.alias("s"))
+    )
+    bm = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok"), F.col("s").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c["v"],
+        ).alias("raw")
+    )
+    tfsum = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("tfs"))
+    s_top = (
+        bm.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(_RBO_K)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(-F.col("raw"), F.col("doc_id")))
+            ).alias("sl")
+        )
+        .select(F.transform("sl", lambda c: c["doc_id"]).alias("s"))
+    )
+    t_top = (
+        tfsum.orderBy(F.desc("tfs"), F.asc("doc_id"))
+        .limit(_RBO_K)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(-F.col("tfs"), F.col("doc_id")))
+            ).alias("tl")
+        )
+        .select(F.transform("tl", lambda c: c["doc_id"]).alias("t"))
+    )
+    wts = F.array(*[F.lit(x) for x in _RBO_WEIGHTS])
+    s_col, t_col = F.col("s"), F.col("t")
+    rbo = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_RBO_K)),
+            lambda d: F.element_at(wts, d)
+            * F.size(
+                F.array_intersect(
+                    F.slice(s_col, 1, d), F.slice(t_col, 1, d)
+                )
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return s_top.crossJoin(t_top).select(
+        F.lit(_RBO_K).cast("int").alias("depth"),
+        F.lit(_RBO_P).cast("double").alias("persistence"),
+        F.size(F.array_intersect(s_col, t_col)).cast("long").alias(
+            "n_common_topk"
+        ),
+        rbo.alias("rbo"),
+    )
