@@ -317,6 +317,9 @@ _WINDOW_R8_SEED = [
     "adamic_adar_linkpred",
     "bigram_lm_scores",
     "rbo_bm25_vs_tf",
+    "mutual_information_type_dow",
+    "diff_in_diff_purchase_rate",
+    "clustering_coefficient_parts",
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 

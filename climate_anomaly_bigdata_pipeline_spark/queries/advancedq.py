@@ -1077,3 +1077,74 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "part_u", "part_v")
         .limit(20)
     )
+
+
+# ---- local clustering coefficient on the co-purchase graph ------------------
+
+# C(v) = 2·T(v) / (k_v·(k_v−1)): how close each part's neighborhood is
+# to a clique — the node-local cohesion measure that completes the
+# graph-descriptive family (triangle counts, k-core, assortativity,
+# PageRank). Triangle counts ride the existing degree-ordered
+# orientation (O(m^1.5) wedge work); degrees are one grouped count
+# over the bidirectional edge list; the coefficient is one pinned
+# double expression per node. The oracle brute-forces the a<b<c
+# triple join — identical triangle set by orientation invariance.
+_CLUSTERING_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+bidir AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY node),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tnodes AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM tnodes GROUP BY node)
+SELECT d.node AS p_partkey, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * CAST(coalesce(t.n_triangles, 0) AS DOUBLE)
+                 / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+            ELSE 0.0 END AS clustering_coef
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+"""
+
+
+@query("clustering_coefficient_parts", oracle=_CLUSTERING_ORACLE)
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient on the co-purchase graph:
+    2·triangles / (degree·(degree−1)), 0 for degree-1 nodes. Reuses
+    the oriented triangle counter; one extra grouped count (degrees)
+    and one left join."""
+    li = Catalog(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+        .drop("w")
+        .localCheckpoint()  # consumed by both the degree count and triangles
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = G.triangles_per_node(edges)
+    j = deg.join(tri, "node", "left")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    kd = F.col("degree").cast("double")
+    return j.select(
+        F.col("node").alias("p_partkey"),
+        "degree",
+        nt.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0) * nt.cast("double") / (kd * (F.col("degree") - 1).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coef"),
+    )

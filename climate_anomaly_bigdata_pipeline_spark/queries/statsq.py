@@ -2166,3 +2166,224 @@ def kendall_tau_purchase_click_daily(
         .otherwise(F.lit(0.0))
         .alias("tau_b"),
     )
+
+
+# ---- Mutual information between event type and day-of-week ---------------------
+
+# The information-theoretic dependence measure next to the chi-squared
+# test (`chisq_event_type_dow`): MI(X;Y) = Σ p_xy·ln(p_xy/(p_x·p_y))
+# over the (event_type × dow) contingency table, plus the marginal
+# entropies and the normalized MI = MI/min(H_X, H_Y). All cell and
+# margin counts are exact longs; each ln-term rides the JS-divergence
+# parity recipe (DECIMAL(25,15) per-term cast → exact order-
+# independent sum → round 6), and NMI divides the already-rounded
+# values so the last op is deterministic too. The contingency table
+# is ≤ |types|·7 cells — the only data-sized work is one grouped
+# count.
+_MI_ORACLE = """
+WITH cells AS (
+    SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+mx AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+my AS (SELECT dow, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+mi AS (
+    SELECT round(CAST(sum(CAST(
+               (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+           AS DECIMAL(25,15))) AS DOUBLE), 6) AS mi_nats
+    FROM cells JOIN mx USING (event_type) JOIN my USING (dow)
+    CROSS JOIN nn
+),
+hx AS (
+    SELECT round(CAST(sum(CAST(
+               -(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+           AS DECIMAL(25,15))) AS DOUBLE), 6) AS h_type
+    FROM mx CROSS JOIN nn
+),
+hy AS (
+    SELECT round(CAST(sum(CAST(
+               -(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+           AS DECIMAL(25,15))) AS DOUBLE), 6) AS h_dow
+    FROM my CROSS JOIN nn
+)
+SELECT n AS n_total, mi_nats, h_type, h_dow,
+       CASE WHEN least(h_type, h_dow) > 0
+            THEN round(mi_nats / least(h_type, h_dow), 6)
+            ELSE 0.0 END AS nmi
+FROM nn, mi, hx, hy
+"""
+
+
+@query("mutual_information_type_dow", oracle=_MI_ORACLE)
+def mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week,
+    with marginal entropies and normalized MI — quantifies HOW MUCH
+    the weekly cycle carries about behavior where the chi-squared
+    test only says WHETHER it does. One grouped count; everything
+    downstream is bounded-table algebra."""
+    ev = Catalog(spark, sf_dir).events
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # reused by margins + the MI join
+    mx = cells.groupBy("event_type").agg(F.sum("c").cast("long").alias("cx"))
+    my = cells.groupBy("dow").agg(F.sum("c").cast("long").alias("cy"))
+    nn = cells.agg(F.sum("c").cast("long").alias("n"))
+    cd = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi_term = (cd("c") / cd("n")) * F.log(
+        cd("c") * cd("n") / (cd("cx") * cd("cy"))
+    )
+    mi = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .crossJoin(F.broadcast(nn))
+        .select(mi_term.cast("decimal(25,15)").alias("t"))
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("mi_nats"))
+    )
+
+    def _entropy(margin: DataFrame, cnt: str, out: str) -> DataFrame:
+        term = -(cd(cnt) / cd("n")) * F.log(cd(cnt) / cd("n"))
+        return (
+            margin.crossJoin(F.broadcast(nn))
+            .select(term.cast("decimal(25,15)").alias("t"))
+            .agg(F.round(F.sum("t").cast("double"), 6).alias(out))
+        )
+
+    hx, hy = _entropy(mx, "cx", "h_type"), _entropy(my, "cy", "h_dow")
+    j = (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+    )
+    mn = F.least(F.col("h_type"), F.col("h_dow"))
+    return j.select(
+        F.col("n").alias("n_total"),
+        "mi_nats",
+        "h_type",
+        "h_dow",
+        F.when(mn > 0, F.round(F.col("mi_nats") / mn, 6))
+        .otherwise(F.lit(0.0))
+        .alias("nmi"),
+    )
+
+
+# ---- Difference-in-differences on purchase counts -------------------------------
+
+# The canonical quasi-experimental estimator next to CUPED's
+# variance-reduced readout: per-user purchase counts in the pre and
+# post periods, arms from the stable md5-bucket split, and
+# DiD = (B_post − B_pre) − (A_post − A_pre) on the cell means. Every
+# cell mean is an exact long sum over an exact long count; the DiD is
+# four pinned double ops. One per-user aggregation + one 1-row
+# conditional aggregation — two map-side-combined shuffles.
+_DID_ORACLE = f"""
+WITH ue AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT_TS}'
+                         AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS y_pre,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT_TS}'
+                         AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS y_post
+    FROM events GROUP BY user_id
+),
+lab AS (
+    SELECT *,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('did:',
+                     CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 50
+                THEN 'A' ELSE 'B'
+           END AS arm
+    FROM ue
+),
+g AS (
+    SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 'A' THEN y_pre ELSE 0 END) AS BIGINT) AS sa_pre,
+        CAST(sum(CASE WHEN arm = 'A' THEN y_post ELSE 0 END) AS BIGINT) AS sa_post,
+        CAST(sum(CASE WHEN arm = 'B' THEN y_pre ELSE 0 END) AS BIGINT) AS sb_pre,
+        CAST(sum(CASE WHEN arm = 'B' THEN y_post ELSE 0 END) AS BIGINT) AS sb_post
+    FROM lab
+)
+SELECT n_a, n_b,
+       CAST(sa_pre AS DOUBLE) / CAST(n_a AS DOUBLE) AS a_pre,
+       CAST(sa_post AS DOUBLE) / CAST(n_a AS DOUBLE) AS a_post,
+       CAST(sb_pre AS DOUBLE) / CAST(n_b AS DOUBLE) AS b_pre,
+       CAST(sb_post AS DOUBLE) / CAST(n_b AS DOUBLE) AS b_post,
+       (CAST(sb_post AS DOUBLE) / CAST(n_b AS DOUBLE)
+        - CAST(sb_pre AS DOUBLE) / CAST(n_b AS DOUBLE))
+       - (CAST(sa_post AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(sa_pre AS DOUBLE) / CAST(n_a AS DOUBLE)) AS did_estimate
+FROM g
+"""
+
+
+@query("diff_in_diff_purchase_rate", oracle=_DID_ORACLE)
+def diff_in_diff_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user purchase counts across
+    the fixed period split, arms from the md5-bucket hash split (seed
+    'did') — the parallel-trends estimator that complements
+    `cuped_ab_purchase_rate`. Cell means from exact integer sums; the
+    estimate is pinned double algebra."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        hash_split,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    ue = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("ts") < _CUPED_SPLIT_TS)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_pre"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= _CUPED_SPLIT_TS)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_post"),
+    )
+    lab = hash_split(ue, "user_id", splits=(("A", 50), ("B", 50)), seed="did")
+    arm = F.col("split")
+    g = lab.agg(
+        F.sum(F.when(arm == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(arm == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(arm == "A", F.col("y_pre")).otherwise(0))
+        .cast("long")
+        .alias("sa_pre"),
+        F.sum(F.when(arm == "A", F.col("y_post")).otherwise(0))
+        .cast("long")
+        .alias("sa_post"),
+        F.sum(F.when(arm == "B", F.col("y_pre")).otherwise(0))
+        .cast("long")
+        .alias("sb_pre"),
+        F.sum(F.when(arm == "B", F.col("y_post")).otherwise(0))
+        .cast("long")
+        .alias("sb_post"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return g.select(
+        "n_a",
+        "n_b",
+        (d("sa_pre") / d("n_a")).alias("a_pre"),
+        (d("sa_post") / d("n_a")).alias("a_post"),
+        (d("sb_pre") / d("n_b")).alias("b_pre"),
+        (d("sb_post") / d("n_b")).alias("b_post"),
+        (
+            (d("sb_post") / d("n_b") - d("sb_pre") / d("n_b"))
+            - (d("sa_post") / d("n_a") - d("sa_pre") / d("n_a"))
+        ).alias("did_estimate"),
+    )
