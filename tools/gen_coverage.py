@@ -26,16 +26,54 @@ BEGIN = "<!-- BEGIN GENERATED REGISTRY (tools/gen_coverage.py) -->"
 END = "<!-- END GENERATED REGISTRY -->"
 
 
-def driver_rounds() -> dict[str, list[int]]:
+def _artifact_maps(source: str) -> list[tuple[int, dict]]:
+    """(round number, parsed CORRECTNESS json) pairs.
+
+    source="worktree": the files on disk (what a regeneration uses).
+    source="pinned": the files AS COMMITTED at the last commit that
+    touched COVERAGE.md. The driver writes CORRECTNESS_r{N}.json AFTER
+    the builder's final commit by construction, so a worktree-only
+    freshness gate goes red after every driver run (VERDICT r8 finding);
+    the pinned view is what the committed table could actually have
+    been rendered from.
+    """
+    import subprocess
+
+    pairs: list[tuple[int, str]] = []  # (round, content)
+    if source == "worktree":
+        for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if m:
+                with open(path) as f:
+                    pairs.append((int(m.group(1)), f.read()))
+    else:
+        try:
+            cov_commit = subprocess.run(
+                ["git", "log", "-n1", "--format=%H", "--", "COVERAGE.md"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            names = subprocess.run(
+                ["git", "ls-tree", "--name-only", cov_commit],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.split()
+        except Exception:
+            return _artifact_maps("worktree")
+        for name in sorted(names):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", name)
+            if not m:
+                continue
+            content = subprocess.run(
+                ["git", "show", f"{cov_commit}:{name}"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout
+            pairs.append((int(m.group(1)), content))
+    return [(rnum, json.loads(content)) for rnum, content in pairs]
+
+
+def driver_rounds(source: str = "worktree") -> dict[str, list[int]]:
     """query name -> rounds with a green driver CORRECTNESS row."""
     rounds: dict[str, list[int]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnum = int(m.group(1))
-        with open(path) as f:
-            data = json.load(f)
+    for rnum, data in _artifact_maps(source):
         for name, row in data.items():
             if (
                 row.get("rows_match")
@@ -46,10 +84,10 @@ def driver_rounds() -> dict[str, list[int]]:
     return rounds
 
 
-def render() -> str:
+def render(source: str = "worktree") -> str:
     from climate_anomaly_bigdata_pipeline_spark.queries import ORACLE, QUERIES
 
-    verified = driver_rounds()
+    verified = driver_rounds(source)
     pending = [n for n in QUERIES if n not in verified]
     in_window = set(list(QUERIES)[:50])
     pending_txt = (
