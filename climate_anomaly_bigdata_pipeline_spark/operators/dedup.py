@@ -1262,6 +1262,26 @@ def substring_windows(
     )
 
 
+def _gram_key128(col: str | Column) -> list[Column]:
+    """128-bit dup-gram key: two INDEPENDENT xxhash64 halves as
+    fixed-width longs (``h1``, ``h2``).
+
+    A single 64-bit key is fine at tested scales (sf10 ~5x10^8 grams ->
+    expected colliding pairs ~= 0.01) but overstates "EXACT" at the
+    100 TB design point: ~10^14 grams expect ~10^8 false dup pairs
+    (birthday bound n^2/2^65). Two halves drop the expectation below
+    1e-8 while keeping the all-long shuffle discipline (16 bytes per
+    key, still fixed-width, no text on the wire). The second half
+    hashes the salt-EXTENDED text, not a re-seed of the first hash —
+    ``xxhash64(win, lit)`` chains off ``xxhash64(win)``, so an h1
+    collision would imply an h2 collision and buy nothing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.xxhash64(c).alias("h1"),
+        F.xxhash64(F.concat(c, F.lit("\u0001"))).alias("h2"),
+    ]
+
+
 def substring_dup_stats(
     docs: DataFrame,
     window: int = 40,
@@ -1278,19 +1298,20 @@ def substring_dup_stats(
     corpus count as a ``count() OVER (PARTITION BY hash)`` window — ONE
     exchange on the window hash, no self-join and no second scan of the
     corpus (an agg+join formulation plans the explode twice) — then one
-    shuffle back to the document. Windows shuffle as 8-byte xxhash64
-    keys, not 40-char texts (the hash never leaves this plan, so the
-    repo's cross-engine md5 portability rule doesn't apply, and the
-    exchange + sort run on fixed-width longs); at 100 TB both exchanges
-    stay linear in corpus size / stride, which is the whole point vs. a
-    suffix array (global sort) or pairwise comparison (quadratic)."""
+    shuffle back to the document. Windows shuffle as 128-bit
+    :func:`_gram_key128` keys, not 40-char texts (the hash never
+    leaves this plan, so the repo's cross-engine md5 portability rule
+    doesn't apply, and the exchange + sort run on fixed-width longs);
+    at 100 TB both exchanges stay linear in corpus size / stride,
+    which is the whole point vs. a suffix array (global sort) or
+    pairwise comparison (quadratic)."""
     from pyspark.sql import Window
 
     wins = substring_windows(docs, window, stride, id_col, text_col).select(
-        id_col, F.xxhash64("win").alias("h")
+        id_col, *_gram_key128("win")
     )
     counted = wins.withColumn(
-        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h1", "h2"))
     )
     per_doc = (
         counted
@@ -1330,20 +1351,20 @@ def top_duplicated_windows(
     Late text materialization (the top-k shape that survives 100 TB):
     grouping directly on the 40-char window text shuffles wide string
     keys for EVERY window (measured 19.6× at 10× data); instead the
-    counts aggregate on 8-byte xxhash64 keys, an exact tie-aware
-    threshold (the ``top_k``-th largest count) prunes to the candidate
-    hashes, and only the candidates' text is recovered — one extra
-    linear pass over the corpus windows against a broadcast of the
-    (tiny) candidate set. Ties AT the threshold are all kept until the
-    final ordered limit so the text tiebreak stays exact. The
+    counts aggregate on 128-bit :func:`_gram_key128` keys, an exact
+    tie-aware threshold (the ``top_k``-th largest count) prunes to the
+    candidate hashes, and only the candidates' text is recovered — one
+    extra linear pass over the corpus windows against a broadcast of
+    the (tiny) candidate set. Ties AT the threshold are all kept until
+    the final ordered limit so the text tiebreak stays exact. The
     threshold collect is one bounded row (same posture as
     ``running_totals``' per-partition offsets)."""
     wins = substring_windows(docs, window, stride, id_col, text_col).select(
-        id_col, F.xxhash64("win").alias("h"), "win"
+        id_col, *_gram_key128("win"), "win"
     )
     cnts = (
-        wins.select(id_col, "h")
-        .groupBy("h")
+        wins.select(id_col, "h1", "h2")
+        .groupBy("h1", "h2")
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
             F.countDistinct(id_col).alias("n_docs"),
@@ -1363,14 +1384,14 @@ def top_duplicated_windows(
         ).limit(0)
     cand = cnts.filter(F.col("n_occ") >= t)
     texts = (
-        wins.join(F.broadcast(cand.select("h")), "h")
-        .groupBy("h")
+        wins.join(F.broadcast(cand.select("h1", "h2")), ["h1", "h2"])
+        .groupBy("h1", "h2")
         # all wins under one hash are the same text; min() makes even a
         # (cosmically unlikely) collision deterministic
         .agg(F.min("win").alias("win"))
     )
     return (
-        cand.join(F.broadcast(texts), "h")
+        cand.join(F.broadcast(texts), ["h1", "h2"])
         .orderBy(F.col("n_occ").desc(), F.col("win"))
         .limit(top_k)
         .select("win", "n_occ", "n_docs")
@@ -1411,14 +1432,15 @@ def maximal_repeat_spans(
     instead exchanges AND sorts every gram row: measured 71-110 s at
     sf10); the gram stream then BROADCAST-joins that set (codegen
     re-explode — cheaper than materializing 10⁸ rows; the set is
-    8 bytes per distinct duplicated gram, ~40 MB even on the
+    16 bytes per distinct duplicated gram, ~80 MB even on the
     worst-case tiled sf10 corpus), and one doc-keyed exchange runs the
     classic
     gaps-and-islands window (break when the gap exceeds L, running-sum
     the breaks, group) to merge overlapping/touching intervals.
     Interval ends are monotone in ``pos``, so comparing each position
     only with its predecessor is sufficient for the merge. Everything
-    shuffles as 8-byte xxhash64 keys / fixed-width longs, never text.
+    shuffles as 128-bit :func:`_gram_key128` keys / fixed-width
+    longs, never text.
     At 100 TB a truly enormous dup-hash set would outgrow the
     broadcast — drop the hint there and the same plan runs as a
     co-partitioned hash join on the pre-aggregated set, still linear
@@ -1427,14 +1449,14 @@ def maximal_repeat_spans(
 
     wins = substring_windows(
         docs, window=min_len, stride=1, id_col=id_col, text_col=text_col
-    ).select(id_col, "pos", F.xxhash64("win").alias("h"))
+    ).select(id_col, "pos", *_gram_key128("win"))
     dup_hashes = (
-        wins.groupBy("h")
+        wins.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= 2)
-        .select("h")
+        .select("h1", "h2")
     )
-    dup = wins.join(F.broadcast(dup_hashes), "h")
+    dup = wins.join(F.broadcast(dup_hashes), ["h1", "h2"])
     w = Window.partitionBy(id_col).orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
     flagged = dup.select(
