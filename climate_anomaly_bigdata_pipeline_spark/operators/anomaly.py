@@ -95,6 +95,7 @@ def zscore_exact(
     partition_cols: Sequence[str],
     z_name: str = "z_score",
     scale: int = 4,
+    broadcast_hint: bool = True,
 ) -> DataFrame:
     """Per-group z-score with *order-independent* moment sums.
 
@@ -121,52 +122,65 @@ def zscore_exact(
     worse — broadcast the FACT side at toy scale. The moments table is
     one row per group (suppkey/user_id/event-type dims: well under the
     8 GB broadcast ceiling at any realistic cardinality); for a
-    pathological group count drop the hint and the plan degrades to
-    one co-partitioned join, still sort-free on the hash path. Join
-    keys are null-safe to mirror the window's null-grouping semantics;
-    the DECIMAL moment sums are order-independent, so z is
-    bit-identical to the window formulation.
+    pathological group count pass ``broadcast_hint=False`` and the
+    plan degrades to one co-partitioned join, still sort-free on the
+    hash path. Join keys are null-safe to mirror the window's
+    null-grouping semantics; the DECIMAL moment sums are
+    order-independent, so z is bit-identical to the window
+    formulation. Internal moment/key columns are tagged with a short
+    hash of the caller's column names so a caller column literally
+    named ``__s1`` etc. can't collide or be silently dropped.
     """
+    import hashlib
     from functools import reduce
 
     from climate_anomaly_bigdata_pipeline_spark.functions import dec_m
 
+    tag = hashlib.md5(
+        ("\x00".join([value_col, *partition_cols])).encode()
+    ).hexdigest()[:8]
+    c_s1, c_s2, c_n = f"__s1_{tag}", f"__s2_{tag}", f"__n_{tag}"
+
+    def _key(c: str) -> str:
+        return f"__k_{tag}_{c}"
+
+    hint = F.broadcast if broadcast_hint else (lambda d: d)
     x = F.col(value_col)
     aggs = [
-        F.sum(dec_m(x)).alias("__s1"),
-        F.sum(dec_m(x) * dec_m(x)).alias("__s2"),
-        F.count(x).alias("__n"),
+        F.sum(dec_m(x)).alias(c_s1),
+        F.sum(dec_m(x) * dec_m(x)).alias(c_s2),
+        F.count(x).alias(c_n),
     ]
     if partition_cols:
         grp = df.groupBy(*partition_cols).agg(*aggs)
         keyed = grp.select(
-            *[F.col(c).alias(f"__k_{c}") for c in partition_cols],
-            "__s1",
-            "__s2",
-            "__n",
+            *[F.col(c).alias(_key(c)) for c in partition_cols],
+            c_s1,
+            c_s2,
+            c_n,
         )
         cond = reduce(
             lambda a, b: a & b,
             [
-                df[c].eqNullSafe(F.col(f"__k_{c}"))
+                df[c].eqNullSafe(F.col(_key(c)))
                 for c in partition_cols
             ],
         )
-        joined = df.join(F.broadcast(keyed), cond).drop(
-            *[f"__k_{c}" for c in partition_cols]
+        joined = df.join(hint(keyed), cond).drop(
+            *[_key(c) for c in partition_cols]
         )
     else:
-        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
-    s1 = F.col("__s1").cast("double")
-    s2 = F.col("__s2").cast("double")
-    n = F.col("__n").cast("double")
+        joined = df.crossJoin(hint(df.agg(*aggs)))
+    s1 = F.col(c_s1).cast("double")
+    s2 = F.col(c_s2).cast("double")
+    n = F.col(c_n).cast("double")
     mean = s1 / n
     var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when((n < 2) | (std == 0), F.lit(0.0)).otherwise(
         F.round((x - mean) / std, scale)
     )
-    return joined.withColumn(z_name, z).drop("__s1", "__s2", "__n")
+    return joined.withColumn(z_name, z).drop(c_s1, c_s2, c_n)
 
 
 def classify_extremes(

@@ -984,7 +984,8 @@ def ngram_contamination(
     (row-local explode), hash-join against the broadcast set, one
     grouped count by (corpus_id, benchmark_id).
 
-    Both sides are round-robin re-exchanged BEFORE the explode (the
+    Both sides are hash-re-exchanged on the (unique) doc id BEFORE
+    the explode (the
     rows-vs-bytes rule: a compressed document table arrives in a
     handful of byte-sized input splits, but the shingle explode
     multiplies rows ~|tokens|×, so without the exchange the whole

@@ -185,7 +185,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
 
     docs = Catalog(spark, sf_dir).documents
-    # Pre-explode round-robin exchange: the compressed doc table scans
+    # Pre-explode hash exchange on the unique doc id: the compressed
+    # doc table scans
     # as 1-2 byte-sized splits, but the token explode multiplies rows
     # ~|tokens|x — without it the whole pipeline runs on 1-2 tasks
     # (measured at sf10: 110 s starved).

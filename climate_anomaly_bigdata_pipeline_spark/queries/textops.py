@@ -576,10 +576,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k is a TakeOrdered on the raw (unrounded, bit-identical)
     score with a doc_id tiebreak."""
     docs = Catalog(spark, sf_dir).documents
-    # Pre-explode round-robin exchange (rows-vs-bytes rule): the
-    # compressed doc table scans as 1-2 byte-sized splits; without the
-    # exchange the token explode runs on 1-2 tasks (measured at sf10:
-    # 21.6 s starved).
+    # Pre-explode hash exchange on the unique doc id (rows-vs-bytes
+    # rule): the compressed doc table scans as 1-2 byte-sized splits;
+    # without the exchange the token explode runs on 1-2 tasks
+    # (measured at sf10: 21.6 s starved).
     par = spark.sparkContext.defaultParallelism
     toks = docs.repartition(par, "doc_id").select(
         "doc_id",
@@ -804,10 +804,10 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = Catalog(spark, sf_dir).documents
-    # Pre-explode round-robin exchange (rows-vs-bytes rule): the
-    # compressed doc table scans as 1-2 byte-sized splits; without the
-    # exchange the token explode runs on 1-2 tasks (measured at sf10:
-    # 21.6 s starved).
+    # Pre-explode hash exchange on the unique doc id (rows-vs-bytes
+    # rule): the compressed doc table scans as 1-2 byte-sized splits;
+    # without the exchange the token explode runs on 1-2 tasks
+    # (measured at sf10: 21.6 s starved).
     par = spark.sparkContext.defaultParallelism
     toks = docs.repartition(par, "doc_id").select(
         "doc_id",
@@ -1000,9 +1000,9 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates joined back onto the exploded bigram stream on their
     natural keys — the same broadcast-the-model-not-the-corpus shape
     as the unigram scorer, one level of context up."""
-    # Pre-explode round-robin exchange (rows-vs-bytes rule): the
-    # compressed doc table scans as 1-2 byte-sized splits; the bigram
-    # explode multiplies rows ~|tokens|x.
+    # Pre-explode hash exchange on the unique doc id (rows-vs-bytes
+    # rule): the compressed doc table scans as 1-2 byte-sized splits;
+    # the bigram explode multiplies rows ~|tokens|x.
     par = spark.sparkContext.defaultParallelism
     docs = (
         Catalog(spark, sf_dir)

@@ -58,6 +58,10 @@ def main() -> int:
                 force(QUERIES[name](spark, SF_DIR))
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                # a pass that errors poisons the query: drop any
+                # earlier-pass timing so the artifact is unambiguous
+                # (ERR xor OK, never both; ADVICE r8)
+                best.pop(name, None)
                 print(f"ERR  {name}: {errors[name]}", flush=True)
                 break
             dt = time.perf_counter() - t0

@@ -16,6 +16,7 @@ sweep is a committed, diffable record rather than terminal scrollback
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -29,13 +30,22 @@ from tests.oracle_utils import run_check
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    json_out: str | None = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:] if len(args) > 1 else sorted(QUERIES)
+    # argparse so --json works in any position (a trailing --json used
+    # to be silently consumed as the sf_dir positional; ADVICE r8).
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="subset of query names")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="also write a CORRECTNESS-shaped artifact here")
+    ns = ap.parse_args()
+    json_out = ns.json_out
+    sf_dir = ns.sf_dir
+    if not os.path.isdir(sf_dir):
+        ap.error(f"sf_dir does not exist: {sf_dir}")
+    names = ns.names or sorted(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        ap.error(f"unknown query names: {unknown}")
     spark = get_spark("oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[tuple[str, str]] = []
