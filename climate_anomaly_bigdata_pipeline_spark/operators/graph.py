@@ -418,3 +418,120 @@ def k_core(
     # callers with a fixed-unroll oracle can assert a safety margin.
     out.kcore_rounds = rounds_used
     return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_neighbor_degree: int | None = None,
+    on_overcap: str = "error",
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for all non-adjacent pairs:
+    ``(u, v, common_neighbors, aa_score)`` with
+    score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)).
+
+    ``edges`` is an undirected edge list ``(u, v)`` with u < v, no
+    duplicates. Candidate pairs come from the wedge equi-join on the
+    shared-neighbor key — never an all-pairs comparison; degrees
+    attach to the adjacency rows BEFORE the wedge join so no
+    post-explosion lookup is needed. Every shared neighbor has
+    deg ≥ 2 by construction, so ln(deg) > 0.
+
+    Scale guard: the wedge fan-out is Σ_w deg(w)² — a hub-skewed
+    graph (one celebrity node adjacent to 1% of a 100 TB corpus)
+    detonates it quadratically. ``max_neighbor_degree`` bounds the
+    blow-up by dropping SHARED-NEIGHBOR roles above the cap (each
+    contributes ≤ 1/ln(cap) per pair, so high-degree hubs carry the
+    least per-pair signal — the standard mitigation). Like
+    :func:`cooccurrence_edges`, the cap is never silent:
+
+    - ``"error"`` (default): a plan-embedded ``raise_error`` fails the
+      job if any neighbor exceeds the cap — the assert-not-engaged
+      contract for queries whose oracle mirrors the cap.
+    - ``"observe"``: drop over-cap wedge centers but count the wedges
+      that vanish with ``DataFrame.observe``; exposed as
+      ``result.overcap_observation`` (metric key
+      ``capped_wedges_dropped`` = Σ_{deg(w)>cap} C(deg(w), 2)).
+    - ``"drop"``: documented silent drop — explicit opt-in only.
+
+    Float parity (for cross-engine oracles): the per-pair score folds
+    cnt/ln(deg) over the degree-sorted (deg, cnt) list in pinned order
+    and rounds to 6 decimals to absorb ln() ulp differences.
+    """
+    if on_overcap not in ("error", "observe", "drop"):
+        raise ValueError(f"on_overcap: {on_overcap!r}")
+    edges = edges.select("u", "v").localCheckpoint()  # adjacency ×2 + anti-join
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    observation = None
+    if max_neighbor_degree is not None:
+        cap = int(max_neighbor_degree)
+        if on_overcap == "error":
+            deg = deg.where(
+                F.when(
+                    F.col("k") > cap,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "adamic_adar: neighbor degree exceeds "
+                                f"max_neighbor_degree={cap}: node="
+                            ),
+                            F.col("node").cast("string"),
+                            F.lit(" deg="),
+                            F.col("k").cast("string"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            if on_overcap == "observe":
+                from pyspark.sql import Observation
+
+                observation = Observation()
+                deg = deg.observe(
+                    observation,
+                    F.sum(
+                        F.when(
+                            F.col("k") > cap,
+                            F.col("k") * (F.col("k") - 1) / 2,
+                        ).otherwise(F.lit(0)).cast("long")
+                    ).alias("capped_wedges_dropped"),
+                )
+            # dropping the DEGREE row removes the node only in its
+            # wedge-center (shared-neighbor) role; it still appears as
+            # an endpoint of other wedges, which is the semantics the
+            # oracle mirror (WHERE k <= cap in the degree CTE) has.
+            deg = deg.where(F.col("k") <= cap)
+    adjd = adj.join(
+        deg.select(F.col("node").alias("nbr"), F.col("k").alias("kw")),
+        "nbr",
+    )
+    a, b = adjd.alias("a"), adjd.alias("b")
+    wedge = a.join(
+        b,
+        (F.col("a.nbr") == F.col("b.nbr"))
+        & (F.col("a.node") < F.col("b.node")),
+    ).select(
+        F.col("a.node").alias("u"),
+        F.col("b.node").alias("v"),
+        F.col("a.kw").alias("kw"),
+    )
+    cand = wedge.join(edges, ["u", "v"], "left_anti")
+    gt = cand.groupBy("u", "v", "kw").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    out = gt.groupBy("u", "v").agg(
+        F.sum("cnt").cast("long").alias("common_neighbors"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("kw", "cnt"))),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s["cnt"].cast("double") / F.log(s["kw"].cast("double")),
+            ),
+            6,
+        ).alias("aa_score"),
+    )
+    out.overcap_observation = observation
+    return out
