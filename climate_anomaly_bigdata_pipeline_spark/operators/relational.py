@@ -763,7 +763,8 @@ def running_totals(
     order_cols: Sequence[str],
     value_out: Sequence[tuple[str, str]],
     n_parts: int | None = None,
-) -> DataFrame:
+    return_totals: bool = False,
+) -> DataFrame | tuple[DataFrame, list]:
     """Global cumulative sums (inclusive prefix sums) of SEVERAL value
     columns in one pass, in ``order_cols`` order, WITHOUT the
     single-partition window: the :func:`stable_global_index` recipe
@@ -781,7 +782,12 @@ def running_totals(
     are exact and the result is independent of partitioning; the same
     ``localCheckpoint`` pin as stable_global_index keeps the count and
     sum passes on one sampled range partitioning. ``order_cols`` must
-    be a total order for a deterministic result."""
+    be a total order for a deterministic result.
+
+    With ``return_totals=True`` also returns the per-column grand
+    totals, summed from the SAME per-partition collect — callers that
+    need the denominators (shares, decile boundaries) get them with
+    zero extra actions instead of re-scanning."""
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
@@ -807,7 +813,8 @@ def running_totals(
             *[F.lit(v) for kv in offsets[i].items() for v in kv]
         )[F.col("__pid")]
         part = part.withColumn(out_col, off_expr + F.sum(value_col).over(w))
-    return part.drop("__pid")
+    out = part.drop("__pid")
+    return (out, accs) if return_totals else out
 
 
 def running_products(

@@ -1332,41 +1332,80 @@ def lorenz_curve_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ascending), the cumulative share of total revenue — the curve
     whose area complement is `gini_order_value_by_nation`'s scalar.
 
-    Shape: global ranks from :func:`stable_global_index` (never a
-    single-partition row_number over the fact table), decile floor
-    formula, a 10-row DECIMAL aggregation, and a cumulative sum over
-    the DECILE rows only — that window's input is bounded at 10 rows
-    by construction, the same bounded-series posture as the calendar
-    queries."""
+    Shape — WEIGHTED points, never the order rows (the sf10 spill fix):
+    per-rank work only depends on the VALUE, and equal values occupy
+    contiguous ranks whichever tiebreak order the oracle's row_number
+    picks, so per-decile (count, sum) is invariant to tie placement.
+    The fact therefore pre-aggregates to distinct (value-cents, count)
+    — one map-side-combined hash exchange of 2 longs/row — and only
+    THAT table takes the sampled range exchange
+    (:func:`running_totals` prefix-sum recipe, which also returns N
+    from its own per-partition collect). Each weighted point then
+    splits its count across the ≤2 deciles its rank interval overlaps
+    with pure integer arithmetic (floor/ceil boundary formulas, exact
+    on both engines), and the final cumulative share is a 10-row
+    window. Versus indexing the raw fact, the range exchange and its
+    checkpoint pin shrink from the full order row to the distinct-
+    value histogram — at sf10 the old plan spilled (44.4 s, 13×
+    linear-family widest); money rides integer cents → DECIMAL, cast
+    to double only at the output boundary, so every share is a ratio
+    of exact decimals evaluated identically to the oracle."""
     from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
-        stable_global_index,
+        running_totals,
     )
 
     o = Catalog(spark, sf_dir).orders.select(
-        F.col("o_totalprice").cast("decimal(18,6)").alias("x"),
-        "o_totalprice", "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("long")
+        .alias("cents")
     )
-    # N comes from the index operator's own per-partition-counts
-    # collect — no second scan of the range-exchanged fact (ADVICE r7).
-    ranked, n = stable_global_index(
-        o, ["o_totalprice", "o_orderkey"], out_col="rn0", return_total=True
+    g0 = o.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    rt, (n,) = running_totals(
+        g0, ["cents"], [("cnt", "cum")], return_totals=True
     )
-    d = ranked.select(
-        ((F.col("rn0") * 10) / F.lit(n)).cast("long").alias("dm1"), "x"
-    ).select((F.col("dm1") + 1).alias("decile"), "x")
-    g = d.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_orders"), F.sum("x").alias("rev")
+    # 0-based rank interval [s, e] of this value's cnt orders; decile
+    # index k = floor(r*10/n) ⇔ r ∈ [ceil(k·n/10), ceil((k+1)·n/10)−1].
+    pts = rt.select(
+        "cents",
+        "cnt",
+        (F.col("cum") - F.col("cnt")).alias("s"),
+        (F.col("cum") - 1).alias("e"),
     )
-    tot = g.agg(F.sum("rev").alias("total"))
+    spread = pts.select(
+        "cents",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"(s * 10) div {n}"), F.expr(f"(e * 10) div {n}")
+            )
+        ).alias("k"),
+    ).select(
+        "cents",
+        (F.col("k") + 1).alias("decile"),
+        (
+            F.least(F.col("e"), F.expr(f"((k + 1) * {n} + 9) div 10 - 1"))
+            - F.greatest(F.col("s"), F.expr(f"(k * {n} + 9) div 10"))
+            + 1
+        ).alias("m"),
+    )
+    g = spread.groupBy("decile").agg(
+        F.sum("m").cast("long").alias("n_orders"),
+        F.sum(
+            F.col("m").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("rev_cents"),
+    )
+    tot = g.agg(F.sum("rev_cents").alias("total_cents"))
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
             "decile", "n_orders",
-            F.col("rev").cast("double").alias("decile_revenue"),
+            (F.col("rev_cents") / 100).cast("double").alias("decile_revenue"),
             (
-                F.sum("rev").over(w).cast("double")
-                / F.col("total").cast("double")
+                (F.sum("rev_cents").over(w) / 100).cast("double")
+                / (F.col("total_cents") / 100).cast("double")
             ).alias("cum_share"),
         )
     )
