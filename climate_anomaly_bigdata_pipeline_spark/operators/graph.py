@@ -72,6 +72,17 @@ def pagerank(
     """
     if dangling not in ("none", "redistribute"):
         raise ValueError(f"dangling must be 'none'|'redistribute': {dangling}")
+    # The 2-column edge list is consumed three times before the loop
+    # (out-degree build, degree-join probe, node set); each un-pinned
+    # consumption replays the caller's edge construction — for the
+    # purchase graph a 60 M-row join + distinct + union, ~25 s per
+    # replay at sf10. Pinning it here was MEASURED AND REJECTED for
+    # the local profile: localCheckpoint holds deserialized rows, and
+    # 117 M edges in the 8 GB local heap spill-thrashed the whole
+    # query 152 s → 736 s (SCALE.md round-9 stage accounting). On a
+    # real cluster the same replay cost is what bucketing or a
+    # reliable ``checkpoint`` to distributed storage removes — pin
+    # there, not here.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))

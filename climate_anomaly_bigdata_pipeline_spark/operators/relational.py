@@ -817,6 +817,105 @@ def running_totals(
     return (out, accs) if return_totals else out
 
 
+def global_lead(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "lead",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``lead(value_col) OVER (ORDER BY order_cols)`` WITHOUT the
+    single-partition global window: range-partition on the order key,
+    take the partition-LOCAL lead, and patch each partition's last row
+    with the FIRST value of the next non-empty partition — those
+    firsts come from one bounded per-partition ``min(struct(order,
+    value))`` collect (n_partitions rows, the same posture as
+    :func:`stable_global_index`'s offsets). The last row overall gets
+    NULL, as the window function would. ``order_cols`` must be a total
+    order (equal keys land in one range partition, but their internal
+    lead order would be ambiguous).
+
+    This is the missing primitive for gap/interval statistics over a
+    sorted domain (Wasserstein-1's ∫|F_a−F_b| dx needs the NEXT
+    distinct value's distance) at data sizes where the textbook
+    ``Window.orderBy`` would funnel every row through one task."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    firsts = part.groupBy("__pid").agg(
+        F.min(F.struct(*order_cols, value_col)).alias("f")
+    ).collect()
+    nxt: dict[int, object] = {}
+    follow = None
+    for r in sorted(firsts, key=lambda r: r["__pid"], reverse=True):
+        nxt[r["__pid"]] = follow
+        follow = r["f"][value_col]
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    if any(v is not None for v in nxt.values()):
+        nxt_expr = F.create_map(
+            *[
+                F.lit(x)
+                for pid, v in nxt.items()
+                if v is not None
+                for x in (pid, v)
+            ]
+        )[F.col("__pid")]
+    else:  # single non-empty partition: no successor anywhere
+        nxt_expr = F.lit(None).cast(dict(df.dtypes)[value_col])
+    return part.withColumn(
+        out_col, F.coalesce(F.lead(value_col).over(w), nxt_expr)
+    ).drop("__pid")
+
+
+def running_min(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_min",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global running MINIMUM (inclusive prefix min) in ``order_cols``
+    order without the single-partition window: min is associative and
+    commutative, so the :func:`running_totals` recipe applies verbatim
+    with min in place of sum — range-partition on the order key, MIN
+    each partition (bounded collect), prefix-min the partition minima
+    driver-side into per-partition offsets, then ``least`` of the
+    partition-LOCAL window min and the broadcast offset (the first
+    partition has no offset: its local min stands alone). Exact for
+    any orderable type; used by drawdown/drift statistics
+    (Page-Hinkley's m_t − min_{i≤t} m_i)."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    minima = part.groupBy("__pid").agg(F.min(value_col).alias("__m")).collect()
+    offsets: dict[int, object] = {}
+    acc = None
+    for r in sorted(minima, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc  # min of all EARLIER partitions
+        acc = r["__m"] if acc is None else min(acc, r["__m"])
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.min(value_col).over(w)
+    keyed = {k: v for k, v in offsets.items() if v is not None}
+    if keyed:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in keyed.items() for x in kv]
+        )[F.col("__pid")]
+        out_expr = F.least(local, F.coalesce(off_expr, local))
+    else:
+        out_expr = local
+    return part.withColumn(out_col, out_expr).drop("__pid")
+
+
 def running_products(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -327,7 +327,13 @@ assert not set(_WINDOW_R8_SEED) & (set(_WINDOW_R6) | set(_WINDOW_R7))
 # Seed of the round-10 rotation: round-9 additions land here (and, via
 # the window construction below, displace re-verification padding so
 # they earn a driver CORRECTNESS row THIS round instead of waiting).
-_WINDOW_R9_SEED: list[str] = []
+_WINDOW_R9_SEED: list[str] = [
+    "wasserstein_purchase_click",
+    "page_hinkley_drift_daily",
+    "poisson_bootstrap_order_value",
+    "tokens_per_doc_histogram",
+    "q15_top_supplier",
+]
 
 # Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-
 # verified _WINDOW_R8_SEED names + round-9 additions (_WINDOW_R9_SEED)

@@ -2426,3 +2426,362 @@ def diff_in_diff_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (d("sa_post") / d("n_a") - d("sa_pre") / d("n_a"))
         ).alias("did_estimate"),
     )
+
+
+# ---- 1-Wasserstein (earth mover's) distance ----------------------------------
+
+# W1(A, B) = ∫ |F_A(x) − F_B(x)| dx — the transport cost between the
+# purchase and click value distributions, completing the
+# distribution-gap family (KS = sup of the gap, CvM = ∫ gap² dF,
+# W1 = ∫ gap dx). Over the pooled distinct values v_1 < … < v_k the
+# integral is EXACTLY Σ_i |F_A(v_i) − F_B(v_i)|·(v_{i+1} − v_i).
+# Values are 2-decimal doubles, so the domain is integer CENTS and
+# the whole numerator is exact integer algebra:
+#   Σ |a_cum·n_b − b_cum·n_a| · (vc_{i+1} − vc_i)
+# carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), operands lifted
+# BEFORE every multiply (the CvM discipline), divided ONCE by
+# 100·n_a·n_b — so the statistic is bit-identical across engines.
+_W1_ORACLE = """
+WITH f AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+    WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+    SELECT vc,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_cnt,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_cnt
+    FROM f GROUP BY vc
+),
+c AS (
+    SELECT vc, a_cnt, b_cnt,
+           sum(a_cnt) OVER (
+               ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS a_cum,
+           sum(b_cnt) OVER (
+               ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS b_cum,
+           lead(vc) OVER (ORDER BY vc) AS vn
+    FROM g
+),
+tot AS (
+    SELECT CAST(sum(a_cnt) AS BIGINT) AS na,
+           CAST(sum(b_cnt) AS BIGINT) AS nb
+    FROM g
+),
+s AS (
+    SELECT na, nb,
+           sum(abs(CAST(a_cum AS HUGEINT) * CAST(nb AS HUGEINT)
+                   - CAST(b_cum AS HUGEINT) * CAST(na AS HUGEINT))
+               * CAST(vn - vc AS HUGEINT)) AS num
+    FROM c, tot
+    WHERE vn IS NOT NULL
+    GROUP BY na, nb
+)
+SELECT na AS n_purchase, nb AS n_click,
+       CAST(num AS DOUBLE)
+           / (100.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           AS w1_distance
+FROM s
+WHERE na > 0 AND nb > 0
+"""
+
+
+@query("wasserstein_purchase_click", oracle=_W1_ORACLE)
+def wasserstein_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between the purchase and
+    click value distributions — the transport-cost companion to the KS
+    (sup-gap) and CvM (∫gap²dF) queries.
+
+    Shape: per-distinct-cents arm counts (one map-side-combined
+    shuffle), both cumulative counts from one :func:`running_totals`
+    pass, the NEXT distinct value from :func:`global_lead` (the
+    distributed lead primitive — never a single-partition global
+    window), then one exact-integer DECIMAL(38,0) aggregation and a
+    single final division. Both range exchanges move only the
+    distinct-value histogram, not the events."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        global_lead,
+        running_totals,
+    )
+
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("vc"), "event_type"
+    ).groupBy("vc").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+    )
+    c = running_totals(g, ["vc"], [("a_cnt", "a_cum"), ("b_cnt", "b_cum")])
+    c = global_lead(c, ["vc"], "vc", out_col="vn")
+    tot = g.agg(
+        F.sum("a_cnt").cast("long").alias("na"),
+        F.sum("b_cnt").cast("long").alias("nb"),
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    gap_term = F.abs(dec("a_cum") * dec("nb") - dec("b_cum") * dec("na")) * (
+        F.col("vn") - F.col("vc")
+    ).cast("decimal(38,0)")
+    s = (
+        c.filter(F.col("vn").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.sum(gap_term).alias("num"))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    return s.select(
+        na.alias("n_purchase"),
+        nb.alias("n_click"),
+        (
+            F.col("num").cast("double")
+            / (F.lit(100.0) * na.cast("double") * nb.cast("double"))
+        ).alias("w1_distance"),
+    ).filter((na > 0) & (nb > 0))
+
+
+# ---- Page-Hinkley drift detection on daily revenue ----------------------------
+
+# Retrospective Page-Hinkley against the global mean: with the
+# mean-cleared cumulative deviation D_t = n·P_t − t·T (the CUSUM
+# integer, P_t = prefix cents sum, T = total), the PH statistic for an
+# UPWARD drift is PH_t = D_t − min_{i≤t} D_i — the maximum rise of the
+# deviation path above its running floor (a drawdown reversed). CUSUM
+# reports argmax |D| (the single best split point); PH reports the
+# largest sustained climb, which fires on gradual drifts CUSUM's peak
+# can smear. Everything stays in exact integers (prefix sums +
+# RUNNING MIN, both distributed range-partition recipes), so argmax
+# and peak are bit-equal across engines; the one division by n·100
+# happens at the output boundary.
+_PH_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100
+                AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+w AS (
+    SELECT d,
+           CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i,
+           CAST(sum(c) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS HUGEINT) AS pre
+    FROM daily
+),
+tot AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS total
+    FROM daily
+),
+t AS (SELECT d, n, n * pre - i * total AS di FROM w, tot),
+ph AS (
+    SELECT d, n, di,
+           di - min(di) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS rise
+    FROM t
+)
+SELECT d AS alarm_day,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(rise AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS ph_peak
+FROM ph ORDER BY rise DESC, d LIMIT 1
+"""
+
+
+@query("page_hinkley_drift_daily", oracle=_PH_ORACLE)
+def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detection on daily revenue — the
+    sustained-climb companion to `cusum_changepoint_daily`'s single
+    best split (see the oracle comment block for the exact-integer
+    identity).
+
+    Shape: daily cents pre-aggregation (map-side combined), ONE range
+    exchange shared by the prefix sum and the index
+    (:func:`running_totals` / :func:`stable_global_index`), a second
+    range pass for the distributed RUNNING MIN of the deviation path
+    (:func:`running_min` — prefix minima collected per partition,
+    never a single-partition window), then an exact-integer top-1."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_min,
+        running_totals,
+        stable_global_index,
+    )
+
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
+    )
+    idx = stable_global_index(daily, ["d"], out_col="i0")
+    pre = running_totals(idx, ["d"], [("c", "pre")])
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("total"),
+    )
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (
+            F.col("n") * F.col("pre").cast("decimal(38,0)")
+            - (F.col("i0") + 1).cast("decimal(38,0)") * F.col("total")
+        ).alias("di"),
+    )
+    ph = running_min(dev, ["d"], "di", out_col="floor_di")
+    return (
+        ph.select(
+            F.col("d").alias("alarm_day"),
+            F.col("n").cast("long").alias("n_days"),
+            (F.col("di") - F.col("floor_di")).alias("__rise"),
+        )
+        .orderBy(F.col("__rise").desc(), "alarm_day")
+        .limit(1)
+        .select(
+            "alarm_day",
+            "n_days",
+            (
+                F.col("__rise").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(100.0))
+            ).alias("ph_peak"),
+        )
+    )
+
+
+# ---- Poisson bootstrap CI of the mean order value -----------------------------
+
+# THE bootstrap that survives 100 TB: classic resampling draws N rows
+# WITH replacement per replicate (a shuffle per replicate, impossible
+# at scale); the Poisson bootstrap instead gives every row an
+# INDEPENDENT Poisson(1) weight per replicate — each replicate's
+# weighted mean is computed in the SAME single pass with map-side
+# combine, no explode, no shuffle growth in B. Weights are
+# deterministic: a 32-bit md5 bucket per (replicate, orderkey)
+# compared against the Poisson(1) inverse-CDF INTEGER thresholds
+# below (floor(CDF(k)·2^32), k = 0..8, weight capped at 9 — tail mass
+# 1.1e-6), so both engines produce identical weights by integer
+# comparison alone. Replicate means are exact cents ratios divided
+# once; the percentile CI is the 2nd / 63rd order statistic of the 64
+# sorted means (in-plan array_sort of a 64-element array — no collect).
+_BOOT_B = 64
+_BOOT_T = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291, 4294609777, 4294923276, 4294962463]
+_BOOT_LO_IDX = 1   # floor(0.025 * 64) -> 2nd smallest (0-based 1)
+_BOOT_HI_IDX = 62  # B-1 - floor(0.025*64) -> 63rd (0-based 62)
+
+
+def _boot_w_sql(b: int) -> str:
+    h = (f"CAST(concat('0x', substr(md5(concat('boot{b}:', "
+         f"CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)")
+    return "(" + " + ".join(
+        f"CASE WHEN {h} >= {t} THEN 1 ELSE 0 END" for t in _BOOT_T
+    ) + ")"
+
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0) AS BIGINT)
+               AS cents,
+           o_orderkey
+    FROM orders
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS HUGEINT) AS tot,
+           {", ".join(
+               f"CAST(sum({_boot_w_sql(b)} * cents) AS HUGEINT) AS wc{b}, "
+               f"CAST(sum({_boot_w_sql(b)}) AS HUGEINT) AS w{b}"
+               for b in range(_BOOT_B)
+           )}
+    FROM base
+),
+m AS (
+    SELECT n, tot,
+           list_sort([{", ".join(
+               f"CAST(wc{b} AS DOUBLE) / CAST(w{b} AS DOUBLE)"
+               for b in range(_BOOT_B)
+           )}]) AS means
+    FROM s
+)
+SELECT n AS n_orders,
+       CAST({_BOOT_B} AS BIGINT) AS b_replicates,
+       CAST(tot AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_value,
+       means[{_BOOT_LO_IDX + 1}] / 100.0 AS ci_lo,
+       means[{_BOOT_HI_IDX + 1}] / 100.0 AS ci_hi
+FROM m
+"""
+
+
+@query("poisson_bootstrap_order_value", oracle=_BOOT_ORACLE)
+def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI of the mean order value via the
+    Poisson bootstrap (see the oracle comment block: the only
+    bootstrap whose cost is one linear pass regardless of B — the
+    standard trick for resampling statistics on cluster-scale data).
+
+    Shape: ONE map-side-combined aggregate computes all 2·B+2 partial
+    sums; weights are row-local integer expressions (64 md5 buckets ×
+    9 integer threshold comparisons); the CI is in-plan array algebra
+    on the 1-row result. No shuffle carries more than the 130-column
+    partial-aggregate row."""
+    base = Catalog(spark, sf_dir).orders.select(
+        F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+
+    def w(b: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot{b}:"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = F.lit(0)
+        for t in _BOOT_T:
+            out = out + (h >= t).cast("int")
+        return out
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+    ]
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * F.col("cents")).cast("decimal(38,0)").alias(f"wc{b}"))
+        aggs.append(F.sum(wb).cast("decimal(38,0)").alias(f"w{b}"))
+    s = base.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"wc{b}").cast("double") / F.col(f"w{b}").cast("double")
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.lit(_BOOT_B).cast("long").alias("b_replicates"),
+        (
+            F.col("tot").cast("double")
+            / (F.col("n").cast("double") * F.lit(100.0))
+        ).alias("mean_value"),
+        (F.element_at(means, _BOOT_LO_IDX + 1) / 100.0).alias("ci_lo"),
+        (F.element_at(means, _BOOT_HI_IDX + 1) / 100.0).alias("ci_hi"),
+    )

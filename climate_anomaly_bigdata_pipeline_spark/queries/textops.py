@@ -1235,3 +1235,82 @@ def rbo_bm25_vs_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rbo.alias("rbo"),
     )
+
+
+# ---- token-count histogram (log2 buckets) ------------------------------------
+
+# The sequence-length profile every pretraining pipeline reads before
+# picking pack/chunk sizes: documents bucketed by floor(log2(tokens)),
+# with per-bucket doc count, token mass, and the share of total
+# tokens. Buckets are integer powers of two (1-1, 2-3, 4-7, ...), so
+# bucket assignment is exact integer math on both engines; shares are
+# exact-integer ratios divided once at the output boundary.
+_TOKHIST_ORACLE = """
+WITH t AS (
+    SELECT CAST(len(str_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+b AS (
+    SELECT CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket_log2,
+           n_tokens
+    FROM t WHERE n_tokens > 0
+),
+g AS (
+    SELECT bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY bucket_log2
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS grand FROM b)
+SELECT bucket_log2,
+       CAST(pow(2, bucket_log2) AS BIGINT) AS bucket_min_tokens,
+       n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE) AS token_share
+FROM g, tot ORDER BY bucket_log2
+"""
+
+
+@query("tokens_per_doc_histogram", oracle=_TOKHIST_ORACLE)
+def tokens_per_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-count histogram over the corpus — the
+    sequence-length profile read before choosing chunk/pack sizes
+    (complements `pack_sequences_512` / `chunk_documents_64_16`).
+
+    Shape: one linear pass (token count is ``size(split(...))``, no
+    explode — the count never materializes the token array beyond the
+    row), a ≤64-bucket grouped aggregate with map-side combine, and
+    one broadcast of the 1-row grand total. floor(log2(n)) on a
+    positive long is exact in double (n < 2^53), so bucketing is
+    engine-identical."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.text import (
+        tokens_expr,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    t = docs.select(F.size(tokens_expr("text")).cast("long").alias("n_tokens"))
+    b = t.filter(F.col("n_tokens") > 0).select(
+        F.floor(F.log2("n_tokens")).cast("long").alias("bucket_log2"),
+        "n_tokens",
+    )
+    g = b.groupBy("bucket_log2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    tot = b.agg(F.sum("n_tokens").cast("long").alias("grand"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_log2",
+            F.pow(F.lit(2.0), F.col("bucket_log2"))
+            .cast("long")
+            .alias("bucket_min_tokens"),
+            "n_docs",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("grand").cast("double")
+            ).alias("token_share"),
+        )
+        .orderBy("bucket_log2")
+    )

@@ -1262,3 +1262,69 @@ def q22_idle_rich_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             FN.dec_sum("c_acctbal", 2, "totacctbal"),
         )
     )
+
+
+# ---- Q15: top supplier (revenue view + max) -----------------------------------
+
+# The last lineitem+supplier-expressible member of the 22-query set
+# (Q11 is partsupp-only and the data model has no partsupp table). The
+# classic query builds a quarter's per-supplier revenue view and keeps
+# the supplier(s) AT the maximum — ties all kept, which is exactly the
+# max-then-semi-join shape (never ORDER BY ... LIMIT 1, which drops
+# legitimate ties non-deterministically). Revenue sums ride DECIMAL;
+# the max is a 1-row broadcast joined back on the exact decimal.
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum revenue over
+    1996-Q1 (reference has no TPC-H suite; this completes the
+    engine's 21-of-22 coverage — Q11 needs the partsupp table the
+    data model doesn't ship).
+
+    Scale notes: the revenue view is one map-side-combined grouped sum
+    over the date-pruned fact (predicate reaches the parquet scan);
+    the max is a 1-row aggregate crossJoin-broadcast back onto the
+    view (exact DECIMAL equality — safe because both sides are the
+    SAME exact decimal sum, no doubles involved); supplier is a
+    broadcast dimension. Ties at the max all survive, matching the
+    oracle's subquery semantics."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(FN.revenue_expr()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    s = c.supplier.select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

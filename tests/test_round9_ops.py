@@ -85,3 +85,34 @@ def test_adamic_adar_cap_never_engages_on_copurchase(spark, sf_oracle_dir):
     out = G.adamic_adar(edges, max_neighbor_degree=64, on_overcap="observe")
     out.write.format("noop").mode("overwrite").save()
     assert out.overcap_observation.get["capped_wedges_dropped"] == 0
+
+
+def test_global_lead_matches_window(spark):
+    """global_lead must equal lead() OVER (ORDER BY k) for every row,
+    including partition-boundary rows and the global last row (NULL),
+    across several partition counts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        global_lead,
+    )
+
+    df = spark.range(0, 97).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        (F.col("id") * 11 % 100).alias("v"),
+    ).distinct()
+    expected = {
+        (r["k"], r["v"]): r["lead_ref"]
+        for r in df.withColumn(
+            "lead_ref", F.lead("v").over(Window.orderBy("k", "v"))
+        ).collect()
+    }
+    for n_parts in (1, 3, 8):
+        got = {
+            (r["k"], r["v"]): r["nxt"]
+            for r in global_lead(
+                df, ["k", "v"], "v", out_col="nxt", n_parts=n_parts
+            ).collect()
+        }
+        assert got == expected, f"n_parts={n_parts}"
