@@ -79,14 +79,21 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs (id1 < id2) with
-    |S1∩S2| / |S1∪S2| >= threshold.
+    """Exact n-gram set-similarity join: pairs (id1 < id2) with
+    ``metric`` >= threshold, where ``metric`` is ``"jaccard"``
+    (|S1∩S2| / |S1∪S2|) or ``"overlap"`` (Szymkiewicz-Simpson,
+    |S1∩S2| / min(|S1|,|S2|) — scores a full containment 1.0 however
+    different the sizes, which is how quote/subset duplication hides
+    from Jaccard). The output column is named after the metric.
 
     ``max_doc_freq`` drops shingles shared by more than that many
     documents before the pair join — the stop-shingle guard that keeps
     the join from going quadratic on boilerplate at scale.
     """
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(f"metric: {metric!r}")
     from pyspark.sql import Window
 
     sh = exploded_shingles(df, id_col, text_col, n)
@@ -113,13 +120,16 @@ def jaccard_pairs(
             F.max("n2").alias("n2"),
         )
     )
-    jac = F.col("shared").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("shared")
-    ).cast("double")
+    denom = (
+        (F.col("n1") + F.col("n2") - F.col("shared"))
+        if metric == "jaccard"
+        else F.least("n1", "n2")
+    )
+    score = F.col("shared").cast("double") / denom.cast("double")
     return (
-        shared.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+        shared.withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("id1", "id2", "shared", "n1", "n2", metric)
     )
 
 

@@ -333,6 +333,8 @@ _WINDOW_R9_SEED: list[str] = [
     "poisson_bootstrap_order_value",
     "tokens_per_doc_histogram",
     "q15_top_supplier",
+    "overlap_coeff_pairs",
+    "spectral_seasonality_daily",
 ]
 
 # Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-

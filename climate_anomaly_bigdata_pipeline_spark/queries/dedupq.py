@@ -960,3 +960,54 @@ def dup_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_chars").cast("double")
         ).alias("dup_char_frac"),
     )
+
+
+# ---- overlap-coefficient (Szymkiewicz-Simpson) near-dup pairs -----------------
+
+# overlap = |S1∩S2| / min(|S1|,|S2|): the containment detector — a
+# document QUOTED whole inside a bigger one scores 1.0 here while its
+# Jaccard can sit far below any dedup threshold (union is dominated by
+# the bigger doc). Same shingle equi-join and stop-shingle guard as
+# the Jaccard query; only the denominator changes, so the candidate
+# generation cost is identical and the two metrics share a plan shape
+# a cluster can fuse.
+_OVERLAP_THRESHOLD = 0.9
+
+_OVERLAP_ORACLE = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE},
+fsh AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_DOC_FREQ}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+    FROM fsh a JOIN fsh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id1, id2, shared, s1.n AS n1, s2.n AS n2,
+       CAST(shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) AS overlap
+FROM shared
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
+      >= {_OVERLAP_THRESHOLD}
+"""
+
+
+@query("overlap_coeff_pairs", oracle=_OVERLAP_ORACLE)
+def overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szymkiewicz-Simpson overlap-coefficient near-dup pairs
+    (threshold 0.9) — catches containment duplication (quotes,
+    subsets) that Jaccard's union denominator dilutes. Same candidate
+    generation as `ngram_jaccard_pairs` (shingle equi-join +
+    stop-shingle guard), different denominator."""
+    return DD.jaccard_pairs(
+        _doc_corpus(spark, sf_dir),
+        n=_SHINGLE_N,
+        threshold=_OVERLAP_THRESHOLD,
+        max_doc_freq=_MAX_DOC_FREQ,
+        metric="overlap",
+    )

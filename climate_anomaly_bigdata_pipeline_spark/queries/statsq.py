@@ -2785,3 +2785,181 @@ def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.element_at(means, _BOOT_LO_IDX + 1) / 100.0).alias("ci_lo"),
         (F.element_at(means, _BOOT_HI_IDX + 1) / 100.0).alias("ci_hi"),
     )
+
+
+# ---- spectral seasonality of daily revenue ------------------------------------
+
+# Periodogram of the daily revenue series at the calendar periods that
+# matter (7/30/91/365 days): amplitude_p = 2·|Σ_i x_i·e^{-2πi·(i mod p)/p}|/n
+# with x the mean-centered series. The cross-engine trick: engines
+# disagree in the last ulp of cos/sin (Java Math vs libm, argument
+# reduction), so NO trig runs at query time — for integer periods the
+# twiddle factors take only p distinct values, which are PRECOMPUTED
+# driver-side and embedded as identical repr literals in both engines
+# (the minhash-params / rbo-weights precedent). The inner sums
+# g_m = Σ_{i≡m (mod p)} (n·c_i − T) are EXACT integer cents
+# (mean-centering cleared of division), and the final Σ_m twiddle·g_m
+# folds over m in pinned order — identical double ops on identical
+# inputs, so the spectrum is bit-equal across engines with no rounding
+# guard needed (sqrt is IEEE-exact).
+_SPECTRAL_PERIODS = [7, 30, 91, 365]
+
+
+def _twiddles(p: int) -> tuple[list[float], list[float]]:
+    import math
+
+    cos = [math.cos(2.0 * math.pi * m / p) for m in range(p)]
+    sin = [math.sin(2.0 * math.pi * m / p) for m in range(p)]
+    return cos, sin
+
+
+def _spectral_oracle() -> str:
+    # Literals ride as CAST('<repr>' AS DOUBLE): a BARE numeric literal
+    # parses as DECIMAL in DuckDB and its decimal->double conversion is
+    # 1 ulp off the repr round-trip for some values (measured:
+    # -0.22252093395631434 -> ...143), which would break the bit-parity
+    # the whole construction exists for. The string cast is exact.
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    parts = []
+    for p in _SPECTRAL_PERIODS:
+        cos, sin = _twiddles(p)
+        parts.append(f"""
+g{p} AS (
+    SELECT CAST(i0 % {p} AS BIGINT) AS m,
+           CAST(sum(x) AS DOUBLE) AS g
+    FROM x GROUP BY 1
+),
+s{p} AS (
+    SELECT {p} AS period,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list(g * ([{", ".join(dlit(v) for v in cos)}])[m + 1]
+                        ORDER BY m)),
+               (a, b) -> a + b) AS cs,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list(g * ([{", ".join(dlit(v) for v in sin)}])[m + 1]
+                        ORDER BY m)),
+               (a, b) -> a + b) AS ss
+    FROM g{p}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT period, cs, ss FROM s{p}" for p in _SPECTRAL_PERIODS
+    )
+    return f"""
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100
+                AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+w AS (
+    SELECT d, c,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS i0
+    FROM daily
+),
+tot AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS t
+    FROM daily
+),
+x AS (
+    SELECT i0, n * CAST(c AS HUGEINT) - t AS x, n FROM w, tot
+),
+{",".join(parts)},
+spec AS ({unions})
+SELECT period,
+       2.0 * sqrt(cs * cs + ss * ss)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100.0) AS amplitude
+FROM spec, tot
+ORDER BY period
+"""
+
+
+@query("spectral_seasonality_daily", oracle=_spectral_oracle())
+def spectral_seasonality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue periodogram at the 7/30/91/365-day calendar
+    periods — the frequency-domain companion to
+    `stl_decompose_daily_revenue` / `acf_daily_revenue` (see the
+    oracle comment block: precomputed twiddle literals + exact-integer
+    inner sums make the spectrum bit-equal across engines with zero
+    query-time trig).
+
+    Shape: the only fact-sized work is the daily cents pre-aggregation
+    (map-side combined); the series itself is calendar-bounded, so the
+    four per-period (i mod p) groupings, the pinned-order folds, and
+    the amplitude algebra are all bounded-series work (≤ 493 groups
+    total)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        stable_global_index,
+    )
+
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
+    )
+    idx = stable_global_index(daily, ["d"], out_col="i0")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("t"),
+    )
+    x = idx.crossJoin(F.broadcast(tot)).select(
+        "i0",
+        "n",
+        (F.col("n") * F.col("c").cast("decimal(38,0)") - F.col("t")).alias("x"),
+    )
+    per = []
+    for p in _SPECTRAL_PERIODS:
+        cos, sin = _twiddles(p)
+        g = (
+            x.select(
+                (F.col("i0") % p).cast("long").alias("m"),
+                "x",
+                "n",
+            )
+            .groupBy("m")
+            .agg(
+                F.sum("x").cast("double").alias("g"),
+                F.first("n").alias("n"),
+            )
+        )
+        cos_arr = F.array(*[F.lit(v) for v in cos])
+        sin_arr = F.array(*[F.lit(v) for v in sin])
+        folded = g.select(
+            F.lit(p).cast("long").alias("period"),
+            (F.element_at(cos_arr, (F.col("m") + 1).cast("int")) * F.col("g"))
+            .alias("tc"),
+            (F.element_at(sin_arr, (F.col("m") + 1).cast("int")) * F.col("g"))
+            .alias("ts"),
+            "m",
+            "n",
+        ).groupBy("period").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "tc"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["tc"],
+            ).alias("cs"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "ts"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["ts"],
+            ).alias("ss"),
+            F.first("n").alias("n"),
+        )
+        per.append(folded)
+    spec = per[0]
+    for other in per[1:]:
+        spec = spec.unionAll(other)
+    nd = F.col("n").cast("double")
+    return spec.select(
+        "period",
+        (
+            F.lit(2.0)
+            * F.sqrt(F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss"))
+            / (nd * nd * F.lit(100.0))
+        ).alias("amplitude"),
+    ).orderBy("period")
