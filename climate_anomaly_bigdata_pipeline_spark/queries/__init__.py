@@ -335,6 +335,7 @@ _WINDOW_R9_SEED: list[str] = [
     "q15_top_supplier",
     "overlap_coeff_pairs",
     "spectral_seasonality_daily",
+    "isotonic_regression_daily",
 ]
 
 # Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-

@@ -2963,3 +2963,119 @@ def spectral_seasonality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nd * nd * F.lit(100.0))
         ).alias("amplitude"),
     ).orderBy("period")
+
+
+# ---- isotonic regression of daily revenue -------------------------------------
+
+# The monotone (non-decreasing) least-squares fit of the daily revenue
+# series WITHOUT the sequential PAVA loop: the minimax identity
+#   fitted_i = max_{j≤i} min_{k≥i} avg(y_j..y_k)
+# is a closed form over interval averages, and every interval average
+# is a ratio of EXACT integers ((P_k − P_{j−1}) cents over k−j+1), so
+# both engines compare identical doubles and the fit is bit-equal.
+# The calendar bounds n (~2500 days at every SF), so the O(n²)
+# interval table (~3M rows) is bounded-series work, not fact-sized
+# work: suffix-min per start day (one keyed window), then max per end
+# day (one grouped agg). PAVA is O(n) but inherently sequential; the
+# minimax form trades bounded quadratic work for full parallelism —
+# the right trade when n is calendar-bounded and the cluster is wide.
+_ISO_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100
+                AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+w AS (
+    SELECT d, c,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+           CAST(sum(c) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS pre
+    FROM daily
+),
+pairs AS (
+    SELECT a.i AS j, b.i AS k, b.d AS dk, b.c AS ck,
+           CAST(b.pre - a.pre + a.c AS DOUBLE)
+               / CAST(b.i - a.i + 1 AS DOUBLE) AS avg_jk
+    FROM w a JOIN w b ON a.i <= b.i
+),
+smin AS (
+    SELECT j, k, dk, ck,
+           min(avg_jk) OVER (
+               PARTITION BY j ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS s
+    FROM pairs
+)
+SELECT dk AS d,
+       CAST(ck AS DOUBLE) / 100.0 AS revenue,
+       max(s) / 100.0 AS iso_fitted
+FROM smin WHERE j <= k
+GROUP BY dk, ck
+ORDER BY d
+"""
+
+
+@query("isotonic_regression_daily", oracle=_ISO_ORACLE)
+def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of daily revenue
+    via the minimax identity — see the oracle comment block for why
+    this beats a sequential PAVA loop on a wide cluster and how the
+    exact-integer interval averages make the fit bit-equal across
+    engines.
+
+    Shape: fact-sized work is only the daily pre-aggregation; the
+    bounded O(n²) interval table builds from one range-join of the
+    prefix-sum series with itself, then one keyed window (suffix min
+    per start day) and one grouped max per end day."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_totals,
+        stable_global_index,
+    )
+
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
+    )
+    idx = stable_global_index(daily, ["d"], out_col="i0")
+    pre = running_totals(idx, ["d"], [("c", "pre")])
+    a = pre.select(
+        (F.col("i0") + 1).alias("j"),
+        (F.col("pre") - F.col("c")).alias("pj"),
+    )
+    b = pre.select(
+        (F.col("i0") + 1).alias("k"),
+        F.col("d").alias("dk"),
+        F.col("c").alias("ck"),
+        F.col("pre").alias("pk"),
+    )
+    pairs = a.join(b, a.j <= b.k).select(
+        "j",
+        "k",
+        "dk",
+        "ck",
+        (
+            (F.col("pk") - F.col("pj")).cast("double")
+            / (F.col("k") - F.col("j") + 1).cast("double")
+        ).alias("avg_jk"),
+    )
+    w = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    smin = pairs.withColumn("s", F.min("avg_jk").over(w))
+    return (
+        smin.groupBy("dk", "ck")
+        .agg(F.max("s").alias("mx"))
+        .select(
+            F.col("dk").alias("d"),
+            (F.col("ck").cast("double") / 100.0).alias("revenue"),
+            (F.col("mx") / 100.0).alias("iso_fitted"),
+        )
+        .orderBy("d")
+    )
