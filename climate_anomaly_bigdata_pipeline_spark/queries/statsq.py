@@ -2612,7 +2612,6 @@ def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
         running_min,
         running_totals,
-        stable_global_index,
     )
 
     import climate_anomaly_bigdata_pipeline_spark.functions as FN
@@ -2621,25 +2620,32 @@ def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
         (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
     )
-    idx = stable_global_index(daily, ["d"], out_col="i0")
-    pre = running_totals(idx, ["d"], [("c", "pre")])
-    tot = daily.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("c").cast("decimal(38,0)").alias("total"),
+    # The 1-based index is the prefix sum of a literal 1, so ONE range
+    # exchange yields index AND cents prefix — and return_totals hands
+    # back (T, n) driver-side, so the mean-cleared deviation is a
+    # row-local expression with python-literal totals: no separate
+    # stable_global_index pass, no broadcast join. (Same fusion
+    # opportunity exists in cusum_changepoint_daily.)
+    pre, (total, n_days) = running_totals(
+        daily.withColumn("__one", F.lit(1)),
+        ["d"],
+        [("c", "pre"), ("__one", "i")],
+        return_totals=True,
     )
-    dev = pre.crossJoin(F.broadcast(tot)).select(
+    dev = pre.select(
         "d",
-        "n",
         (
-            F.col("n") * F.col("pre").cast("decimal(38,0)")
-            - (F.col("i0") + 1).cast("decimal(38,0)") * F.col("total")
+            F.lit(int(n_days)).cast("decimal(38,0)")
+            * F.col("pre").cast("decimal(38,0)")
+            - F.col("i").cast("decimal(38,0)")
+            * F.lit(int(total)).cast("decimal(38,0)")
         ).alias("di"),
     )
     ph = running_min(dev, ["d"], "di", out_col="floor_di")
     return (
         ph.select(
             F.col("d").alias("alarm_day"),
-            F.col("n").cast("long").alias("n_days"),
+            F.lit(int(n_days)).cast("long").alias("n_days"),
             (F.col("di") - F.col("floor_di")).alias("__rise"),
         )
         .orderBy(F.col("__rise").desc(), "alarm_day")
@@ -2678,8 +2684,12 @@ _BOOT_HI_IDX = 62  # B-1 - floor(0.025*64) -> 63rd (0-based 62)
 
 
 def _boot_w_sql(b: int) -> str:
-    h = (f"CAST(concat('0x', substr(md5(concat('boot{b}:', "
-         f"CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)")
+    # One md5 yields FOUR independent 32-bit buckets (hex chars 1-8,
+    # 9-16, 17-24, 25-32), so 64 replicates cost 16 hashes per row,
+    # not 64. Engine and oracle slice identically.
+    seed, chunk = divmod(b, 4)
+    h = (f"CAST(concat('0x', substr(md5(concat('boot{seed}:', "
+         f"CAST(o_orderkey AS VARCHAR))), {1 + 8 * chunk}, 8)) AS BIGINT)")
     return "(" + " + ".join(
         f"CASE WHEN {h} >= {t} THEN 1 ELSE 0 END" for t in _BOOT_T
     ) + ")"
@@ -2726,65 +2736,88 @@ def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
     bootstrap whose cost is one linear pass regardless of B — the
     standard trick for resampling statistics on cluster-scale data).
 
-    Shape: ONE map-side-combined aggregate computes all 2·B+2 partial
-    sums; weights are row-local integer expressions (64 md5 buckets ×
-    9 integer threshold comparisons); the CI is in-plan array algebra
-    on the 1-row result. No shuffle carries more than the 130-column
-    partial-aggregate row."""
+    Shape: replicates ride as exploded (seed, chunk) rows — a 64×
+    fan-out of 2-long rows, map-side combined straight back down to
+    the 64 replicate partials, so the shuffle carries 64 rows however
+    big the fact is. Weights come from comparing 8-hex-char md5 SLICES
+    against hex-string thresholds: for fixed-width lowercase hex,
+    bytewise string order IS numeric order, so no hex→decimal
+    conversion runs at all (measured: ``conv()`` cost more than the
+    md5s themselves — 6.3 s vs 2.7 s for the scan at sf0.1 — and the
+    wide-aggregate formulation re-evaluated it per threshold). The CI
+    is in-plan array algebra on the 64 exact-ratio means."""
     base = Catalog(spark, sf_dir).orders.select(
         F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
         .cast("long")
         .alias("cents"),
         "o_orderkey",
     )
-
-    def w(b: int):
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"boot{b}:"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        out = F.lit(0)
-        for t in _BOOT_T:
-            out = out + (h >= t).cast("int")
-        return out
-
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("decimal(38,0)").alias("tot"),
-    ]
-    for b in range(_BOOT_B):
-        wb = w(b)
-        aggs.append(F.sum(wb * F.col("cents")).cast("decimal(38,0)").alias(f"wc{b}"))
-        aggs.append(F.sum(wb).cast("decimal(38,0)").alias(f"w{b}"))
-    s = base.agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                F.col(f"wc{b}").cast("double") / F.col(f"w{b}").cast("double")
-                for b in range(_BOOT_B)
-            ]
+    hex_t = [format(t, "08x") for t in _BOOT_T]
+    n_seeds = _BOOT_B // 4
+    md5c = F.md5(F.concat(F.col("s"), F.col("o_orderkey").cast("string")))
+    ex = base.select(
+        "cents",
+        "o_orderkey",
+        F.posexplode(
+            F.array(*[F.lit(f"boot{i}:") for i in range(n_seeds)])
+        ).alias("si", "s"),
+    )
+    sl = ex.select(
+        "cents",
+        "si",
+        F.posexplode(
+            F.array(*[F.substring(md5c, 1 + 8 * c, 8) for c in range(4)])
+        ).alias("chunk", "hx"),
+    )
+    wexpr = None
+    for ht in hex_t:
+        term = (F.col("hx") >= ht).cast("int")
+        wexpr = term if wexpr is None else wexpr + term
+    g = (
+        sl.select(
+            (F.col("si") * 4 + F.col("chunk")).alias("rep"),
+            wexpr.alias("w"),
+            "cents",
+        )
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("wc"),
+            F.sum("w").cast("decimal(38,0)").alias("ws"),
         )
     )
-    return s.select(
+    means = g.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rep",
+                        (
+                            F.col("wc").cast("double")
+                            / F.col("ws").cast("double")
+                        ).alias("m"),
+                    )
+                )
+            ),
+            lambda st: st["m"],
+        ).alias("ms")
+    ).select(F.array_sort("ms").alias("means"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+    )
+    return tot.crossJoin(F.broadcast(means)).select(
         F.col("n").alias("n_orders"),
         F.lit(_BOOT_B).cast("long").alias("b_replicates"),
         (
             F.col("tot").cast("double")
             / (F.col("n").cast("double") * F.lit(100.0))
         ).alias("mean_value"),
-        (F.element_at(means, _BOOT_LO_IDX + 1) / 100.0).alias("ci_lo"),
-        (F.element_at(means, _BOOT_HI_IDX + 1) / 100.0).alias("ci_hi"),
+        (F.element_at(F.col("means"), _BOOT_LO_IDX + 1) / 100.0).alias("ci_lo"),
+        (F.element_at(F.col("means"), _BOOT_HI_IDX + 1) / 100.0).alias("ci_hi"),
     )
+
 
 
 # ---- spectral seasonality of daily revenue ------------------------------------
