@@ -84,18 +84,25 @@ def pagerank(
     # reliable ``checkpoint`` to distributed storage removes — pin
     # there, not here.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Degree rides the edge table through the loop (computed once).
+    ed = e.join(deg, "src").localCheckpoint()
+    # The node set reads the PINNED ed, not e: every node appears as a
+    # src or dst of some edge (nodes are defined by the edge list), so
+    # the sets are identical — and deriving it downstream of the
+    # checkpoint drops one full replay of the caller's edge
+    # construction (round-9 stage accounting: the un-pinned e is the
+    # expensive input, consumed by the deg build and the join probe;
+    # this was its third consumption).
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:  # empty edge list: empty rank table, not a ZeroDivision
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Degree rides the edge table through the loop (computed once).
-    ed = e.join(deg, "src").localCheckpoint()
     if dangling == "redistribute":
         # Node-level dangling flag, computed once (nodes absent from
         # the out-degree table).

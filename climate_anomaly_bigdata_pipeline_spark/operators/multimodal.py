@@ -544,6 +544,51 @@ def sample_frames(df: DataFrame, every_n: int = 30,
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+def scene_cuts(df: DataFrame, threshold: float = 20.0,
+               id_col: str = "doc_id") -> DataFrame:
+    """Scene-cut detection over raw-RGB video payloads
+    (:func:`encode_raw_video` layout): one row per detected cut
+    ``(id_col, cut_idx, delta)`` where ``delta`` is the mean absolute
+    pixel difference between frame ``cut_idx`` and its predecessor and
+    a cut fires at ``delta >= threshold`` — the shot-boundary pass a
+    video curation pipeline runs before per-shot sampling/captioning.
+
+    The delta is a ratio of exact integers (a sum of uint8 absolute
+    differences over pixel count), so the threshold comparison is
+    engine-exact and the whole stage sits under a closed-form SQL
+    oracle when the clip content is deterministic. Batch shape: frames
+    stream pairwise inside the Arrow batch — memory is 2 frames per
+    clip, never the whole video. Container formats (MP4 …) → av stub.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, deltas = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != _RVID_MAGIC:
+                    _require("av", f"demuxing magic {b[:4]!r}")
+                w, h, n = struct.unpack(">HHI", b[4:12])
+                npix = h * w * 3
+                prev = None
+                for i in range(n):
+                    frame = np.frombuffer(
+                        b, dtype=np.uint8, count=npix, offset=12 + i * npix
+                    ).astype(np.int64)
+                    if prev is not None:
+                        delta = float(np.abs(frame - prev).sum()) / npix
+                        if delta >= threshold:
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            deltas.append(delta)
+                    prev = frame
+            yield pd.DataFrame(
+                {"doc_id": ids, "cut_idx": idxs, "delta": deltas}
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, cut_idx int, delta double")
+
+
 def extract_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The :func:`extract_features_batched` features via ``mapInArrow``
     — Arrow ``RecordBatch`` in, RecordBatch out, skipping the

@@ -336,6 +336,7 @@ _WINDOW_R9_SEED: list[str] = [
     "overlap_coeff_pairs",
     "spectral_seasonality_daily",
     "isotonic_regression_daily",
+    "video_scene_cuts",
 ]
 
 # Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-

@@ -590,3 +590,80 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster_id", "n_clips", "n_payload_variants")
     )
+
+
+# ---- video scene-cut detection ------------------------------------------------
+
+# Shot-boundary detection on deterministic multi-scene clips: each doc
+# renders n = 6 + doc_id%10 constant-color frames whose color JUMPS by
+# 41 (mod 256) every k = 2 + doc_id%3 frames. Between frames the mean
+# |pixel delta| is therefore EXACTLY 0 within a scene and
+# |(c + 41) mod 256 − c mod 256| at a boundary — a pure function of
+# doc_id and the frame index, so the cut list and its per-doc profile
+# are closed-form SQL over doc_id (the codec-oracle discipline:
+# PNG/WAV/FLAC profiles all predict executor-side decode output
+# analytically). The threshold (20) sits far from both possible
+# boundary deltas, so no float-comparison edge exists.
+_SCENE_ORACLE = """
+WITH docs AS (SELECT doc_id FROM documents),
+params AS (
+    SELECT doc_id,
+           6 + doc_id % 10 AS n,
+           2 + doc_id % 3 AS k
+    FROM docs
+),
+frames AS (
+    SELECT doc_id, k, unnest(range(1, n)) AS i FROM params
+),
+deltas AS (
+    SELECT doc_id, i,
+           abs(CAST((doc_id + 41 * (i // k)) % 256 AS BIGINT)
+               - CAST((doc_id + 41 * ((i - 1) // k)) % 256 AS BIGINT))
+               AS delta
+    FROM frames
+),
+cuts AS (SELECT * FROM deltas WHERE delta >= 20)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_cuts,
+       CAST(sum(i) AS BIGINT) AS sum_cut_idx,
+       CAST(sum(delta) AS DOUBLE) AS sum_delta
+FROM cuts GROUP BY doc_id
+"""
+
+
+@query("video_scene_cuts", oracle=_SCENE_ORACLE)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection end to end on the executors: render
+    deterministic multi-scene raw-RGB clips, stream frames pairwise
+    through :func:`operators.multimodal.scene_cuts` (2 frames of
+    memory per clip, never the whole video), and profile the detected
+    cuts per doc. The cut deltas are exact integer ratios, so the
+    whole decode→detect pipeline sits under a closed-form SQL oracle
+    keyed only on doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    docs = _spread(Catalog(spark, sf_dir).documents.select("doc_id"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 4 + doc_id % 3, 3 + doc_id % 2
+                n = 6 + doc_id % 10
+                k = 2 + doc_id % 3
+                frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+                for i in range(n):
+                    frames[i] = (doc_id + 41 * (i // k)) % 256
+                payloads.append(MM.encode_raw_video(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    cuts = MM.scene_cuts(clips, threshold=20.0)
+    return cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cuts"),
+        F.sum("cut_idx").cast("long").alias("sum_cut_idx"),
+        F.sum("delta").cast("double").alias("sum_delta"),
+    )
