@@ -337,6 +337,8 @@ _WINDOW_R9_SEED: list[str] = [
     "spectral_seasonality_daily",
     "isotonic_regression_daily",
     "video_scene_cuts",
+    "seasonal_mann_kendall_daily",
+    "runs_test_daily_revenue",
 ]
 
 # Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-

@@ -3112,3 +3112,273 @@ def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---- Seasonal Mann-Kendall trend test ------------------------------------------
+
+# The seasonal variant the climate literature actually applies to
+# monthly-structured series (Hirsch & Slack): compare days only WITHIN
+# the same month-of-year, so an annual cycle cannot masquerade as a
+# monotone trend. S = Σ_m S_m and var18 = Σ_m [n_m(n_m−1)(2n_m+5) −
+# tie_term_m] — all exact integers (per-season pair signs and
+# within-season tie groups), so only the final z division touches
+# floats, computed from identical integers on both engines. The pair
+# join shrinks ~12× vs the unconditional test (month equality rides
+# the join condition); everything stays calendar-bounded.
+_SEASONAL_MK_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(month(l_shipdate) AS BIGINT) AS m,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1, 2
+),
+s AS (
+    SELECT CAST(coalesce(sum(
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT)
+               AS s_stat
+    FROM daily a JOIN daily b ON a.m = b.m AND a.d < b.d
+),
+per AS (
+    SELECT m, CAST(count(*) AS BIGINT) AS nm FROM daily GROUP BY m
+),
+ties AS (
+    SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY m, x) g
+),
+v AS (
+    SELECT (SELECT CAST(sum(nm) AS BIGINT) FROM per) AS n,
+           s_stat,
+           (SELECT CAST(sum(nm * (nm - 1) * (2 * nm + 5)) AS BIGINT)
+            FROM per) - tie_term AS var18
+    FROM s, ties
+)
+SELECT n AS n_days, s_stat, var18,
+       CASE WHEN var18 <= 0 THEN 0.0
+            WHEN s_stat > 0
+                THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN s_stat < 0
+                THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_stat
+FROM v
+"""
+
+
+@query("seasonal_mann_kendall_daily", oracle=_SEASONAL_MK_ORACLE)
+def seasonal_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (Hirsch-Slack) Mann-Kendall trend test on daily
+    revenue: pairs compare only within the same month-of-year, so the
+    annual cycle cannot read as a trend — the climate-series variant
+    of `mann_kendall_trend_daily` (see the oracle comment block for
+    the exact-integer decomposition)."""
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("d"),
+        F.month("l_shipdate").cast("long").alias("m"),
+    ).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x")
+    ).localCheckpoint()  # reused: pairs (both sides), per-season, ties
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(
+        F.broadcast(b),
+        (F.col("a.m") == F.col("b.m")) & (F.col("a.d") < F.col("b.d")),
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    nm = F.col("nm")
+    per = (
+        daily.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("nm"))
+        .agg(
+            F.sum(nm).cast("long").alias("n"),
+            F.sum(nm * (nm - 1) * (2 * nm + 5)).cast("long").alias("v0"),
+        )
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("m", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = per.crossJoin(s).crossJoin(ties).select(
+        "n", "s_stat", (F.col("v0") - F.col("tie_term")).alias("var18")
+    )
+    sd, var18 = F.col("s_stat").cast("double"), F.col("var18")
+    denom = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var18",
+        F.when(var18 <= 0, F.lit(0.0))
+        .when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / denom)
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+# ---- Wald-Wolfowitz runs test about the median ---------------------------------
+
+# Randomness test on the daily revenue series: count the RUNS of
+# consecutive above-median / below-median days (median-equal days
+# dropped, the standard convention). Too few runs = persistence
+# (anomalous regimes clump), too many = oscillation. Everything up to
+# the final z is exact integers: the median is the LOWER median of
+# integer cents (a deterministic order statistic — first distinct
+# value whose cumulative count reaches ceil(n/2), via the distributed
+# prefix-sum, identical on both engines), signs are integer
+# comparisons, and the run count is 1 + Σ[sign_i ≠ sign_{i−1}] over
+# date order — the lag comes from the distributed `global_lead`, never
+# a single-partition window. μ and σ of R are closed forms of (n1, n2)
+# computed from identical integers → bit-equal z.
+_RUNS_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100
+                AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+med AS (
+    SELECT c AS median_c FROM (
+        SELECT c,
+               sum(cnt) OVER (
+                   ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum,
+               (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) FROM daily) AS k
+        FROM (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY c)
+    ) WHERE cum >= k ORDER BY c LIMIT 1
+),
+signs AS (
+    SELECT d, CASE WHEN c > median_c THEN 1 ELSE -1 END AS sg
+    FROM daily, med WHERE c <> median_c
+),
+seq AS (
+    SELECT sg, lead(sg) OVER (ORDER BY d) AS nxt FROM signs
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM signs WHERE sg = 1) AS n1,
+           (SELECT CAST(count(*) AS BIGINT) FROM signs WHERE sg = -1) AS n2,
+           1 + CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL
+                                       AND nxt <> sg THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS runs
+    FROM seq
+)
+SELECT n1, n2, runs,
+       CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE
+           (CAST(runs AS DOUBLE)
+            - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) + 1.0))
+           / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+       END AS z_stat
+FROM agg
+"""
+
+
+@query("runs_test_daily_revenue", oracle=_RUNS_ORACLE)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test about the median on daily revenue —
+    the regime-persistence check that complements the trend tests
+    (see the oracle comment block for the exact-integer construction).
+
+    Shape: daily cents pre-agg (the only fact-sized work), distributed
+    prefix-sum median over the distinct-cents histogram, one
+    :func:`global_lead` pass in date order for the switch count, and
+    closed-form z from identical integers."""
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        global_lead,
+        running_totals,
+    )
+
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
+    ).localCheckpoint()  # reused: histogram + signs
+    hist = daily.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum, (n_total,) = running_totals(
+        hist, ["c"], [("cnt", "cum")], return_totals=True
+    )
+    k = (int(n_total) + 1) // 2  # ceil(n/2) as an integer
+    med = (
+        cum.filter(F.col("cum") >= k)
+        .orderBy("c")
+        .limit(1)
+        .select(F.col("c").alias("median_c"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("c") != F.col("median_c"))
+        .select(
+            "d",
+            F.when(F.col("c") > F.col("median_c"), 1).otherwise(-1).alias("sg"),
+        )
+    )
+    seq = global_lead(signs, ["d"], "sg", out_col="nxt")
+    agg = seq.agg(
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("nxt").isNotNull()
+                        & (F.col("nxt") != F.col("sg")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1, n2, runs = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("runs").cast("double"),
+    )
+    nt = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nt + F.lit(1.0)
+    sig = F.sqrt(
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (nt * nt * (nt - F.lit(1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0)
+        ).otherwise((runs - mu) / sig).alias("z_stat"),
+    )
