@@ -339,6 +339,7 @@ _WINDOW_R9_SEED: list[str] = [
     "video_scene_cuts",
     "seasonal_mann_kendall_daily",
     "runs_test_daily_revenue",
+    "pca_top_component_embeddings",
 ]
 
 # Round-9 ACTIVE window. Layout: flagship + the 17 never-driver-

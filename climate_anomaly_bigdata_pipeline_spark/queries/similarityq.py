@@ -1050,3 +1050,226 @@ def ann_serve_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.ann_serve_batch(
         queries, assigned, cents, k=_KNN_K, nprobe=_NPROBE
     )
+
+
+# ---- exact distributed PCA: top principal component ----------------------------
+
+# The covariance moments are ORDER-INDEPENDENT: per-row products
+# x_ij·x_ik are cast to DECIMAL(25,15) and summed exactly (the JS/MI
+# recipe), and mean-centering is division-cleared in double from the
+# exact sums: C_jk = n·S2_jk − s_j·s_k = n²·Cov_jk. The double→DECIMAL
+# cast itself can round ties differently across engines (measured:
+# ~4 scale-15 ulp on a 50-element sum), so — exactly like the MI/
+# entropy queries — the OUTPUTS carry a round(6) guard; the ~1e-13
+# relative drift is stable through the power iteration. Each of the
+# _PCA_ITERS steps runs ON THE 64×64 MATRIX held as 4096 rows IN-PLAN
+# (no collect): one 64-row join + a pinned k-ordered fold per output
+# coordinate, the norm a pinned j-ordered fold — identical double op
+# ORDER on both engines. Deterministic by construction: the all-ones
+# start fixes the eigenvector sign. Scale shape: the data-sized work is the
+# d²-per-row product explode (d=64 → 4096/row) feeding a
+# map-side-combined 4096-group aggregate; the iteration is
+# fixed-size work regardless of corpus size.
+_PCA_ITERS = 10
+_PCA_D = 64
+
+
+def _pca_oracle() -> str:
+    v0 = repr(1.0 / 8.0)  # 1/sqrt(64): exact binary64 either way
+    d = _PCA_D
+    # The iteration rides a RECURSIVE CTE over ONE list-typed row:
+    # DuckDB 1.0 inlines chained CTEs geometrically (measured ~5× per
+    # unrolled step even with AS MATERIALIZED — v9 took 79 s), while
+    # the recursive form keeps exactly one previous state. The fold
+    # order matches the Spark side exactly: list_prepend(0.0, ...) +
+    # ascending k (then j), so every double op is identical.
+    dot = (
+        f"list_transform(range(1, {d + 1}), j -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), k -> "
+        f"cm[(j - 1) * {d} + k] * v[k])), (a, b) -> a + b))"
+    )
+    return f"""
+WITH RECURSIVE x AS (
+    SELECT vec_id, j - 1 AS j, xj
+    FROM (SELECT vec_id, unnest(embedding) AS xj,
+                 generate_subscripts(embedding, 1) AS j
+          FROM embeddings)
+),
+s2 AS (
+    SELECT a.j AS j, b.j AS k,
+           sum(CAST(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)
+                    AS DECIMAL(25,15))) AS s2
+    FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+),
+s1 AS (
+    SELECT j, sum(CAST(CAST(xj AS DOUBLE) AS DECIMAL(25,15))) AS sj
+    FROM x GROUP BY j
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cmat AS (
+    SELECT s2.j, s2.k,
+           CAST(s2.s2 AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(a.sj AS DOUBLE) * CAST(b.sj AS DOUBLE) AS c
+    FROM s2, nn
+    JOIN s1 a ON a.j = s2.j
+    JOIN s1 b ON b.j = s2.k
+),
+cvec AS (SELECT list(c ORDER BY j * {d} + k) AS cm FROM cmat),
+it AS (
+    SELECT 0 AS t,
+           CAST(NULL AS DOUBLE[]) AS v_prev,
+           CAST(NULL AS DOUBLE[]) AS w,
+           list_transform(range(1, {d + 1}),
+                          i -> CAST('{v0}' AS DOUBLE)) AS v
+    UNION ALL
+    SELECT t + 1,
+           v AS v_prev,
+           {dot} AS w,
+           list_transform({dot}, xw -> xw / sqrt(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform({dot}, y -> y * y)),
+                   (a, b) -> a + b))) AS v
+    FROM it, cvec WHERE t < {_PCA_ITERS}
+),
+fin AS (SELECT * FROM it WHERE t = {_PCA_ITERS})
+SELECT n AS n_vectors,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {d + 1}), j -> w[j] * v_prev[j])),
+           (a, b) -> a + b)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS top_eigenvalue,
+       round(v[1], 6) AS loading_0,
+       round(v[2], 6) AS loading_1,
+       round(v[3], 6) AS loading_2,
+       round(v[4], 6) AS loading_3
+FROM fin, nn
+"""
+
+
+@query("pca_top_component_embeddings", oracle=_pca_oracle())
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — exact
+    distributed PCA (see the oracle comment block: division-cleared
+    DECIMAL moment matrix + in-plan power iteration with pinned
+    folds; outputs under the standing round(6) cross-engine guard).
+
+    The PCA that matters for embedding curation: the top component's
+    eigenvalue share flags anisotropy (all-vectors-point-one-way
+    collapse) before ANN indexing. Rayleigh quotient after
+    ``_PCA_ITERS`` fixed iterations from the all-ones start — the
+    fixed iteration count IS the determinism contract (the kcore
+    fixed-unroll posture)."""
+    from pyspark.sql import functions as F
+
+    e = Catalog(spark, sf_dir).embeddings
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xj")
+    ).select("vec_id", "j", F.col("xj").cast("double").alias("xj"))
+    a, b = x.alias("a"), x.alias("b")
+    dec = "decimal(25,15)"
+    s2 = (
+        a.join(b, "vec_id")
+        .select(
+            F.col("a.j").alias("j"),
+            F.col("b.j").alias("k"),
+            (F.col("a.xj") * F.col("b.xj")).cast(dec).alias("p"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("p").alias("s2"))
+    )
+    s1 = x.groupBy("j").agg(F.sum(F.col("xj").cast(dec)).alias("sj"))
+    n_vec = e.count()  # dimension-sized driver scalar (bounded action)
+    # Centering algebra in DOUBLE from the exact decimal sums: the
+    # factors cast identically on both engines and the multiply/
+    # subtract are then identical IEEE ops — a decimal product here
+    # would trip Spark's precision-loss scale reduction (38,15 x n
+    # exceeds precision 38) and diverge from DuckDB in the low digits
+    # (measured: 1e-9 relative drift through the power iteration).
+    cmat = (
+        s2.join(s1.select(F.col("j"), F.col("sj").alias("sa")), "j")
+        .join(
+            s1.select(F.col("j").alias("k"), F.col("sj").alias("sb")), "k"
+        )
+        .select(
+            "j",
+            "k",
+            (
+                F.col("s2").cast("double") * F.lit(float(n_vec))
+                - F.col("sa").cast("double") * F.col("sb").cast("double")
+            ).alias("c"),
+        )
+        .localCheckpoint()  # reused _PCA_ITERS times
+    )
+    v = s1.select(F.col("j").alias("k"), F.lit(1.0 / 8.0).alias("vk"))
+
+    def fold(df, key_in, key_out, term, out):
+        return df.groupBy(key_in).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(key_out, term))),
+                F.lit(0.0),
+                lambda acc, s: acc + s[1],
+            ).alias(out)
+        )
+
+    w = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            cmat.join(v, "k")
+            .select("j", "k", (F.col("c") * F.col("vk")).alias("t"))
+            .groupBy("j")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("k", "t"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ).alias("wj")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("j", (F.col("wj") * F.col("wj")).alias("q"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["q"],
+                )
+            ).alias("nrm")
+        )
+        v_next = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("j").alias("k"), (F.col("wj") / F.col("nrm")).alias("vk")
+        )
+        v_prev = v
+        v = v_next.localCheckpoint(eager=False)
+    # Rayleigh quotient: λ = v_{T-1} · w_T (||v_{T-1}|| = 1)
+    ray = (
+        w.join(v_prev.select(F.col("k").alias("j"), "vk"), "j")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("j", (F.col("wj") * F.col("vk")).alias("r"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["r"],
+            ).alias("lam")
+        )
+    )
+    nd = F.lit(float(n_vec))
+    loads = v.filter(F.col("k") <= 3).groupBy().pivot(
+        "k", [0, 1, 2, 3]
+    ).agg(F.first("vk"))
+    return (
+        ray.crossJoin(F.broadcast(loads))
+        .select(
+            F.lit(n_vec).cast("long").alias("n_vectors"),
+            F.round(F.col("lam") / (nd * nd), 6).alias("top_eigenvalue"),
+            F.round("0", 6).alias("loading_0"),
+            F.round("1", 6).alias("loading_1"),
+            F.round("2", 6).alias("loading_2"),
+            F.round("3", 6).alias("loading_3"),
+        )
+    )
