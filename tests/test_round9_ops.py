@@ -116,3 +116,32 @@ def test_global_lead_matches_window(spark):
             ).collect()
         }
         assert got == expected, f"n_parts={n_parts}"
+
+
+def test_running_min_matches_window(spark):
+    """running_min must equal min() OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING) for every row across several partition counts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+        running_min,
+    )
+
+    df = spark.range(0, 83).select(
+        (F.col("id") * 53 % 997).alias("k"),
+        ((F.col("id") * 29 % 41) - 20).alias("v"),
+    ).distinct()
+    w = Window.orderBy("k", "v").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        (r["k"], r["v"]): r["ref"]
+        for r in df.withColumn("ref", F.min("v").over(w)).collect()
+    }
+    for n_parts in (1, 4, 9):
+        got = {
+            (r["k"], r["v"]): r["rm"]
+            for r in running_min(
+                df, ["k", "v"], "v", out_col="rm", n_parts=n_parts
+            ).collect()
+        }
+        assert got == expected, f"n_parts={n_parts}"
