@@ -833,7 +833,11 @@ def global_lead(
     :func:`stable_global_index`'s offsets). The last row overall gets
     NULL, as the window function would. ``order_cols`` must be a total
     order (equal keys land in one range partition, but their internal
-    lead order would be ambiguous).
+    lead order would be ambiguous). NULL-safe: only a partition's true
+    LAST row is patched (row_number == partition count), so a
+    legitimate NULL lead mid-partition — value_col itself NULL on the
+    next row — survives instead of being overwritten by the next
+    partition's first value.
 
     This is the missing primitive for gap/interval statistics over a
     sorted domain (Wasserstein-1's ∫|F_a−F_b| dx needs the NEXT
@@ -854,19 +858,24 @@ def global_lead(
         nxt[r["__pid"]] = follow
         follow = r["f"][value_col]
     w = Window.partitionBy("__pid").orderBy(*order_cols)
+    vtype = dict(df.dtypes)[value_col]
     if any(v is not None for v in nxt.values()):
         nxt_expr = F.create_map(
             *[
-                F.lit(x)
+                x
                 for pid, v in nxt.items()
                 if v is not None
-                for x in (pid, v)
+                for x in (F.lit(pid), F.lit(v).cast(vtype))
             ]
         )[F.col("__pid")]
     else:  # single non-empty partition: no successor anywhere
-        nxt_expr = F.lit(None).cast(dict(df.dtypes)[value_col])
+        nxt_expr = F.lit(None).cast(vtype)
+    is_last = F.row_number().over(w) == F.count(F.lit(1)).over(
+        Window.partitionBy("__pid")
+    )
     return part.withColumn(
-        out_col, F.coalesce(F.lead(value_col).over(w), nxt_expr)
+        out_col,
+        F.when(is_last, nxt_expr).otherwise(F.lead(value_col).over(w)),
     ).drop("__pid")
 
 
@@ -907,8 +916,17 @@ def running_min(
     local = F.min(value_col).over(w)
     keyed = {k: v for k, v in offsets.items() if v is not None}
     if keyed:
+        # Cast each re-injected minimum to the INPUT column's dtype:
+        # a bare F.lit(Decimal) types as DECIMAL(38,18), and least()
+        # would then coerce a DECIMAL(38,0) input to (38,18) —
+        # silently nulling |x| >= 1e20 (ADVICE r9).
+        vtype = dict(df.dtypes)[value_col]
         off_expr = F.create_map(
-            *[F.lit(x) for kv in keyed.items() for x in kv]
+            *[
+                x
+                for k, v in keyed.items()
+                for x in (F.lit(k), F.lit(v).cast(vtype))
+            ]
         )[F.col("__pid")]
         out_expr = F.least(local, F.coalesce(off_expr, local))
     else:

@@ -1042,7 +1042,7 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_neighbor_degree=_AA_DEGREE_CAP,
         on_overcap="observe",
     )
-    return (
+    out = (
         sc.select(
             F.col("u").alias("part_u"),
             F.col("v").alias("part_v"),
@@ -1052,6 +1052,12 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "part_u", "part_v")
         .limit(20)
     )
+    # The Observe node survives the select/orderBy/limit wrapper, so
+    # re-expose the handle on the returned frame — otherwise the
+    # registry/driver path would drop wedges documented-but-unobservable
+    # (ADVICE r9).
+    out.overcap_observation = sc.overcap_observation
+    return out
 
 
 # ---- local clustering coefficient on the co-purchase graph ------------------

@@ -1,0 +1,61 @@
+"""Round-10 operator regression tests — the ADVICE-r9 contract fixes.
+
+1. global_lead must be NULL-safe: a legitimate NULL lead mid-partition
+   (value_col itself NULL on the successor row) must survive, not be
+   overwritten by the next partition's first value.
+2. running_min must keep exactness for DECIMAL(38,0) magnitudes beyond
+   1e20 — the re-injected driver minima are cast to the input dtype so
+   least()/coalesce never coerce the column to DECIMAL(38,18).
+"""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from climate_anomaly_bigdata_pipeline_spark.operators.relational import (
+    global_lead,
+    running_min,
+)
+
+
+def test_global_lead_null_values_survive(spark):
+    """value_col contains NULLs: every mid-sequence NULL lead must stay
+    NULL (the window-function reference), at several partition counts."""
+    rows = [(i, None if i % 3 == 0 else i * 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    expected = {
+        r["k"]: r["ref"]
+        for r in df.withColumn(
+            "ref", F.lead("v").over(Window.orderBy("k"))
+        ).collect()
+    }
+    for n_parts in (1, 4, 7):
+        got = {
+            r["k"]: r["nxt"]
+            for r in global_lead(
+                df, ["k"], "v", out_col="nxt", n_parts=n_parts
+            ).collect()
+        }
+        assert got == expected, f"n_parts={n_parts}"
+
+
+def test_running_min_decimal38_0_huge_magnitudes(spark):
+    """DECIMAL(38,0) values with |x| >= 1e20 must not be nulled by a
+    (38,18) literal coercion — exactness at the full declared range."""
+    from decimal import Decimal
+
+    rows = [
+        (i, Decimal(10**25 - i * 10**21) * (1 if i % 2 else -1))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k int, v decimal(38,0)")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r["k"]: r["ref"]
+        for r in df.withColumn("ref", F.min("v").over(w)).collect()
+    }
+    assert all(v is not None for v in expected.values())
+    for n_parts in (1, 3, 6):
+        out = running_min(df, ["k"], "v", out_col="rm", n_parts=n_parts)
+        assert dict(out.dtypes)["rm"] == "decimal(38,0)", f"n_parts={n_parts}"
+        got = {r["k"]: r["rm"] for r in out.collect()}
+        assert got == expected, f"n_parts={n_parts}"
