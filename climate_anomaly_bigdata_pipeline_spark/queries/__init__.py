@@ -384,7 +384,87 @@ assert not (set(_WINDOW_R8_SEED) | set(_WINDOW_R9_SEED)) & (
 # padding is strictly re-verification of already-driver-green names:
 assert set(_R8_PADDING) <= set(_WINDOW_R4) | set(_WINDOW_R5)
 
-_PRIORITY = _WINDOW_R8  # ACTIVE for round 9's driver correctness check
+# _WINDOW_R8 earned its 50/50 green rows in CORRECTNESS_r09.json — the
+# driver-verified union now covers every registry name (VERDICT r9).
+
+# Seed of the round-11 rotation: round-10 additions land here and are
+# folded into the ACTIVE window below so they earn a driver row THIS
+# round (the r9 recipe). Keep every new query here until it has a
+# driver-verified CORRECTNESS row.
+_WINDOW_R10_SEED: list[str] = [
+    "pca_top_component_gemm",
+    "pca_topk_components_deflation",
+]
+
+# Queries whose CODE (plan or oracle) changed AFTER their last driver
+# CORRECTNESS row — VERDICT r9 next-round #1: these re-verify FIRST so
+# no driver row certifies stale code.
+#   - pagerank_purchase_graph: node set from the pinned edge table
+#     (c664972, after its r05 row)
+#   - exact_substring_dup_stats / top_duplicated_substrings: 128-bit
+#     dup-gram keys (ce75b93, after their r08 rows)
+#   - wasserstein_purchase_click: global_lead last-row guard (r10)
+#   - page_hinkley_drift_daily: running_min dtype-cast literals (r10)
+#   - adamic_adar_linkpred: observation propagation on the query path
+#     (r10; plan unchanged, re-verified out of caution)
+_R10_CODE_CHANGED = [
+    "pagerank_purchase_graph",
+    "exact_substring_dup_stats",
+    "top_duplicated_substrings",
+    "wasserstein_purchase_click",
+    "page_hinkley_drift_daily",
+    "adamic_adar_linkpred",
+]
+
+# RE-VERIFICATION padding: family keepers first (every judge-graded
+# family keeps one representative in the window), then oldest-green
+# fill — names whose last driver row is the OLDEST (_WINDOW_R5's rows
+# date to CORRECTNESS_r05.json). Drops from the TAIL as
+# _WINDOW_R10_SEED grows.
+_R9_PADDING = [
+    # family keepers (one canonical representative per judge-graded
+    # family, drawn from the oldest-green windows; the dedup family's
+    # keepers ride _R10_CODE_CHANGED)
+    "hll_sketch_rollup",          # sketches (R6)
+    "weighted_sample_customers",  # sampling (R6)
+    "ivf_train_codebook",         # similarity / ANN (R6)
+    "jpeg_decode_profile",        # multimodal (R6)
+    "char_entropy_docs",          # text analysis (R6)
+    "acf_daily_revenue",          # window / time series (R6)
+    "kcore_copurchase",           # graph (R6)
+    "q1_pricing_summary",         # relational / TPC-H (R7)
+    "curation_pipeline",          # curation (R5)
+    "scd2_user_type_history",     # incremental / history (R6)
+    "linreg_price_by_qty",        # statistics (R6)
+    "bm25_topk_docs",             # retrieval (R6)
+]
+_R9_PADDING += [
+    n for n in _WINDOW_R5
+    if n != "zscore_anomaly"
+    and n not in _R9_PADDING
+    and n not in _R10_CODE_CHANGED
+]
+
+_WINDOW_R9 = (
+    ["zscore_anomaly"]
+    + _WINDOW_R10_SEED
+    + _R10_CODE_CHANGED
+    + _R9_PADDING[: 50 - 1 - len(_WINDOW_R10_SEED) - len(_R10_CODE_CHANGED)]
+)
+assert len(_WINDOW_R9) == 50
+assert len(set(_WINDOW_R9)) == 50
+# every seed name is new to the driver:
+assert not set(_WINDOW_R10_SEED) & (
+    set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
+    | set(_WINDOW_R8)
+)
+# padding is strictly re-verification of already-driver-green names
+# (every non-seed name is green somewhere in the r4-r9 union):
+assert set(_R9_PADDING) <= (
+    set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
+)
+
+_PRIORITY = _WINDOW_R9  # ACTIVE for round 10's driver correctness check
 
 
 def _reorder() -> None:

@@ -1074,9 +1074,14 @@ _PCA_ITERS = 10
 _PCA_D = 64
 
 
-def _pca_oracle() -> str:
+def _pca_oracle(exact: bool = True) -> str:
+    """PCA oracle SQL. ``exact=True`` builds the DECIMAL(25,15) moment
+    matrix (bit-parity contract); ``exact=False`` sums the moments in
+    plain DOUBLE — the oracle for the float-GEMM production path, whose
+    sub-1e-12 engine-order drift sits far under the round(6) guard."""
     v0 = repr(1.0 / 8.0)  # 1/sqrt(64): exact binary64 either way
     d = _PCA_D
+    mom = "DECIMAL(25,15)" if exact else "DOUBLE"
     # The iteration rides a RECURSIVE CTE over ONE list-typed row:
     # DuckDB 1.0 inlines chained CTEs geometrically (measured ~5× per
     # unrolled step even with AS MATERIALIZED — v9 took 79 s), while
@@ -1099,11 +1104,11 @@ WITH RECURSIVE x AS (
 s2 AS (
     SELECT a.j AS j, b.j AS k,
            sum(CAST(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)
-                    AS DECIMAL(25,15))) AS s2
+                    AS {mom})) AS s2
     FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
 ),
 s1 AS (
-    SELECT j, sum(CAST(CAST(xj AS DOUBLE) AS DECIMAL(25,15))) AS sj
+    SELECT j, sum(CAST(CAST(xj AS DOUBLE) AS {mom})) AS sj
     FROM x GROUP BY j
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
@@ -1202,15 +1207,6 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = s1.select(F.col("j").alias("k"), F.lit(1.0 / 8.0).alias("vk"))
 
-    def fold(df, key_in, key_out, term, out):
-        return df.groupBy(key_in).agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(key_out, term))),
-                F.lit(0.0),
-                lambda acc, s: acc + s[1],
-            ).alias(out)
-        )
-
     w = None
     for _ in range(_PCA_ITERS):
         w = (
@@ -1273,3 +1269,269 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("3", 6).alias("loading_3"),
         )
     )
+
+
+# ---- production PCA: float-GEMM moments (the scale path) -------------------
+
+# The exact-DECIMAL query above is the bit-parity CONTRACT; these two
+# are the PRODUCTION plan (VERDICT r9: "ship the GEMM path"). One
+# narrow mapInPandas pass computes per-partition float64 Gram/sum/count
+# partials with BLAS (X.T @ X per Arrow batch), the shuffle carries
+# O(partitions * (d²+d+1)) partial rows instead of the exact path's
+# O(rows * d²) product explode, and the d×d eigen-iteration runs
+# driver-side in numpy (d=64 → a 32 KB matrix; bounded O(d²) driver
+# work — the trained-codebook posture of ivf_train_codebook). At 100 TB
+# the data-sized cost is exactly one corpus scan + a 4161-row shuffle.
+# Cross-engine float drift (BLAS pairwise sums vs the oracle's pinned
+# sequential folds) is ~1e-12 relative and sits far under the standing
+# round(6) output guard; a pytest pins GEMM-vs-DECIMAL agreement at
+# rtol 1e-9.
+
+
+def _pca_gemm_moments(e: DataFrame, d: int):
+    """``(n, s[d], G[d][d])`` — count, per-dim sums, and the raw Gram
+    matrix of the embedding corpus, via per-partition float64 BLAS
+    partials summed in-plan (groupBy idx, map-side combined) and
+    collected as d²+d+1 bounded rows (~33 KB at d=64)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].to_list(), dtype=np.float64)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        yield pd.DataFrame(
+            {
+                "idx": np.arange(d * d + d + 1, dtype=np.int64),
+                "val": np.concatenate([G.ravel(), s, [float(n)]]),
+            }
+        )
+
+    parts = e.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).mapInPandas(part, "idx long, val double")
+    acc = np.zeros(d * d + d + 1)
+    for r in parts.groupBy("idx").agg(F.sum("val").alias("val")).collect():
+        acc[r["idx"]] = r["val"]
+    n = int(acc[-1])
+    return n, acc[d * d : d * d + d], acc[: d * d].reshape(d, d)
+
+
+def _power_iterate(C, iters: int, d: int):
+    """``(lam, v)`` after ``iters`` fixed power steps from the
+    all-ones/8 start — the exact query's determinism contract (fixed
+    iteration count, sign pinned by the start vector), in numpy.
+    ``lam = v_prev · w_final`` (||v_prev|| = 1, the Rayleigh form the
+    DECIMAL query and both oracles use)."""
+    import numpy as np
+
+    v = np.full(d, 1.0 / 8.0)
+    w = v_prev = None
+    for _ in range(iters):
+        w = C @ v
+        v_prev = v
+        v = w / np.sqrt(float(w @ w))
+    return float(v_prev @ w), v
+
+
+@query("pca_top_component_gemm", oracle=_pca_oracle(exact=False))
+def pca_top_component_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component — PRODUCTION float-GEMM path (same
+    output contract as :func:`pca_top_component_embeddings`; see the
+    comment block above for the scale shape). The oracle is the same
+    recursive-CTE power iteration with the moment matrix summed in
+    DOUBLE instead of DECIMAL(25,15)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    e = Catalog(spark, sf_dir).embeddings
+    n, s, G = _pca_gemm_moments(e, _PCA_D)
+    # Same centering algebra as the exact query: C = n·S2 − s·sᵀ
+    # (= n²·Cov), eigenvalue reported as λ/n².
+    C = float(n) * G - np.outer(s, s)
+    lam, v = _power_iterate(C, _PCA_ITERS, _PCA_D)
+    row = [
+        (
+            n,
+            lam / (float(n) * float(n)),
+            float(v[0]),
+            float(v[1]),
+            float(v[2]),
+            float(v[3]),
+        )
+    ]
+    out = spark.createDataFrame(
+        row, "n_vectors long, ev double, l0 double, l1 double, "
+        "l2 double, l3 double"
+    )
+    return out.select(
+        "n_vectors",
+        F.round("ev", 6).alias("top_eigenvalue"),
+        F.round("l0", 6).alias("loading_0"),
+        F.round("l1", 6).alias("loading_1"),
+        F.round("l2", 6).alias("loading_2"),
+        F.round("l3", 6).alias("loading_3"),
+    )
+
+
+# ---- top-k principal components via Hotelling deflation ---------------------
+
+_PCA_TOPK = 3
+
+
+def _pca_deflation_oracle() -> str:
+    """Top-k PCA oracle: ONE recursive CTE runs k x _PCA_ITERS power
+    steps over state (t, cm, v, v_prev, w); at each component boundary
+    (t % ITERS == 0) the matrix is Hotelling-deflated in place
+    (cm <- cm - lam * v_T (x) v_T, lam = v_prev . w, v_T = w/||w||) and
+    v resets to the all-ones/8 start. Boundary rows expose exactly the
+    lam/v_T ingredients, so the final select never re-derives state.
+    Moments in DOUBLE (the production contract; round(6) guard)."""
+    v0 = repr(1.0 / 8.0)
+    d = _PCA_D
+    it = _PCA_ITERS
+    total = _PCA_TOPK * it
+    start = (
+        f"list_transform(range(1, {d + 1}), i -> CAST('{v0}' AS DOUBLE))"
+    )
+    dot = (
+        f"list_transform(range(1, {d + 1}), j -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), k -> "
+        f"cm[(j - 1) * {d} + k] * v[k])), (a, b) -> a + b))"
+    )
+    nrm_of = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(w, y -> y * y)), (a, b) -> a + b))"
+    )
+    lam_of = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), j -> v[j] * w[j])), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH RECURSIVE x AS (
+    SELECT vec_id, j - 1 AS j, xj
+    FROM (SELECT vec_id, unnest(embedding) AS xj,
+                 generate_subscripts(embedding, 1) AS j
+          FROM embeddings)
+),
+s2 AS (
+    SELECT a.j AS j, b.j AS k,
+           sum(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)) AS s2
+    FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+),
+s1 AS (
+    SELECT j, sum(CAST(xj AS DOUBLE)) AS sj FROM x GROUP BY j
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cmat AS (
+    SELECT s2.j, s2.k,
+           s2.s2 * CAST(n AS DOUBLE) - a.sj * b.sj AS c
+    FROM s2, nn
+    JOIN s1 a ON a.j = s2.j
+    JOIN s1 b ON b.j = s2.k
+),
+cvec AS (SELECT list(c ORDER BY j * {d} + k) AS cm FROM cmat),
+it AS (
+    SELECT 0 AS t,
+           CAST(NULL AS DOUBLE[]) AS w,
+           CAST(NULL AS DOUBLE[]) AS v_prev,
+           {start} AS v,
+           cm
+    FROM cvec
+    UNION ALL
+    SELECT t + 1,
+           w,
+           v AS v_prev,
+           CASE WHEN (t + 1) % {it} = 0 THEN {start}
+                ELSE list_transform(w, xw -> xw / nrm) END AS v,
+           CASE WHEN (t + 1) % {it} = 0
+                THEN list_transform(range(1, {d * d + 1}), i ->
+                     cm[i] - lam * (w[((i - 1) // {d}) + 1] / nrm)
+                                 * (w[((i - 1) % {d}) + 1] / nrm))
+                ELSE cm END AS cm
+    FROM (
+        SELECT t, cm, v, w, {nrm_of} AS nrm, {lam_of} AS lam
+        FROM (SELECT t, cm, v, {dot} AS w
+              FROM it WHERE t < {total}) s0
+    ) s1_
+)
+SELECT CAST(t // {it} - 1 AS INT) AS component,
+       round(lam / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+           AS eigenvalue,
+       round(w[1] / nrm, 6) AS loading_0,
+       round(w[2] / nrm, 6) AS loading_1,
+       round(w[3] / nrm, 6) AS loading_2,
+       round(w[4] / nrm, 6) AS loading_3
+FROM (
+    SELECT t, w, {nrm_of} AS nrm,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {d + 1}),
+                              j -> v_prev[j] * w[j])),
+               (a, b) -> a + b) AS lam
+    FROM it WHERE t % {it} = 0 AND t > 0
+) f, nn
+ORDER BY component
+"""
+
+
+@query("pca_topk_components_deflation", oracle=_pca_deflation_oracle())
+def pca_topk_components_deflation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 principal components via Hotelling deflation on the
+    float-GEMM moment matrix: after each component's fixed power
+    iteration, C <- C - lam * v (x) v and the iteration restarts from the
+    all-ones/8 vector — the spectrum profile an embedding-curation
+    pipeline reads for anisotropy (one dominant direction) vs healthy
+    spread, extending :func:`pca_top_component_gemm` (VERDICT r9 next
+    round #6). Data-sized work is unchanged: ONE corpus scan for the
+    moments; deflation is O(k·d²) driver-side numpy on the 64×64
+    matrix. The oracle mirrors every step in one recursive CTE (see
+    :func:`_pca_deflation_oracle`)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    e = Catalog(spark, sf_dir).embeddings
+    n, s, G = _pca_gemm_moments(e, _PCA_D)
+    C = float(n) * G - np.outer(s, s)
+    rows = []
+    for c in range(_PCA_TOPK):
+        lam, v = _power_iterate(C, _PCA_ITERS, _PCA_D)
+        rows.append(
+            (
+                c,
+                lam / (float(n) * float(n)),
+                float(v[0]),
+                float(v[1]),
+                float(v[2]),
+                float(v[3]),
+            )
+        )
+        C = C - lam * np.outer(v, v)
+    out = spark.createDataFrame(
+        rows, "component int, ev double, l0 double, l1 double, "
+        "l2 double, l3 double"
+    )
+    return out.select(
+        "component",
+        F.round("ev", 6).alias("eigenvalue"),
+        F.round("l0", 6).alias("loading_0"),
+        F.round("l1", 6).alias("loading_1"),
+        F.round("l2", 6).alias("loading_2"),
+        F.round("l3", 6).alias("loading_3"),
+    ).orderBy("component")

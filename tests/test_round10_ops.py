@@ -59,3 +59,49 @@ def test_running_min_decimal38_0_huge_magnitudes(spark):
         assert dict(out.dtypes)["rm"] == "decimal(38,0)", f"n_parts={n_parts}"
         got = {r["k"]: r["rm"] for r in out.collect()}
         assert got == expected, f"n_parts={n_parts}"
+
+
+def test_pca_gemm_agrees_with_exact_decimal(spark):
+    """The float-GEMM production PCA must agree with the exact-DECIMAL
+    contract query to rtol 1e-9 on every output (VERDICT r9 #2's done
+    criterion) — at round(6) the rows are identical."""
+    import math
+
+    from climate_anomaly_bigdata_pipeline_spark.queries.similarityq import (
+        pca_top_component_embeddings,
+        pca_top_component_gemm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = pca_top_component_embeddings(spark, sf).collect()[0].asDict()
+    gemm = pca_top_component_gemm(spark, sf).collect()[0].asDict()
+    assert exact["n_vectors"] == gemm["n_vectors"]
+    for col in (
+        "top_eigenvalue",
+        "loading_0",
+        "loading_1",
+        "loading_2",
+        "loading_3",
+    ):
+        assert math.isclose(exact[col], gemm[col], rel_tol=1e-9, abs_tol=1e-9), (
+            col,
+            exact[col],
+            gemm[col],
+        )
+
+
+def test_pca_deflation_first_component_matches_gemm(spark):
+    """Component 0 of the deflation query IS the GEMM top component —
+    same moments, same fixed iteration — so the rows must be equal."""
+    from climate_anomaly_bigdata_pipeline_spark.queries.similarityq import (
+        pca_top_component_gemm,
+        pca_topk_components_deflation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    top = pca_top_component_gemm(spark, sf).collect()[0]
+    c0 = pca_topk_components_deflation(spark, sf).collect()[0]
+    assert c0["component"] == 0
+    assert c0["eigenvalue"] == top["top_eigenvalue"]
+    for i in range(4):
+        assert c0[f"loading_{i}"] == top[f"loading_{i}"]
