@@ -414,6 +414,13 @@ _R10_CODE_CHANGED = [
     "wasserstein_purchase_click",
     "page_hinkley_drift_daily",
     "adamic_adar_linkpred",
+    # round-10 bit-exactness fixes (VERDICT r9 #4): integer-cent gini,
+    # quoted correctly-rounded double literals in the ndcg/rbo oracles
+    "gini_order_value_by_nation",
+    "retrieval_eval_ndcg",
+    "rbo_bm25_vs_tf",
+    # round-10 oracle reformulation (materialized-list recursion)
+    "holt_forecast_daily_revenue",
 ]
 
 # RE-VERIFICATION padding: family keepers first (every judge-graded

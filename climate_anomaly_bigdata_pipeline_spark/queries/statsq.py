@@ -107,13 +107,20 @@ def copurchase_degree_assortativity(
 
 # ---- Gini concentration of order value per nation ---------------------------
 
-# Gini from the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
-# ascending-sorted values. Money rides DECIMAL; ranks are exact; the
-# (value, orderkey) sort key makes equal totals deterministic.
+# Gini from the rank formula, DIVISION-CLEARED to one quotient of two
+# exact integers: G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) over
+# ascending-sorted integer-CENT values. Money rides exact integers
+# (round(x·100): identical IEEE multiply + half-away rounding on both
+# engines), ranks are exact, the numerator/denominator algebra is
+# integer-exact (Spark DECIMAL(38,0) / DuckDB HUGEINT), and the single
+# int→double conversion pair + divide sits under the round(6) output
+# guard — the pinned-exact-integer discipline that made PCA/spectral
+# bit-equal (VERDICT r9 #4; the old DECIMAL(18,6)→double sums rounded
+# differently in the last ulp on 24% of sf0.1 rows).
 _GINI_ORACLE = """
 WITH o AS (
     SELECT n.n_name,
-           CAST(o.o_totalprice AS DECIMAL(18,6)) AS x,
+           CAST(round(o.o_totalprice * 100) AS DECIMAL(18,0)) AS xc,
            row_number() OVER (PARTITION BY n.n_name
                               ORDER BY o.o_totalprice, o.o_orderkey) AS i
     FROM orders o
@@ -121,13 +128,14 @@ WITH o AS (
     JOIN nation n ON n.n_nationkey = c.c_nationkey
 ),
 g AS (
-    SELECT n_name, CAST(count(*) AS DOUBLE) AS n,
-           CAST(sum(x) AS DOUBLE) AS sx,
-           CAST(sum(x * i) AS DOUBLE) AS sxi
+    SELECT n_name, count(*) AS n,
+           sum(CAST(xc AS HUGEINT)) AS sx,
+           sum(CAST(xc AS HUGEINT) * i) AS sxi
     FROM o GROUP BY n_name
 )
 SELECT n_name, CAST(n AS BIGINT) AS n_orders,
-       2.0 * sxi / (n * sx) - (n + 1.0) / n AS gini
+       round(CAST(2 * sxi - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
 FROM g
 """
 
@@ -136,9 +144,11 @@ FROM g
 def gini_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value concentration per nation — the
     inequality metric for spend distribution. One window rank per
-    nation partition + one grouped aggregation; money sums in exact
-    DECIMAL with a deterministic (value, orderkey) tiebreak so the
-    rank-weighted sum is engine-identical."""
+    nation partition + one grouped aggregation; money sums as exact
+    integer cents with a deterministic (value, orderkey) tiebreak and
+    a division-cleared quotient, so the only float ops are one
+    int→double pair and one divide under the round(6) guard (see the
+    oracle comment block)."""
     cat = Catalog(spark, sf_dir)
     o = (
         cat.orders.join(
@@ -151,7 +161,9 @@ def gini_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "n_name",
-            F.col("o_totalprice").cast("decimal(18,6)").alias("x"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("decimal(18,0)")
+            .alias("xc"),
             "o_totalprice",
             "o_orderkey",
         )
@@ -159,15 +171,20 @@ def gini_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
     ranked = o.withColumn("i", F.row_number().over(w))
     g = ranked.groupBy("n_name").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum(F.col("x") * F.col("i")).cast("double").alias("sxi"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("xc").alias("sx"),
+        F.sum(F.col("xc") * F.col("i")).alias("sxi"),
     )
-    n = F.col("n")
+    nd = F.col("cnt").cast("decimal(20,0)")
+    num = (
+        F.lit(2).cast("decimal(20,0)") * F.col("sxi")
+        - (nd + F.lit(1)) * F.col("sx")
+    )
+    den = nd * F.col("sx")
     return g.select(
         "n_name",
-        n.cast("long").alias("n_orders"),
-        (2.0 * F.col("sxi") / (n * F.col("sx")) - (n + 1.0) / n).alias("gini"),
+        F.col("cnt").cast("long").alias("n_orders"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
 
 

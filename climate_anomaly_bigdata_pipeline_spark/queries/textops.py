@@ -706,8 +706,12 @@ _NDCG_K = 10
 _REL_MIN = 2  # binary-relevance threshold for MRR / P@10
 _DCG_W = tuple(1.0 / _math.log2(r + 1) for r in range(1, _NDCG_K + 1))
 
+# QUOTED literals: DuckDB parses an unquoted 17-digit numeric through
+# DECIMAL and then double-rounds the DECIMAL→DOUBLE cast (measured:
+# 1/log2(6) lands 1 ulp low), while a quoted string parses
+# correctly-rounded — the PCA-oracle CAST('{v}' AS DOUBLE) recipe.
 _NDCG_DISC_VALUES = ", ".join(
-    f"({r}, CAST({w!r} AS DOUBLE))" for r, w in enumerate(_DCG_W, start=1)
+    f"({r}, CAST('{w!r}' AS DOUBLE))" for r, w in enumerate(_DCG_W, start=1)
 )
 
 _NDCG_ORACLE = rf"""
@@ -1122,7 +1126,7 @@ t_list AS (
 ),
 w AS (SELECT {[repr(x) for x in _RBO_WEIGHTS]}::DOUBLE[] AS wts)
 SELECT CAST({_RBO_K} AS INTEGER) AS depth,
-       CAST({_RBO_P!r} AS DOUBLE) AS persistence,
+       CAST('{_RBO_P!r}' AS DOUBLE) AS persistence,
        CAST(len(list_intersect(s, t)) AS BIGINT) AS n_common_topk,
        list_reduce(
            list_transform(
