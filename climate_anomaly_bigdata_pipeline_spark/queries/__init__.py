@@ -50,6 +50,7 @@ from climate_anomaly_bigdata_pipeline_spark.queries import analyticsq  # noqa: E
 from climate_anomaly_bigdata_pipeline_spark.queries import advancedq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import statsq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import tpchq  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import storageq  # noqa: E402,F401
 
 # The driver's correctness sweep checks the FIRST 50 registry entries
 # (dict order); everything past that window is verified only by the
@@ -394,6 +395,12 @@ assert set(_R8_PADDING) <= set(_WINDOW_R4) | set(_WINDOW_R5)
 _WINDOW_R10_SEED: list[str] = [
     "pca_top_component_gemm",
     "pca_topk_components_deflation",
+    "stratified_split_manifest",
+    "grouped_cv_folds",
+    "ljung_box_daily_revenue",
+    "jaccard_linkpred",
+    "partitioned_fact_dpp_revenue",
+    "bucketed_join_revenue",
 ]
 
 # Queries whose CODE (plan or oracle) changed AFTER their last driver

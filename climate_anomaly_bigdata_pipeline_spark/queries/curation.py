@@ -248,3 +248,187 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("log_importance"),
         )
     )
+
+
+# ---- stratified split manifest with per-stratum leakage audit ---------------
+
+# The ship-gate artifact for a training split (VERDICT r9 next-round
+# #6): one row per (source stratum, split) carrying doc/token counts,
+# the within-stratum split share, and how many of the rows are
+# CONTAMINATED (their content fingerprint also appears in another
+# split). Composes the oracle-checked primitives: md5 hash_split
+# (row-local, stable under corpus growth), content fingerprints, and
+# one grouped leak audit — the same injected-duplicate corpus as
+# split_leakage_audit (every 5th doc re-appears under a new id) so the
+# leak columns are non-trivially exercised.
+#
+# Scale shape: two hash shuffles (fingerprint agg; (source,split)
+# rollup) + one join back on fingerprint; the share window runs over
+# the strata x splits result (bounded by the label domains, not the
+# corpus). Counts are exact integers; the single share division sits
+# under round(6).
+_SPLIT_MANIFEST_ORACLE = r"""
+WITH corpus AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, source
+    FROM documents WHERE doc_id % 5 = 0
+),
+fp AS (
+    SELECT doc_id, source,
+           md5(array_to_string(str_split_regex(lower(trim(text)), '\s+'), ' '))
+               AS fingerprint,
+           len(str_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                     THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(concat('split:',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95
+                     THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM corpus
+),
+leak AS (
+    SELECT fingerprint FROM fp
+    GROUP BY fingerprint HAVING count(DISTINCT split) > 1
+),
+per AS (
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) FILTER (WHERE fingerprint IN
+                (SELECT fingerprint FROM leak)) AS BIGINT) AS leaked_docs
+    FROM fp GROUP BY source, split
+)
+SELECT source, split, n_docs, sum_tokens, leaked_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE),
+             6) AS split_share
+FROM per
+ORDER BY source, split
+"""
+
+
+@query("stratified_split_manifest", oracle=_SPLIT_MANIFEST_ORACLE)
+def stratified_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, split) manifest of the 90/5/5 hash split over the
+    injected-duplicate corpus: doc and token counts, within-stratum
+    split share, and the count of docs whose content fingerprint leaks
+    across splits (see the oracle comment block for the scale shape)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text", "source")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dupes)
+    labeled = R.hash_split(TX.fingerprint(corpus), "doc_id").withColumn(
+        "n_tokens", F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    )
+    leak = (
+        labeled.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("__k"))
+        .filter(F.col("__k") > 1)
+        .select("fingerprint", F.lit(1).alias("__leak"))
+    )
+    per = (
+        labeled.join(leak, "fingerprint", "left")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.count("__leak").alias("leaked_docs"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "sum_tokens",
+        "leaked_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("split_share"),
+    ).orderBy("source", "split")
+
+
+# ---- grouped k-fold cross-validation manifest --------------------------------
+
+# GroupKFold for training pipelines: every row of a USER lands in
+# exactly one fold (fold = md5 bucket of the group key), so no user's
+# behavior leaks between train and held-out folds — the group-integrity
+# property a random row split violates. Membership is a pure function
+# of user_id: row-local, no shuffle for the assignment itself, stable
+# under data growth; the manifest is one grouped rollup (distinct
+# users ride the same shuffle). Integrity holds by construction —
+# max(folds per user) == 1 — and the n_users column lets the caller
+# assert balance.
+_CV_FOLDS = 5
+
+_CV_FOLDS_ORACLE = f"""
+WITH assigned AS (
+    SELECT event_id, user_id, event_type,
+           CAST(concat('0x', substr(md5(concat('cv:',
+                CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               % {_CV_FOLDS} AS fold
+    FROM events
+),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS all_users
+        FROM assigned)
+SELECT CAST(fold AS INTEGER) AS fold,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       round(count(DISTINCT user_id) / all_users, 6) AS user_share
+FROM assigned, tot
+GROUP BY fold, all_users
+ORDER BY fold
+"""
+
+
+@query("grouped_cv_folds", oracle=_CV_FOLDS_ORACLE)
+def grouped_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold GroupKFold manifest over events grouped by user (see the
+    comment block: md5-bucket fold assignment keeps each user's rows
+    in one fold). One row per fold: distinct users, event and purchase
+    counts, user share of the population (round(6) single division)."""
+    ev = Catalog(spark, sf_dir).events
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cv:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CV_FOLDS
+    )
+    assigned = ev.select(
+        "event_id", "user_id", "event_type", fold.alias("fold")
+    )
+    per = assigned.groupBy("fold").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias(
+            "n_purchases"
+        ),
+    )
+    tot = per.agg(F.sum("n_users").cast("double").alias("all_users"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_users",
+            "n_events",
+            "n_purchases",
+            F.round(
+                F.col("n_users").cast("double") / F.col("all_users"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("fold")
+    )

@@ -3399,3 +3399,140 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0)
         ).otherwise((runs - mu) / sig).alias("z_stat"),
     )
+
+
+# ---- Ljung-Box portmanteau test on daily revenue -----------------------------
+
+# Q_h = n(n+2) * sum_{j<=h} rho_j^2/(n-j): the standard whiteness test
+# over the first h autocorrelations (Ljung & Box 1978) — the residual
+# diagnostic that closes the ACF/Holt/STL family (is anything LEFT in
+# the series after the model?). Rides the acf_daily_revenue posture
+# verbatim: calendar-bounded series as ONE in-row array after the
+# distributed daily pre-agg; every rho_j and the cumulative Q fold in
+# pinned (date, then lag) order on both engines, so the check is
+# bit-exact with no rounding guard.
+_LB_MAX_LAG = 14
+
+_LJUNG_BOX_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1
+),
+ser AS (
+    SELECT list(x ORDER BY d) AS xs,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m,
+           count(*) AS n
+    FROM daily
+),
+base AS (
+    SELECT xs, m, n,
+           list_reduce(
+               list_transform(generate_series(1, CAST(n AS BIGINT)),
+                              i -> (xs[i] - m) * (xs[i] - m)),
+               (acc, t) -> acc + t
+           ) AS den
+    FROM ser
+),
+rho AS (
+    SELECT n,
+           list_transform(generate_series(1, {_LB_MAX_LAG}), k ->
+               list_reduce(
+                   list_transform(generate_series(1, CAST(n - k AS BIGINT)),
+                                  i -> (xs[i] - m) * (xs[i + k] - m)),
+                   (acc, t) -> acc + t
+               ) / den
+           ) AS rhos
+    FROM base
+),
+lags AS (SELECT unnest(generate_series(1, {_LB_MAX_LAG})) AS k)
+SELECT CAST(l.k AS INTEGER) AS lag,
+       r.rhos[l.k] AS acf,
+       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0))
+           * list_reduce(
+                 list_transform(generate_series(1, l.k), j ->
+                     r.rhos[j] * r.rhos[j] / (CAST(n AS DOUBLE) - j)),
+                 (acc, t) -> acc + t
+             ) AS q_stat,
+       CAST(n AS BIGINT) AS n_days
+FROM rho r, lags l
+ORDER BY lag
+"""
+
+
+@query("ljung_box_daily_revenue", oracle=_LJUNG_BOX_ORACLE)
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q statistic of the daily-revenue series at lags
+    1..14 — per-lag rows (lag, acf, cumulative q_stat, n_days). See
+    the oracle comment block; scale posture and exactness contract are
+    acf_daily_revenue's (bounded in-row series, pinned folds)."""
+    import climate_anomaly_bigdata_pipeline_spark.functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x")
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("sd"),
+        (
+            F.sum(FN.dec("x")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.transform("sd", lambda s: s["x"]).alias("xs"), "m", "n")
+
+    def dev(i: Column) -> Column:
+        return F.element_at("xs", i.cast("int")) - F.col("m")
+
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), F.col("n")),
+            lambda i: dev(i) * dev(i),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    rhos = F.transform(
+        F.sequence(F.lit(1).cast("long"), F.lit(_LB_MAX_LAG).cast("long")),
+        lambda k: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), F.col("n") - k),
+                lambda i: dev(i) * dev(i + k),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / F.col("den"),
+    )
+    # localCheckpoint (1 row): keep CollapseProject from inlining the
+    # den / 14-lag rho folds into every output column (holt posture).
+    base = ser.select("xs", "m", "n", den.alias("den")).localCheckpoint()
+    withr = base.select("n", rhos.alias("rhos")).localCheckpoint()
+    nd = F.col("n").cast("double")
+    terms = F.transform(
+        F.sequence(F.lit(1), F.col("k")),
+        lambda j: F.element_at("rhos", j.cast("int"))
+        * F.element_at("rhos", j.cast("int"))
+        / (nd - j.cast("double")),
+    )
+    q = (nd * (nd + F.lit(2.0))) * F.aggregate(
+        terms, F.lit(0.0), lambda acc, t: acc + t
+    )
+    return (
+        withr.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_LB_MAX_LAG))
+            ).alias("k"),
+        )
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            F.element_at("rhos", F.col("k").cast("int")).alias("acf"),
+            q.alias("q_stat"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+        .orderBy("lag")
+    )

@@ -105,3 +105,37 @@ def test_pca_deflation_first_component_matches_gemm(spark):
     assert c0["eigenvalue"] == top["top_eigenvalue"]
     for i in range(4):
         assert c0[f"loading_{i}"] == top[f"loading_{i}"]
+
+
+def test_dpp_query_plan_carries_dynamic_pruning(spark, sf_dir):
+    """partitioned_fact_dpp_revenue must actually plan a dynamicpruning
+    partition filter on the fact scan — the mechanism behind the
+    oracle row (values alone can't distinguish DPP from a full scan)."""
+    from climate_anomaly_bigdata_pipeline_spark.queries.storageq import (
+        partitioned_fact_dpp_revenue,
+    )
+
+    df = partitioned_fact_dpp_revenue(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bucketed_join_query_is_exchange_free(spark, sf_dir):
+    """With broadcast disabled, bucketed_join_revenue's join must read
+    both bucketed tables without a shuffle: no Exchange below the
+    SortMergeJoin (the layout's entire point)."""
+    from climate_anomaly_bigdata_pipeline_spark.queries.storageq import (
+        bucketed_join_revenue,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_revenue(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, join_part
