@@ -401,6 +401,9 @@ _WINDOW_R10_SEED: list[str] = [
     "jaccard_linkpred",
     "partitioned_fact_dpp_revenue",
     "bucketed_join_revenue",
+    "time_embargo_split_events",
+    "length_bucket_packing_stats",
+    "ann_recall_at_k",
 ]
 
 # Queries whose CODE (plan or oracle) changed AFTER their last driver

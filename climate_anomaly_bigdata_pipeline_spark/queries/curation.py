@@ -418,17 +418,178 @@ def grouped_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases"
         ),
     )
-    tot = per.agg(F.sum("n_users").cast("double").alias("all_users"))
+    # total users = sum of per-fold distincts (each user lives in ONE
+    # fold); a window over the 5-row aggregate avoids a second events
+    # scan that a separate .agg() branch would plan.
+    all_users = F.sum("n_users").over(Window.partitionBy()).cast("double")
+    return per.select(
+        F.col("fold").cast("int").alias("fold"),
+        "n_users",
+        "n_events",
+        "n_purchases",
+        F.round(F.col("n_users").cast("double") / all_users, 6).alias(
+            "user_share"
+        ),
+    ).orderBy("fold")
+
+
+# ---- time-embargoed train/test split (walk-forward evaluation) ---------------
+
+# Temporal splitting with an EMBARGO gap: train = events up to the
+# 70th-percentile timestamp, then a 2-day embargo buffer that belongs
+# to NEITHER side (absorbs look-ahead leakage through lagged/windowed
+# features whose horizon crosses the boundary — the walk-forward
+# discipline from financial ML, equally load-bearing for any
+# time-derived training features), test = everything after. The
+# boundary is an exact ORDER STATISTIC of (ts, event_id) — computed
+# distributed via stable_global_index (range exchange + bounded
+# per-partition counts; never a single-partition sort) and collected
+# as ONE bounded driver scalar (the codebook/BFS-source posture).
+# Labeling is then a row-local comparison. All outputs are exact
+# integers and timestamps.
+_EMBARGO_Q = 0.7
+_EMBARGO_DAYS = 2
+
+_EMBARGO_ORACLE = f"""
+WITH tot AS (SELECT count(*) AS n FROM events),
+ranked AS (
+    SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+),
+boundary AS (
+    SELECT r.ts AS b
+    FROM ranked r, tot
+    WHERE r.rn = CAST(floor({_EMBARGO_Q} * (tot.n - 1)) AS BIGINT) + 1
+),
+labeled AS (
+    SELECT e.*,
+           CASE WHEN e.ts <= b.b THEN 'train'
+                WHEN e.ts <= b.b + INTERVAL {_EMBARGO_DAYS} DAY
+                     THEN 'embargo'
+                ELSE 'test'
+           END AS split
+    FROM events e, boundary b
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(ts) AS ts_min,
+       max(ts) AS ts_max
+FROM labeled
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("time_embargo_split_events", oracle=_EMBARGO_ORACLE)
+def time_embargo_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward temporal split of events with a 2-day embargo gap
+    (see the comment block: exact distributed order-stat boundary, one
+    bounded driver scalar, row-local labeling). One row per split:
+    event/user counts and the time span actually covered."""
+    ev = Catalog(spark, sf_dir).events
+    idx, total = R.stable_global_index(
+        ev.select("ts", "event_id"),
+        ["ts", "event_id"],
+        out_col="rn",
+        return_total=True,
+    )
+    k = int(_EMBARGO_Q * (total - 1))  # 0-based index of the boundary row
+    boundary = idx.filter(F.col("rn") == k).collect()[0]["ts"]
+    lab = F.when(F.col("ts") <= F.lit(boundary), "train").when(
+        F.col("ts")
+        <= F.lit(boundary) + F.expr(f"INTERVAL {_EMBARGO_DAYS} DAYS"),
+        "embargo",
+    ).otherwise("test")
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("fold").cast("int").alias("fold"),
-            "n_users",
-            "n_events",
-            "n_purchases",
-            F.round(
-                F.col("n_users").cast("double") / F.col("all_users"), 6
-            ).alias("user_share"),
+        ev.withColumn("split", lab)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
         )
-        .orderBy("fold")
+        .orderBy("split")
+    )
+
+
+# ---- length-bucket packing/padding audit --------------------------------------
+
+# The pad-vs-pack efficiency audit behind every sequence-batching
+# decision: bucket documents by power-of-two token length, and report
+# per bucket how much compute a pad-to-bucket-top batcher would waste
+# (padding fraction) next to the pack-to-512 floor. Buckets come from
+# the BINARY LENGTH of the integer token count (floor(log2 n) + 1) —
+# an exact integer on both engines, deliberately NOT a libm log2 call
+# whose last-ulp could flip a doc across a bucket boundary. One token
+# explode (already the TF/BM25 scan shape) + one grouped rollup; the
+# two waste fractions are single exact-integer divisions under
+# round(6).
+_PACKBUCKET_ORACLE = r"""
+WITH dl AS (
+    SELECT doc_id,
+           len(str_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_tokens,
+           length(bin(n_tokens)) AS blen
+    FROM dl WHERE n_tokens > 0
+)
+SELECT CAST(blen AS INTEGER) AS bucket,
+       CAST(pow(2, blen - 1) AS BIGINT) AS bucket_lo,
+       CAST(pow(2, blen) - 1 AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                   / CAST(count(*) * (pow(2, blen) - 1) AS DOUBLE),
+             6) AS pad_waste_frac,
+       CAST(ceil(CAST(sum(n_tokens) AS DOUBLE) / 512.0) AS BIGINT)
+           AS packs_512_floor
+FROM b
+GROUP BY blen
+ORDER BY bucket
+"""
+
+
+@query("length_bucket_packing_stats", oracle=_PACKBUCKET_ORACLE)
+def length_bucket_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per power-of-two length bucket: doc/token counts, the padding
+    waste of a pad-to-bucket-top batcher, and the pack-to-512 floor
+    (see the comment block; exact-integer bucketing via binary length,
+    divisions under round(6))."""
+    docs = Catalog(spark, sf_dir).documents
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    b = dl.withColumn(
+        "blen", F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2))
+    )
+    hi = F.pow(F.lit(2.0), F.col("blen")) - F.lit(1.0)
+    return (
+        b.groupBy("blen")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            F.col("blen").cast("int").alias("bucket"),
+            F.pow(F.lit(2.0), F.col("blen") - F.lit(1)).cast("long").alias(
+                "bucket_lo"
+            ),
+            hi.cast("long").alias("bucket_hi"),
+            "n_docs",
+            F.col("sum_tokens").cast("long").alias("sum_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * hi).cast("double"),
+                6,
+            ).alias("pad_waste_frac"),
+            F.ceil(F.col("sum_tokens").cast("double") / F.lit(512.0))
+            .cast("long")
+            .alias("packs_512_floor"),
+        )
+        .orderBy("bucket")
     )

@@ -1535,3 +1535,123 @@ def pca_topk_components_deflation(
         F.round("l2", 6).alias("loading_2"),
         F.round("l3", 6).alias("loading_3"),
     ).orderBy("component")
+
+
+# ---- ANN recall evaluation: IVF vs brute ground truth -------------------------
+
+# The ANN QUALITY contract as an oracle row (previously only the
+# tools/ann_recall.py report): run the batch IVF KNN and the brute
+# ground truth over the same query set and score recall@k. Both inputs
+# are themselves oracle-checked queries; this row certifies the
+# composition — per-query hit counts are exact integers, the single
+# recall division sits under round(6). The oracle re-derives BOTH runs
+# (brute window top-k; Lloyd-retrained IVF probe/candidate CTEs — the
+# engine serves the same codebook from the artifact store, bit-equal
+# by the ivf_train_codebook contract).
+#
+# Scale shape: the engine side adds one equi-join (brute ∩ ivf on
+# (query, neighbor)) and a per-query count on top of the two KNN
+# queries — nothing data-sized beyond what those already do.
+_RECALL_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {_KNN_QUERY_MOD} = 0),
+bscored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="e.v", b="q.qv")} AS cosine
+    FROM e, q
+    WHERE e.vec_id != q.query_id
+),
+brutek AS (
+    SELECT query_id, neighbor_id
+    FROM bscored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) <= {_KNN_K}
+),
+{_lloyd_ctes(_TRAIN_ITERS)},
+pairs AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, v, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+probe AS (
+    SELECT vec_id, cid
+    FROM pairs
+    WHERE vec_id % {_KNN_QUERY_MOD} = 0
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, cid DESC) <= {_NPROBE}
+),
+icand AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="a.v", b="qq.v")} AS cosine
+    FROM probe p
+    JOIN e qq ON qq.vec_id = p.vec_id
+    JOIN assign a ON a.cell = p.cid
+    WHERE a.vec_id != p.vec_id
+),
+ivfk AS (
+    SELECT query_id, neighbor_id
+    FROM icand
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) <= {_KNN_K}
+),
+hits AS (
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS h
+    FROM brutek b
+    LEFT JOIN ivfk i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(h) AS DOUBLE)
+             / CAST(count(*) * {_KNN_K} AS DOUBLE), 6) AS recall_at_k,
+       CAST(min(h) AS BIGINT) AS min_hits
+FROM hits
+"""
+
+
+@query("ann_recall_at_k", oracle=_RECALL_ORACLE)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the batch IVF KNN against the brute-force ground
+    truth over the standard query batch (every 50th vector) — see the
+    comment block. One row: query count, mean recall, worst per-query
+    hit count."""
+    from pyspark.sql import functions as F
+
+    b = knn_join_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    i = knn_join_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = b.join(i, ["query_id", "neighbor_id"], "left_semi")
+    hits = (
+        b.select("query_id")
+        .distinct()
+        .join(
+            matched.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("h")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+    )
+    n = F.count(F.lit(1))
+    return hits.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(
+            F.sum("h").cast("double")
+            / (n * F.lit(_KNN_K)).cast("double"),
+            6,
+        ).alias("recall_at_k"),
+        F.min("h").cast("long").alias("min_hits"),
+    )
