@@ -1630,7 +1630,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit count."""
     from pyspark.sql import functions as F
 
-    b = knn_join_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    # Ground truth via the GEMM exact path — bit-identical to
+    # knn_join_brute by the documented parity contract (same oracle,
+    # ranks, and cosine bits) at ~15x less cost: the interpreted brute
+    # fold measured 73 s at sf1 in this composition, knn_join_exact ~4 s.
+    b = knn_join_exact(spark, sf_dir).select("query_id", "neighbor_id")
     i = knn_join_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     matched = b.join(i, ["query_id", "neighbor_id"], "left_semi")
     hits = (
