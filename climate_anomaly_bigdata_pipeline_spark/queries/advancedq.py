@@ -1193,36 +1193,40 @@ def jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("k"))
-    adjc = adj.join(
+    # Attach BOTH roles' degrees to the adjacency BEFORE the wedge
+    # join (the adamic_adar posture): the endpoint degree rides each
+    # wedge row, so the score needs no post-aggregation join against
+    # the wedge-sized candidate set (two extra cn-sized shuffles —
+    # measured ~30 s of the first cut's 74 s at sf10).
+    adjd = adj.join(
         deg.filter(F.col("k") <= _AA_DEGREE_CAP)
         .select(F.col("node").alias("nbr")),
         "nbr",
-    )
-    a, b = adjc.alias("a"), adjc.alias("b")
+    ).join(deg, "node")
+    a, b = adjd.alias("a"), adjd.alias("b")
     wedge = a.join(
         b,
         (F.col("a.nbr") == F.col("b.nbr"))
         & (F.col("a.node") < F.col("b.node")),
-    ).select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+    ).select(
+        F.col("a.node").alias("u"),
+        F.col("b.node").alias("v"),
+        F.col("a.k").alias("du"),
+        F.col("b.k").alias("dv"),
+    )
     cn = (
         wedge.join(edges, ["u", "v"], "left_anti")
-        .groupBy("u", "v")
+        .groupBy("u", "v", "du", "dv")
         .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
     )
     cm = F.col("common_neighbors")
-    return (
-        cn.join(deg.select(F.col("node").alias("u"), F.col("k").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("k").alias("dv")), "v")
-        .select(
-            F.col("u").alias("part_u"),
-            F.col("v").alias("part_v"),
-            cm,
-            F.round(
-                cm.cast("double")
-                / (F.col("du") + F.col("dv") - cm).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), "part_u", "part_v")
-        .limit(20)
-    )
+    return cn.select(
+        F.col("u").alias("part_u"),
+        F.col("v").alias("part_v"),
+        cm,
+        F.round(
+            cm.cast("double")
+            / (F.col("du") + F.col("dv") - cm).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).orderBy(F.col("jaccard").desc(), "part_u", "part_v").limit(20)
