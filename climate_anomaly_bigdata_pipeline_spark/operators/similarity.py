@@ -1147,3 +1147,48 @@ def ivfpq_topk(
         F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x).alias("adc_score"),
     )
     return scored.orderBy(F.col("adc_score").desc(), F.col("neighbor_id")).limit(k)
+
+
+def pq_reconstruction_err2(
+    df: DataFrame,
+    books: PQCodebooks,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-(vector, subspace) squared PQ reconstruction error
+    ``(sub, err2)``: encode row-locally (max-dot assignment, ties to
+    the larger code — exactly :func:`_pq_code_cols`), pick the chosen
+    centroid from the code-indexed literal array, and fold
+    ``(sv[p] − cv[p])²`` in ascending position order (the pinned-fold
+    parity contract). Zero corpus shuffle; the caller aggregates."""
+    d_sub = dim // len(books)
+    e = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    structs = []
+    for sub, cents in books:
+        lo = sub * d_sub
+        sv = F.slice("v", lo + 1, d_sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    dot_expr(sv, _lit_vec(cv)).alias("c"),
+                    F.lit(code).cast("long").alias("i"),
+                )
+                for code, cv in cents
+            ]
+        )
+        code = F.array_max(cands).getField("i")
+        by_code = F.array(
+            *[_lit_vec(cv) for _, cv in sorted(cents, key=lambda t: t[0])]
+        )
+        chosen = F.element_at(by_code, (code + 1).cast("int"))
+        err2 = F.aggregate(
+            F.zip_with(sv, chosen, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(F.lit(sub).cast("int").alias("sub"), err2.alias("err2"))
+        )
+    return e.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.sub", "s.err2"
+    )

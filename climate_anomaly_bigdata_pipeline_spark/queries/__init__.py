@@ -404,6 +404,8 @@ _WINDOW_R10_SEED: list[str] = [
     "time_embargo_split_events",
     "length_bucket_packing_stats",
     "ann_recall_at_k",
+    "minhash_jaccard_calibration",
+    "pq_reconstruction_error",
 ]
 
 # Queries whose CODE (plan or oracle) changed AFTER their last driver

@@ -1011,3 +1011,155 @@ def overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=_MAX_DOC_FREQ,
         metric="overlap",
     )
+
+
+# ---- MinHash estimate calibration vs exact Jaccard ---------------------------
+
+# The sketch-quality report every dedup pipeline should print before
+# trusting its threshold: for each LSH candidate pair, the MinHash
+# estimate (matching signature components / k — an exact multiple of
+# 1/16) next to the TRUE shingle Jaccard, with the absolute error.
+# Scale shape: the expensive exact Jaccard runs ONLY on candidate-pair
+# documents (semi-join on the candidate id set), so the calibration
+# cost tracks the candidate count, never the corpus; the estimate is
+# one signature self-join on the (id1, id2) pair keys. Error algebra:
+# est is exact, true is one correctly-rounded division, |est − true|
+# adds one subtraction — identical IEEE ops both engines, reported
+# under round(6).
+def _minhash_calib_oracle() -> str:
+    params = DD.minhash_params(_K)
+    h0 = "CAST(concat('0x', substr(md5(concat('0:', shingle)), 1, 8)) AS BIGINT)"
+    mins = ",\n        ".join(
+        f"min(({a} * {h0} + {b}) % {DD.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = ",\n        ".join(
+        "md5(concat_ws(','"
+        + "".join(f", mh_{b * _R + j}" for j in range(_R))
+        + f")) AS band_{b}"
+        for b in range(_BANDS)
+    )
+    stacked = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM banded"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(_K)
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+        {mins}
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id,
+        {bands}
+    FROM sig
+),
+stacked AS (
+{stacked}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM stacked a
+    JOIN stacked b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+),
+ids AS (SELECT id1 AS doc_id FROM cands UNION SELECT id2 FROM cands),
+shc AS (SELECT sh.* FROM sh JOIN ids USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+shared AS (
+    SELECT c.id1, c.id2, count(*) AS shared
+    FROM cands c
+    JOIN shc a ON a.doc_id = c.id1
+    JOIN shc b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+    GROUP BY c.id1, c.id2
+),
+est AS (
+    SELECT c.id1, c.id2,
+           CAST({matches} AS DOUBLE) / {_K}.0 AS e
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.id1
+    JOIN sig sb ON sb.doc_id = c.id2
+)
+SELECT e.id1, e.id2,
+       round(e.e, 6) AS est_jaccard,
+       round(CAST(s.shared AS DOUBLE)
+             / CAST(n1.n + n2.n - s.shared AS DOUBLE), 6) AS true_jaccard,
+       round(abs(e.e - CAST(s.shared AS DOUBLE)
+                 / CAST(n1.n + n2.n - s.shared AS DOUBLE)), 6) AS abs_err
+FROM est e
+JOIN shared s ON s.id1 = e.id1 AND s.id2 = e.id2
+JOIN sizes n1 ON n1.doc_id = e.id1
+JOIN sizes n2 ON n2.doc_id = e.id2
+ORDER BY e.id1, e.id2
+"""
+
+
+@query("minhash_jaccard_calibration", oracle=_minhash_calib_oracle())
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-candidate-pair calibration of the MinHash Jaccard
+    estimate against the exact shingle Jaccard (see the comment block
+    for the scale shape and error algebra)."""
+    corpus = _doc_corpus(spark, sf_dir)
+    sig = DD.minhash_signatures(
+        corpus, k=_K, n=_SHINGLE_N
+    ).localCheckpoint()  # reused: banding + two estimate joins
+    cands = DD.lsh_candidates(sig, k=_K, bands=_BANDS)
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(_K)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(_K)],
+    )
+    est = (
+        cands.join(sa, "id1")
+        .join(sb, "id2")
+        .select("id1", "id2", (matches.cast("double") / F.lit(float(_K))).alias("e"))
+    )
+    sh = DD.exploded_shingles(corpus, "doc_id", "text", _SHINGLE_N)
+    ids = (
+        cands.select(F.col("id1").alias("doc_id"))
+        .unionAll(cands.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(ids, "doc_id", "left_semi").localCheckpoint()
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shc.alias("a"), shc.alias("b")
+    shared = (
+        cands.join(a, F.col("a.doc_id") == F.col("id1"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("id2"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    tru = (
+        F.col("shared").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+    )
+    return (
+        est.join(shared, ["id1", "id2"])
+        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round("e", 6).alias("est_jaccard"),
+            F.round(tru, 6).alias("true_jaccard"),
+            F.round(F.abs(F.col("e") - tru), 6).alias("abs_err"),
+        )
+        .orderBy("id1", "id2")
+    )

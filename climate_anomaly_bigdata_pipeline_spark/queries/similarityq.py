@@ -1659,3 +1659,78 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_at_k"),
         F.min("h").cast("long").alias("min_hits"),
     )
+
+
+# ---- PQ reconstruction error per subspace --------------------------------------
+
+# Quantization QUALITY as an oracle row: mean squared reconstruction
+# error per PQ subspace — the number that tells an index builder
+# whether m/k are adequate before recall degrades silently. The
+# per-(vector, subspace) err² folds positions in pinned order (engine
+# zip_with == oracle generate_series); the corpus-sized MEAN then uses
+# the 2^53 fixed-point DECIMAL(38,0) trick from the centroid training
+# — with an EXPLICIT floor before the decimal cast: unlike the
+# training recipe's float32·2^53 (exactly integer), err2·2^53 has a
+# fractional part, and the engines round a non-integer double→DECIMAL
+# cast differently (DuckDB +0.5-truncates: 0.49999999999999994 → 1;
+# Spark HALF_UPs the exact value → 0). floor() is identical on both,
+# so the sum is order-free exact and the result bit-exact, no
+# rounding guard. Encode is row-local against
+# codebook literals; the only shuffle is the m-group aggregate.
+_PQ_RECON_ORACLE = f"""
+WITH {_E_CTE},
+{_pq_ctes()},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code, list_dot_product(s.sv, c.cv) AS d
+    FROM sv s JOIN pc c ON c.sub = s.sub
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code DESC) = 1
+),
+err AS (
+  SELECT n.sub,
+         list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, {_PQ_DSUB}),
+                     p -> (s.sv[p] - c.cv[p]) * (s.sv[p] - c.cv[p]))),
+             (acc, x) -> acc + x
+         ) AS err2
+  FROM enc n
+  JOIN sv s ON s.vec_id = n.vec_id AND s.sub = n.sub
+  JOIN pc c ON c.sub = n.sub AND c.code = n.code
+)
+SELECT CAST(sub AS INTEGER) AS sub,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CAST(floor(err2 * 9007199254740992.0) AS DECIMAL(38,0)))
+            AS DOUBLE) / 9007199254740992.0 / CAST(count(*) AS DOUBLE)
+           AS mse
+FROM err
+GROUP BY sub
+ORDER BY sub
+"""
+
+
+@query("pq_reconstruction_error", oracle=_PQ_RECON_ORACLE)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction MSE over the full corpus (see
+    the comment block: row-local encode, pinned err² folds, 2^53
+    fixed-point exact mean)."""
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings
+    err = SIM.pq_reconstruction_err2(emb, _pq_books(spark, sf_dir), dim=_DIM)
+    scale = F.lit(9007199254740992.0)
+    cnt = F.count(F.lit(1))
+    return (
+        err.groupBy("sub")
+        .agg(
+            cnt.cast("long").alias("n_vectors"),
+            (
+                F.sum(F.floor(F.col("err2") * scale).cast("decimal(38,0)"))
+                .cast("double")
+                / scale
+                / cnt.cast("double")
+            ).alias("mse"),
+        )
+        .orderBy("sub")
+    )
