@@ -553,3 +553,51 @@ def adamic_adar(
     )
     out.overcap_observation = observation
     return out
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation with a
+    FIXED round count and deterministic tie-breaking: labels start as
+    node ids; each round every node adopts the MODE of its neighbors'
+    labels, ties to the SMALLEST label. The fixed unroll is the
+    determinism contract (the k_core posture) — synchronous LPA can
+    oscillate on bipartite-ish structure, and a convergence loop would
+    make the result run-dependent; R rounds from the id start is a
+    pure function of the graph on every engine.
+
+    ``edges`` is the canonical undirected (u < v) list. Per round: one
+    equi-join (adjacency ⋈ labels on the neighbor key) + one grouped
+    count + one per-node argmax — all hash exchanges on node keys, the
+    shape that bucketed edges make exchange-free at 100 TB. Labels are
+    lazily checkpointed per round to cut lineage growth.
+
+    Returns ``(node, community)`` — the community id is the label that
+    survived round R (a node id, stable across runs).
+    """
+    edges = edges.select("u", "v").localCheckpoint()
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(int(rounds)):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        # argmax by (count DESC, label ASC): max over (cnt, -lbl)
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -406,6 +406,7 @@ _WINDOW_R10_SEED: list[str] = [
     "ann_recall_at_k",
     "minhash_jaccard_calibration",
     "pq_reconstruction_error",
+    "label_propagation_communities",
 ]
 
 # Queries whose CODE (plan or oracle) changed AFTER their last driver

@@ -1230,3 +1230,69 @@ def jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     ).orderBy(F.col("jaccard").desc(), "part_u", "part_v").limit(20)
+
+
+# ---- label-propagation communities on the co-purchase graph ------------------
+
+# Community structure by synchronous LPA with a FIXED 4-round unroll
+# and (count DESC, label ASC) tie-breaking — deterministic on every
+# engine (see operators.graph.label_propagation; the k_core
+# fixed-unroll posture). The oracle unrolls the same 4 rounds as CTEs.
+# Output is the community SIZE distribution (community id = surviving
+# node-id label), the summary a curation pipeline reads to find
+# co-purchase clusters worth a category of their own.
+_LPA_ROUNDS = 4
+
+
+def _lpa_ctes(rounds: int) -> str:
+    parts = [
+        "adj AS (SELECT u AS node, v AS nbr FROM edges "
+        "UNION ALL SELECT v, u FROM edges)",
+        "l0 AS (SELECT DISTINCT node, node AS lbl FROM adj)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (
+    SELECT a.node, l.lbl, count(*) AS cnt
+    FROM adj a JOIN l{r - 1} l ON l.node = a.nbr
+    GROUP BY a.node, l.lbl
+),
+l{r} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM c{r}
+    ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_LPA_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+{_lpa_ctes(_LPA_ROUNDS)}
+SELECT lbl AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{_LPA_ROUNDS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+"""
+
+
+@query("label_propagation_communities", oracle=_LPA_ORACLE)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community-size distribution of 4-round label propagation on the
+    part co-purchase graph (see the comment block)."""
+    li = Catalog(spark, sf_dir).lineitem
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("u", "v")
+    lab = G.label_propagation(edges, rounds=_LPA_ROUNDS)
+    return (
+        lab.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+    )
