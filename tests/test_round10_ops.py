@@ -139,3 +139,37 @@ def test_bucketed_join_query_is_exchange_free(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     join_part = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_part, join_part
+
+
+def test_bucketed_layout_reregisters_in_fresh_session():
+    """A FRESH session must REGISTER the existing bucketed files via
+    CREATE TABLE ... CLUSTERED BY instead of rewriting them (saveAsTable
+    over an existing location errors — the round-10 bug this guards),
+    and the re-registered table must still answer exactly. Runs twice
+    in subprocesses: first write, then reuse."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("bktfresh").config("spark.ui.enabled", "false").getOrCreate())
+from climate_anomaly_bigdata_pipeline_spark.queries.storageq import (
+    bucketed_join_revenue,
+)
+rows = bucketed_join_revenue(spark, "/root/testdata/sf0.001").collect()
+assert len(rows) == 5, rows
+total = sum(r.n_lineitems for r in rows)
+print("BKT_OK", total)
+"""
+    outs = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert "BKT_OK" in proc.stdout, proc.stderr[-2000:]
+        outs.append(proc.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1], outs
