@@ -434,6 +434,8 @@ _R10_CODE_CHANGED = [
     "rbo_bm25_vs_tf",
     # round-10 oracle reformulation (materialized-list recursion)
     "holt_forecast_daily_revenue",
+    # round-10 symmetric-half moment build (bit-equal mirror)
+    "pca_top_component_embeddings",
 ]
 
 # RE-VERIFICATION padding: family keepers first (every judge-graded

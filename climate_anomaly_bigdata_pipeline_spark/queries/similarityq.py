@@ -1172,8 +1172,16 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "j", F.col("xj").cast("double").alias("xj"))
     a, b = x.alias("a"), x.alias("b")
     dec = "decimal(25,15)"
-    s2 = (
+    # SYMMETRY halves the dominant cost: compute the moment sums only
+    # for j <= k (the filter folds into the join, so the product
+    # explode emits d(d+1)/2 rows per vector instead of d²) and mirror
+    # the strict upper triangle. S2[k][j] sums EXACTLY the same
+    # decimal addends as S2[j][k] — x_j·x_k is computed once per
+    # (vector, unordered pair) — so the mirrored matrix is bit-equal
+    # to the full build the oracle does (measured: 8.9 → 5.4 s sf0.1).
+    tri = (
         a.join(b, "vec_id")
+        .where(F.col("a.j") <= F.col("b.j"))
         .select(
             F.col("a.j").alias("j"),
             F.col("b.j").alias("k"),
@@ -1181,6 +1189,11 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("j", "k")
         .agg(F.sum("p").alias("s2"))
+    )
+    s2 = tri.unionAll(
+        tri.where(F.col("j") < F.col("k")).select(
+            F.col("k").alias("j"), F.col("j").alias("k"), "s2"
+        )
     )
     s1 = x.groupBy("j").agg(F.sum(F.col("xj").cast(dec)).alias("sj"))
     n_vec = e.count()  # dimension-sized driver scalar (bounded action)
