@@ -407,6 +407,7 @@ _WINDOW_R10_SEED: list[str] = [
     "minhash_jaccard_calibration",
     "pq_reconstruction_error",
     "label_propagation_communities",
+    "pca_projection_outliers",
 ]
 
 # Queries whose CODE (plan or oracle) changed AFTER their last driver

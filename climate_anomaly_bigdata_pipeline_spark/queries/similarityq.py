@@ -1747,3 +1747,167 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub")
     )
+
+
+# ---- PCA-projection outliers: anomaly detection on embeddings ----------------
+
+# The embedding-curation anomaly detector the PCA family exists for:
+# project every vector onto the top principal direction and flag the
+# largest |z|. Composition shape: moments via the ONE-scan GEMM path,
+# eigenvector + mean-shift driver-side (bounded d²), then a ROW-LOCAL
+# projection against the literal direction and one aggregate for the
+# projection's mean/std — computed with floor-fixed-point
+# DECIMAL(38,0) sums so the statistics are order-free (a plain DOUBLE
+# sum would be partition-order-dependent run to run). Cross-engine
+# drift (numpy iteration vs the oracle's recursive-CTE iteration) is
+# ~1e-12 on the projections and dies under the round(6) guard; the
+# top-20 ordering uses the ROUNDED |z| with a vec_id tiebreak (the
+# adamic-adar posture).
+_PCA_PROJ_K = 20
+_FIX = 9007199254740992.0  # 2^53
+
+
+def _pca_proj_oracle() -> str:
+    d = _PCA_D
+    it = _PCA_ITERS
+    v0 = repr(1.0 / 8.0)
+    dot = (
+        f"list_transform(range(1, {d + 1}), j -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), k -> "
+        f"cm[(j - 1) * {d} + k] * v[k])), (a, b) -> a + b))"
+    )
+    return f"""
+WITH RECURSIVE x AS (
+    SELECT vec_id, j - 1 AS j, xj
+    FROM (SELECT vec_id, unnest(embedding) AS xj,
+                 generate_subscripts(embedding, 1) AS j
+          FROM embeddings)
+),
+s2 AS (
+    SELECT a.j AS j, b.j AS k,
+           sum(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)) AS s2
+    FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+),
+s1 AS (SELECT j, sum(CAST(xj AS DOUBLE)) AS sj FROM x GROUP BY j),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cmat AS (
+    SELECT s2.j, s2.k, s2.s2 * CAST(n AS DOUBLE) - a.sj * b.sj AS c
+    FROM s2, nn
+    JOIN s1 a ON a.j = s2.j
+    JOIN s1 b ON b.j = s2.k
+),
+cvec AS (SELECT list(c ORDER BY j * {d} + k) AS cm FROM cmat),
+it AS (
+    SELECT 0 AS t,
+           list_transform(range(1, {d + 1}),
+                          i -> CAST('{v0}' AS DOUBLE)) AS v
+    FROM cvec
+    UNION ALL
+    SELECT t + 1,
+           list_transform(w, xw -> xw / sqrt(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(w, y -> y * y)), (a, b) -> a + b))) AS v
+    FROM (SELECT t, cm, v, {dot} AS w
+          FROM it, cvec WHERE t < {it}) s0
+),
+vf AS (SELECT v FROM it WHERE t = {it}),
+mv AS (
+    SELECT list(sj / CAST(n AS DOUBLE) ORDER BY j) AS m
+    FROM s1, nn GROUP BY n
+),
+shift AS (
+    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {d + 1}), j -> m[j] * v[j])),
+               (a, b) -> a + b) AS ms
+    FROM mv, vf
+),
+proj AS (
+    SELECT e.vec_id, e.label,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {d + 1}),
+                   j -> CAST(e.embedding[j] AS DOUBLE) * v[j])),
+               (a, b) -> a + b) - ms AS p
+    FROM embeddings e, vf, shift
+),
+st AS (
+    SELECT CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(sum(CAST(floor(p * {_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s1p,
+           CAST(sum(CAST(floor(p * p * {_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s2p
+    FROM proj
+),
+z AS (
+    SELECT vec_id, label, p,
+           (p - s1p / cnt)
+               / sqrt(s2p / cnt - (s1p / cnt) * (s1p / cnt)) AS zv
+    FROM proj, st
+)
+SELECT vec_id, label, round(p, 6) AS projection, round(zv, 6) AS z
+FROM z
+ORDER BY round(abs(zv), 6) DESC, vec_id
+LIMIT {_PCA_PROJ_K}
+"""
+
+
+@query("pca_projection_outliers", oracle=_pca_proj_oracle())
+def pca_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by |z| of the projection onto the top
+    principal direction (see the comment block: GEMM moments, bounded
+    driver eigen-solve, row-local projection, order-free fixed-point
+    statistics, round(6) guard)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    e = Catalog(spark, sf_dir).embeddings
+    n, s, G = _pca_gemm_moments(e, _PCA_D)
+    C = float(n) * G - np.outer(s, s)
+    _lam, v = _power_iterate(C, _PCA_ITERS, _PCA_D)
+    mshift = float((s / float(n)) @ v)
+    vlit = F.array(*[F.lit(float(c)) for c in v])
+    x = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("xv")
+    )
+    p = (
+        F.aggregate(
+            F.zip_with("xv", vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        - F.lit(mshift)
+    )
+    proj = x.select("vec_id", "label", p.alias("p")).localCheckpoint()
+    fix = F.lit(_FIX)
+    st = proj.agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        (
+            F.sum(F.floor(F.col("p") * fix).cast("decimal(38,0)"))
+            .cast("double")
+            / fix
+        ).alias("s1p"),
+        (
+            F.sum(
+                F.floor(F.col("p") * F.col("p") * fix).cast("decimal(38,0)")
+            )
+            .cast("double")
+            / fix
+        ).alias("s2p"),
+    )
+    mean = F.col("s1p") / F.col("cnt")
+    std = F.sqrt(F.col("s2p") / F.col("cnt") - mean * mean)
+    z = (F.col("p") - mean) / std
+    return (
+        proj.crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            "label",
+            F.round("p", 6).alias("projection"),
+            F.round(z, 6).alias("z"),
+            F.round(F.abs(z), 6).alias("__az"),
+        )
+        .orderBy(F.col("__az").desc(), "vec_id")
+        .limit(_PCA_PROJ_K)
+        .drop("__az")
+    )
