@@ -9,7 +9,7 @@ same (k, bands, bits) parameters as the Spark plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
@@ -1016,16 +1016,25 @@ def overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- MinHash estimate calibration vs exact Jaccard ---------------------------
 
 # The sketch-quality report every dedup pipeline should print before
-# trusting its threshold: for each LSH candidate pair, the MinHash
-# estimate (matching signature components / k — an exact multiple of
-# 1/16) next to the TRUE shingle Jaccard, with the absolute error.
-# Scale shape: the expensive exact Jaccard runs ONLY on candidate-pair
-# documents (semi-join on the candidate id set), so the calibration
-# cost tracks the candidate count, never the corpus; the estimate is
-# one signature self-join on the (id1, id2) pair keys. Error algebra:
-# est is exact, true is one correctly-rounded division, |est − true|
-# adds one subtraction — identical IEEE ops both engines, reported
-# under round(6).
+# trusting its threshold: a SAMPLED set of LSH candidate pairs with
+# the MinHash estimate (matching signature components / k — an exact
+# multiple of 1/16) next to the TRUE shingle Jaccard, plus the
+# absolute error. Scale shape (round-11 rework of the round-10
+# output-bound version, which joined EVERY candidate pair and cost
+# 815 s at sf10): a calibration report does not need every pair — it
+# needs a representative sample per estimated-similarity band. So we
+# stratify the (cheap) estimate by band = floor(est·4) clamped to
+# [0,3] and keep the first _CALIB_PER_BAND pairs per band under a
+# deterministic md5 order (the stratified_sample recipe; oracle
+# mirrors the identical ORDER BY md5(concat(id1,':',id2)) window).
+# Only the sampled ≤ 4·_CALIB_PER_BAND pairs reach the expensive
+# exact-Jaccard join, so the exact side's cost is OUTPUT-INDEPENDENT:
+# bounded by the cap, not by how many near-dups the corpus holds. At
+# 100 TB the cost is one LSH banding pass + an O(cap) exact join.
+# Error algebra: est is exact, true is one correctly-rounded
+# division, |est − true| adds one subtraction — identical IEEE ops
+# both engines, reported under round(6).
+_CALIB_PER_BAND = 64
 def _minhash_calib_oracle() -> str:
     params = DD.minhash_params(_K)
     h0 = "CAST(concat('0x', substr(md5(concat('0:', shingle)), 1, 8)) AS BIGINT)"
@@ -1069,30 +1078,41 @@ cands AS (
     JOIN stacked b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
     WHERE a.doc_id < b.doc_id
 ),
-ids AS (SELECT id1 AS doc_id FROM cands UNION SELECT id2 FROM cands),
-shc AS (SELECT sh.* FROM sh JOIN ids USING (doc_id)),
-sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-shared AS (
-    SELECT c.id1, c.id2, count(*) AS shared
-    FROM cands c
-    JOIN shc a ON a.doc_id = c.id1
-    JOIN shc b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-    GROUP BY c.id1, c.id2
-),
 est AS (
     SELECT c.id1, c.id2,
            CAST({matches} AS DOUBLE) / {_K}.0 AS e
     FROM cands c
     JOIN sig sa ON sa.doc_id = c.id1
     JOIN sig sb ON sb.doc_id = c.id2
+),
+sampled AS (
+    SELECT id1, id2, e, band FROM (
+        SELECT id1, id2, e,
+               least(CAST(floor(e * 4) AS INT), 3) AS band,
+               row_number() OVER (
+                   PARTITION BY least(CAST(floor(e * 4) AS INT), 3)
+                   ORDER BY md5(concat(id1, ':', id2)), id1, id2
+               ) AS rk
+        FROM est
+    ) WHERE rk <= {_CALIB_PER_BAND}
+),
+ids AS (SELECT id1 AS doc_id FROM sampled UNION SELECT id2 FROM sampled),
+shc AS (SELECT sh.* FROM sh JOIN ids USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+shared AS (
+    SELECT c.id1, c.id2, count(*) AS shared
+    FROM sampled c
+    JOIN shc a ON a.doc_id = c.id1
+    JOIN shc b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+    GROUP BY c.id1, c.id2
 )
-SELECT e.id1, e.id2,
+SELECT e.id1, e.id2, e.band,
        round(e.e, 6) AS est_jaccard,
        round(CAST(s.shared AS DOUBLE)
              / CAST(n1.n + n2.n - s.shared AS DOUBLE), 6) AS true_jaccard,
        round(abs(e.e - CAST(s.shared AS DOUBLE)
                  / CAST(n1.n + n2.n - s.shared AS DOUBLE)), 6) AS abs_err
-FROM est e
+FROM sampled e
 JOIN shared s ON s.id1 = e.id1 AND s.id2 = e.id2
 JOIN sizes n1 ON n1.doc_id = e.id1
 JOIN sizes n2 ON n2.doc_id = e.id2
@@ -1102,13 +1122,14 @@ ORDER BY e.id1, e.id2
 
 @query("minhash_jaccard_calibration", oracle=_minhash_calib_oracle())
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-LSH-candidate-pair calibration of the MinHash Jaccard
-    estimate against the exact shingle Jaccard (see the comment block
-    for the scale shape and error algebra)."""
+    """Band-stratified calibration of the MinHash Jaccard estimate
+    against the exact shingle Jaccard: ≤ `_CALIB_PER_BAND` md5-sampled
+    LSH candidate pairs per estimated-similarity quartile band (see
+    the comment block for the scale shape and error algebra)."""
     corpus = _doc_corpus(spark, sf_dir)
     sig = DD.minhash_signatures(
         corpus, k=_K, n=_SHINGLE_N
-    ).localCheckpoint()  # reused: banding + two estimate joins
+    ).localCheckpoint()  # reused: banding + the estimate joins
     cands = DD.lsh_candidates(sig, k=_K, bands=_BANDS)
     matches = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
@@ -1127,17 +1148,32 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id2")
         .select("id1", "id2", (matches.cast("double") / F.lit(float(_K))).alias("e"))
     )
+    # deterministic per-band sample: e is an exact multiple of 1/16,
+    # so floor(e*4) is bit-identical in both engines; md5 of the pair
+    # key gives a stable, engine-portable order (id tiebreak for
+    # defense — md5 collisions on distinct pair strings don't occur).
+    band = F.least(F.floor(F.col("e") * 4).cast("int"), F.lit(3))
+    w = Window.partitionBy("band").orderBy(
+        F.md5(F.concat_ws(":", "id1", "id2")), "id1", "id2"
+    )
+    sampled = (
+        est.withColumn("band", band)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CALIB_PER_BAND)
+        .drop("rk")
+        .localCheckpoint()  # ≤ 4·cap rows; reused by ids + 2 joins
+    )
     sh = DD.exploded_shingles(corpus, "doc_id", "text", _SHINGLE_N)
     ids = (
-        cands.select(F.col("id1").alias("doc_id"))
-        .unionAll(cands.select(F.col("id2").alias("doc_id")))
+        sampled.select(F.col("id1").alias("doc_id"))
+        .unionAll(sampled.select(F.col("id2").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(ids, "doc_id", "left_semi").localCheckpoint()
+    shc = sh.join(F.broadcast(ids), "doc_id", "left_semi").localCheckpoint()
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shc.alias("a"), shc.alias("b")
     shared = (
-        cands.join(a, F.col("a.doc_id") == F.col("id1"))
+        sampled.join(a, F.col("a.doc_id") == F.col("id1"))
         .join(
             b,
             (F.col("b.doc_id") == F.col("id2"))
@@ -1151,12 +1187,13 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
     )
     return (
-        est.join(shared, ["id1", "id2"])
+        sampled.join(shared, ["id1", "id2"])
         .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
         .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
         .select(
             "id1",
             "id2",
+            "band",
             F.round("e", 6).alias("est_jaccard"),
             F.round(tru, 6).alias("true_jaccard"),
             F.round(F.abs(F.col("e") - tru), 6).alias("abs_err"),
