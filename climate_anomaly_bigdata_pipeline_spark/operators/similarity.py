@@ -259,14 +259,21 @@ def ivf_knn_join(
     # (cosine, cid) structs sorted desc: element 0 is the home cell,
     # the first nprobe are the probe set. Same tie-break as ivf_topk
     # (larger cid wins on equal cosine — struct comparison is (c, i)).
-    cell_structs = F.reverse(F.array_sort(_cell_assign_structs(cents)))
+    # Candidates come from the GEMM pass (superset of the exact
+    # top-nprobe by the margin contract), then the exact fold rescoring
+    # + sort makes the probe set bit-identical to evaluating every
+    # centroid (with_cell_candidates docstring).
     # The corpus branch and the probe branch below both read the cell
     # assignment — materialize it once (localCheckpoint = executor-local
-    # cache, not a shuffle) or the 16-cosine fold runs over the corpus
+    # cache, not a shuffle) or the assignment runs over the corpus
     # twice.
     assigned = (
-        e.withColumn("__cells", cell_structs)
+        with_cell_candidates(e, cents, topn=max(nprobe, 1))
+        .withColumn(
+            "__cells", F.reverse(F.array_sort(_cand_cell_structs(cents)))
+        )
         .withColumn("cell", F.col("__cells")[0].getField("i"))
+        .drop("__cand")
         .localCheckpoint()
     )
     # In-cell scoring is one float64 GEMM per cell (the knn_join_gemm
@@ -385,18 +392,40 @@ def ivf_knn_join(
 def _cell_assign_structs(cents: list[tuple[int, list[float]]]) -> Column:
     """(cosine, cid) structs per centroid against columns ``v``/``norm``;
     ``array_max`` over them is the coarse-quantizer assignment (ties
-    break toward the larger cid — struct comparison is (c, i))."""
+    break toward the larger cid — struct comparison is (c, i)).
+
+    Built as ONE ``transform`` over an index sequence against three
+    array literals (codebook matrix, centroid norms, cell ids) instead
+    of a per-centroid comprehension: expression CONSTRUCTION is O(1)
+    py4j/lambda builds rather than O(n_centroids). With the corpus-
+    derived codebook size (n_centroids ~ sqrt(N), 141 cells at sf1)
+    the comprehension form spent ~10 s of driver time per build — and
+    a serving query builds this expression several times — while
+    executor-side evaluation of 20k rows is under half a second. The
+    per-element IEEE ops are identical to the old form (same
+    ``dot_expr`` fold, then one divide by norm·cnorm with the centroid
+    norm precomputed driver-side), so assignments stay bit-identical
+    to the oracle's per-pair cosine CTEs."""
     import math
 
-    def _cos_to(cvec: list[float]) -> Column:
-        cnorm = math.sqrt(_py_dot(cvec, cvec))
-        return dot_expr(F.col("v"), _lit_vec(cvec)) / (F.col("norm") * F.lit(cnorm))
-
-    return F.array(
-        *[
-            F.struct(_cos_to(cv).alias("c"), F.lit(cid).cast("long").alias("i"))
-            for cid, cv in cents
-        ]
+    cids = [int(cid) for cid, _ in cents]
+    vecs = [[float(x) for x in cv] for _, cv in cents]
+    norms = [math.sqrt(_py_dot(cv, cv)) for cv in vecs]
+    try:
+        cb = F.lit(vecs)  # one nested-array literal node
+    except Exception:  # older Spark without nested container literals
+        cb = F.array(*[_lit_vec(cv) for cv in vecs])
+    cn, ci = F.lit(norms), F.lit(cids)
+    idx = F.sequence(F.lit(1), F.lit(len(cents)))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            (
+                dot_expr(F.col("v"), F.element_at(cb, i))
+                / (F.col("norm") * F.element_at(cn, i))
+            ).alias("c"),
+            F.element_at(ci, i).cast("long").alias("i"),
+        ),
     )
 
 
@@ -404,6 +433,112 @@ def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+
+
+def with_cell_candidates(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    topn: int = 1,
+    margin: float = 1e-9,
+    out: str = "__cand",
+) -> DataFrame:
+    """Append ``out`` = the 1-based codebook indices of every cell whose
+    float64-GEMM cosine to ``v`` is within ``margin`` of the row's
+    ``topn``-th best — a guaranteed superset of the exact top-``topn``
+    cells under the fold cosine (BLAS and the sequential fold agree to
+    ~1e-13 on unit-scale cosines, so a 1e-9 margin absorbs the
+    summation-order drift; exact ties land inside the margin and are
+    resolved downstream by the exact rescore in
+    :func:`_cand_cell_structs`). This is the GEMM-candidates +
+    exact-fold-rescore shape the in-cell scoring already uses, applied
+    to the coarse-quantizer assignment itself: with the corpus-derived
+    codebook (n_centroids ~ sqrt(N), 447 cells at sf10) the per-row
+    interpreted fold over EVERY centroid became the dominant cost
+    (~2e10 lambda steps), while one numpy GEMM per Arrow batch is
+    seconds. Input must carry ``v``/``norm`` (see :func:`_normed`);
+    under-parallelized inputs (local parquet artifacts split into
+    fewer partitions than cores) are repartitioned so the GEMM uses
+    the whole machine — at 100 TB the scan already arrives
+    well-partitioned and the repartition is a no-op."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    nt = min(int(topn), len(cents))
+    kth_pos = len(cents) - nt
+    sc = e.sparkSession.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
+    out_schema = T.StructType(
+        list(e.schema.fields)
+        + [T.StructField(out, T.ArrayType(T.IntegerType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out] = []
+                yield pdf
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            cos = (V @ C.T) / np.outer(pdf["norm"].to_numpy(), Cn)
+            kth = np.partition(cos, kth_pos, axis=1)[:, kth_pos]
+            mask = cos >= (kth - margin)[:, None]
+            pdf[out] = [
+                (np.nonzero(m)[0] + 1).astype("int32") for m in mask
+            ]
+            yield pdf
+
+    return e.mapInPandas(gen, schema=out_schema)
+
+
+def _cand_cell_structs(
+    cents: list[tuple[int, list[float]]], cand_col: str = "__cand"
+) -> Column:
+    """Exact (cosine, cid) structs over the candidate indices produced
+    by :func:`with_cell_candidates` — the same IEEE ops as
+    :func:`_cell_assign_structs` (dot fold, divide by norm·cnorm with
+    the centroid norm precomputed driver-side), evaluated only on the
+    O(topn) candidates per row, so ``array_max`` / sorted-prefix over
+    them is bit-identical to evaluating every centroid."""
+    import math
+
+    cids = [int(cid) for cid, _ in cents]
+    vecs = [[float(x) for x in cv] for _, cv in cents]
+    norms = [math.sqrt(_py_dot(cv, cv)) for cv in vecs]
+    try:
+        cb = F.lit(vecs)
+    except Exception:  # older Spark without nested container literals
+        cb = F.array(*[_lit_vec(cv) for cv in vecs])
+    cn, ci = F.lit(norms), F.lit(cids)
+    return F.transform(
+        F.col(cand_col),
+        lambda i: F.struct(
+            (
+                dot_expr(F.col("v"), F.element_at(cb, i))
+                / (F.col("norm") * F.element_at(cn, i))
+            ).alias("c"),
+            F.element_at(ci, i).cast("long").alias("i"),
+        ),
+    )
+
+
+def assign_cells(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    out: str = "cell",
+) -> DataFrame:
+    """Exact coarse-quantizer assignment (max-cosine cell, ties to the
+    larger cid) via GEMM candidates + exact rescore — the scalable
+    replacement for ``array_max(_cell_assign_structs(...))`` over the
+    whole codebook."""
+    return (
+        with_cell_candidates(e, cents, topn=1)
+        .withColumn(out, F.array_max(_cand_cell_structs(cents)).getField("i"))
+        .drop("__cand")
+    )
 
 
 # 2^53: exact power-of-two scaling for engine-portable fixed-point
@@ -466,9 +601,7 @@ def train_ivf_codebook(
     ]
     train = e if sample_mod is None else e.filter(F.col(id_col) % sample_mod == 0)
     for _ in range(n_iters):
-        assigned = train.withColumn(
-            "cell", F.array_max(_cell_assign_structs(cents)).getField("i")
-        )
+        assigned = assign_cells(train, cents)
         means = (
             assigned.select("cell", F.posexplode("v"))
             .groupBy("cell", "pos")
@@ -552,10 +685,9 @@ def ivf_topk(
     qv = list(qrow[0])
     qnorm = math.sqrt(_py_dot(qv, qv))
 
-    # Row-local cell assignment: array_max over (cosine, cid) structs.
-    assigned = e.withColumn(
-        "cell", F.array_max(_cell_assign_structs(cents)).getField("i")
-    )
+    # Cell assignment: GEMM candidates + exact (cosine, cid) struct-max
+    # rescore — bit-identical to evaluating every centroid.
+    assigned = assign_cells(e, cents)
 
     # Driver-side probe selection (same float ops as the engine).
     scored_cells = sorted(
@@ -611,9 +743,7 @@ def semdedup_prune(
     (struct-max, same rule as :func:`ivf_topk`); the drop rule keys on
     vector ids, so the kept set is unique regardless of join order.
     """
-    e = _normed(df, id_col, vec_col).withColumn(
-        "cell", F.array_max(_cell_assign_structs(codebook)).getField("i")
-    )
+    e = assign_cells(_normed(df, id_col, vec_col), codebook)
     # In-cell pair evaluation is float64 GEMM (the
     # embedding_neardup_pairs_gemm recipe: executor-side blobs, margin
     # candidates, exact-fold refilter) — the within-cell equi-join with
@@ -1103,9 +1233,7 @@ def ivfpq_topk(
 
     assert ivf_codebook is not None and pq_books is not None
     e = _normed(df, id_col, vec_col)
-    assigned = e.withColumn(
-        "cell", F.array_max(_cell_assign_structs(ivf_codebook)).getField("i")
-    )
+    assigned = assign_cells(e, ivf_codebook)
     qrow = e.filter(F.col(id_col) == query_id).select("v").first()
     qv = list(qrow[0])
     qnorm = math.sqrt(_py_dot(qv, qv))

@@ -4,6 +4,8 @@ deterministic hyperplane literals)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
@@ -91,10 +93,29 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_CENTROIDS = 16
 _NPROBE = 2
 _TRAIN_ITERS = 2
 _TRAIN_SAMPLE_MOD = 4
+
+# n_centroids ~ sqrt(N): the IVF scaling lever as CODE (round-11;
+# previously a pinned 16 with the recipe in BASELINE.md prose). With
+# nprobe fixed, self-KNN in-cell work is ~nprobe·N²/nc, so nc=√N turns
+# the quadratic into ~nprobe·N^1.5 while cells stay task-sized — the
+# FAISS IVF sizing rule. Both engines derive nc from the SAME corpus
+# statistic: floor(sqrt(count(embeddings))) clamped to [4, 4096]
+# (Python mirrors the SQL's floor(sqrt(...)) — for any corpus below
+# 2^52 rows the double sqrt is exact enough that floor == isqrt). The
+# count is keyed per sf_dir, and the trained-codebook artifact path
+# embeds nc, so every sf trains (once, offline) its own codebook.
+_NC_MIN, _NC_MAX = 4, 4096
+_NCENT: dict[str, int] = {}
+
+
+def _n_centroids(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _NCENT:
+        n = Catalog(spark, sf_dir).embeddings.count()
+        _NCENT[sf_dir] = max(_NC_MIN, min(_NC_MAX, int(math.floor(math.sqrt(n)))))
+    return _NCENT[sf_dir]
 
 
 def _lloyd_ctes(n_iters: int) -> str:
@@ -112,8 +133,12 @@ def _lloyd_ctes(n_iters: int) -> str:
     Ends with ``c(cid, cv)`` = the trained codebook."""
     cos = _COSINE_SQL.format(a="e.v", b="c.cv")
     parts = [
+        # nc derived from the corpus itself (same formula as
+        # _n_centroids) so ONE oracle string is correct at every sf.
+        f"ncent AS (\n    SELECT greatest({_NC_MIN}, least({_NC_MAX},"
+        f" CAST(floor(sqrt(count(*))) AS BIGINT))) AS n FROM e\n)",
         f"c0 AS (\n    SELECT vec_id AS cid, v AS cv FROM e"
-        f" ORDER BY vec_id LIMIT {_N_CENTROIDS}\n)"
+        f" ORDER BY vec_id LIMIT (SELECT n FROM ncent)\n)",
     ]
     for i in range(1, n_iters + 1):
         parts.append(
@@ -284,12 +309,13 @@ _CODEBOOKS: dict[str, list[tuple[int, list[float]]]] = {}
 
 def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
     if sf_dir not in _CODEBOOKS:
-        path = ART.ivf_path(sf_dir, _N_CENTROIDS, _TRAIN_ITERS, _TRAIN_SAMPLE_MOD)
+        nc = _n_centroids(spark, sf_dir)
+        path = ART.ivf_path(sf_dir, nc, _TRAIN_ITERS, _TRAIN_SAMPLE_MOD)
         book = ART.load_ivf(path)
         if book is None:
             emb = Catalog(spark, sf_dir).embeddings
             book = SIM.train_ivf_codebook(
-                emb, _N_CENTROIDS, _TRAIN_ITERS, sample_mod=_TRAIN_SAMPLE_MOD
+                emb, nc, _TRAIN_ITERS, sample_mod=_TRAIN_SAMPLE_MOD
             )
             ART.save_ivf(book, path)
         _CODEBOOKS[sf_dir] = book
@@ -313,7 +339,8 @@ ORDER BY cid, pos
 @query("ivf_train_codebook", oracle=_CODEBOOK_ORACLE)
 def ivf_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF training recipe as its own checked artifact: the
-    16-centroid codebook after 2 deterministic Lloyd iterations
+    floor(sqrt(N))-centroid codebook (`_n_centroids` — the
+    corpus-derived IVF sizing rule) after 2 deterministic Lloyd iterations
     (lowest-id seeds, max-cosine assignment with ties to the larger
     cid, DECIMAL(25,10)-sum / double-divide means over the
     vec_id % 4 = 0 training sample), unpivoted to (cid, pos, val)
@@ -334,7 +361,8 @@ def ivf_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_join_ivf", oracle=_IVF_KNN_ORACLE)
 def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-KNN of the whole corpus, IVF-celled (16 cells, nprobe=2):
+    """Self-KNN of the whole corpus, IVF-celled (floor(sqrt(N))
+    cells, nprobe=2):
     every vector's top-5 approximate neighbors via a plain equi-join on
     the cell id — the co-partitioned 100 TB shape of "neighbors of
     everything" (retrieval index build / embedding dedup), replacing
@@ -344,14 +372,14 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-exactly, which is the determinism contract."""
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ivf_knn_join(
-        emb, k=_KNN_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+        emb, k=_KNN_K, nprobe=_NPROBE,
         codebook=_ivf_codebook(spark, sf_dir),
     )
 
 
 @query("ivf_ann_topk", oracle=_IVF_ORACLE)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: 16-cell coarse quantizer (2 deterministic Lloyd
+    """IVF ANN top-10: floor(sqrt(N))-cell coarse quantizer (2 Lloyd
     iterations, served from the offline `_ivf_codebook` artifact — the
     oracle reruns the identical training in SQL), nprobe=2. Cell
     assignment is a row-local array_max over (cosine, cid) structs
@@ -360,7 +388,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe prunes the scan to nprobe/n_centroids of the data."""
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ivf_topk(
-        emb, query_id=_QUERY_ID, k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+        emb, query_id=_QUERY_ID, k=_K, nprobe=_NPROBE,
         codebook=_ivf_codebook(spark, sf_dir),
     )
 
