@@ -34,39 +34,55 @@ from climate_anomaly_bigdata_pipeline_spark.sources.artifacts import artifact_di
 def _corpus_sig(sf_dir: str, table: str) -> str:
     """Layout identity = source path + size/mtime of the source file
     (the codebook-artifact recipe): regenerated corpus → new signature
-    → rewrite; unchanged corpus → reuse read-only."""
+    → rewrite; unchanged corpus → reuse read-only. A vanished source is
+    an ERROR, not a stable signature — hashing just the path would let
+    a stale layout serve for a corpus that no longer exists."""
     p = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(p)
-        sig = f"{p}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        sig = p
-    return hashlib.sha256(sig.encode()).hexdigest()[:16]
+    st = os.stat(p)
+    return hashlib.sha256(
+        f"{p}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+
+# Writer-side layout spec, validated by the marker at reuse time: bump
+# the version (or change the column list / partition scheme) and every
+# existing layout is rewritten instead of silently served with the old
+# shape. The corpus sig alone can't see writer changes — it identifies
+# the SOURCE, the marker identifies the LAYOUT.
+_FACT_LAYOUT_VERSION = 2
+_FACT_COLS = ["l_shipdate", "l_returnflag", "l_extendedprice", "l_discount"]
+_FACT_PARTITION = "ship_yr"
 
 
 def ensure_partitioned_fact(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per corpus) lineitem partitioned by ship year —
     the gold-fact layout SURVEY §4 prescribes — and return its path.
-    A marker file pins the corpus signature for idempotent reuse."""
+    The marker pins the full layout spec (version, columns, partition
+    scheme), so both a regenerated corpus (new sig → new root) and a
+    writer change (marker mismatch) force a rewrite; a torn write
+    (files without a marker — the marker is written last) rebuilds
+    with overwrite."""
     sig = _corpus_sig(sf_dir, "lineitem")
     root = os.path.join(artifact_dir(), "gold_layout", sig)
     path = os.path.join(root, "li_by_year")
     marker = os.path.join(root, "li_by_year.json")
+    spec = {
+        "version": _FACT_LAYOUT_VERSION,
+        "columns": _FACT_COLS,
+        "partition": _FACT_PARTITION,
+    }
     if os.path.exists(marker):
         with open(marker) as f:
-            if json.load(f).get("sig") == sig:
+            if json.load(f) == spec:
                 return path
     li = Catalog(spark, sf_dir).lineitem.select(
-        "l_shipdate",
-        "l_returnflag",
-        "l_extendedprice",
-        "l_discount",
-        F.year("l_shipdate").cast("int").alias("ship_yr"),
+        *_FACT_COLS,
+        F.year("l_shipdate").cast("int").alias(_FACT_PARTITION),
     )
-    li.write.mode("overwrite").partitionBy("ship_yr").parquet(path)
+    li.write.mode("overwrite").partitionBy(_FACT_PARTITION).parquet(path)
     os.makedirs(root, exist_ok=True)
     with open(marker, "w") as f:
-        json.dump({"sig": sig}, f)
+        json.dump(spec, f)
     return path
 
 
@@ -132,7 +148,17 @@ def partitioned_fact_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # saveAsTable is required — bucket metadata lives in the catalog, so
 # the tables are (re)written per session; the bucket files themselves
 # are reused by every query in the session.
-_BUCKETS = 8
+
+
+def _n_buckets(spark: SparkSession) -> int:
+    """Bucket count = the session's default parallelism (the scaling
+    lever as code, not prose — round 10 pinned 8 buckets and measured
+    the sf10 join capped at 8 of 32 cores). One bucket file pair per
+    core keeps the exchange-free SortMergeJoin saturated; on a real
+    cluster defaultParallelism is total executor cores, so the layout
+    scales with the fleet that will read it."""
+    return max(4, spark.sparkContext.defaultParallelism)
+
 
 def _ensure_bucketed(
     spark: SparkSession,
@@ -141,25 +167,37 @@ def _ensure_bucketed(
     ddl_schema: str,
     key: str,
     build,
+    buckets: int,
 ) -> None:
     """Catalog-register the bucketed table at ``loc``. Bucket metadata
     lives in the session catalog (in-memory here), while the files
     persist in the artifact store — so a NEW session must REGISTER the
     existing files with CREATE TABLE ... CLUSTERED BY ... LOCATION
-    rather than rewrite them (saveAsTable over an existing location is
-    an error, and a rewrite would waste the layout's whole point)."""
+    rather than rewrite them. Registration is GUARDED by a marker
+    written after the build, pinning (buckets, schema, key): files are
+    only re-registered when the marker matches the requested spec
+    exactly — a bucket-count or schema change (or a torn write that
+    died before the marker) rebuilds with overwrite instead of
+    silently registering mismatched files, which would misjoin rows in
+    the exchange-free plan."""
     if spark.catalog.tableExists(table):
         return
-    if os.path.exists(os.path.join(loc, "_SUCCESS")):
-        spark.sql(
-            f"CREATE TABLE {table} ({ddl_schema}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {_BUCKETS} BUCKETS LOCATION '{loc}'"
-        )
-        return
-    build().write.bucketBy(_BUCKETS, key).sortBy(key).option(
+    spec = {"buckets": buckets, "schema": ddl_schema, "key": key}
+    marker = loc + ".json"
+    if os.path.exists(marker) and os.path.exists(os.path.join(loc, "_SUCCESS")):
+        with open(marker) as f:
+            if json.load(f) == spec:
+                spark.sql(
+                    f"CREATE TABLE {table} ({ddl_schema}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+                )
+                return
+    build().write.bucketBy(buckets, key).sortBy(key).option(
         "path", loc
     ).format("parquet").mode("overwrite").saveAsTable(table)
+    with open(marker, "w") as f:
+        json.dump(spec, f)
 
 
 _BUCKETED_ORACLE = """
@@ -185,7 +223,11 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sig = _corpus_sig(sf_dir, "lineitem")
     root = os.path.join(artifact_dir(), "gold_layout", sig)
-    li_tbl, od_tbl = f"li_bkt_{sig}", f"od_bkt_{sig}"
+    nb = _n_buckets(spark)
+    # bucket count in the table name AND the location: two sessions
+    # with different parallelism never race on one layout, and the
+    # marker check inside _ensure_bucketed guards the register path.
+    li_tbl, od_tbl = f"li_bkt_{sig}_b{nb}", f"od_bkt_{sig}_b{nb}"
     _ensure_bucketed(
         spark,
         li_tbl,
@@ -195,6 +237,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: cat.lineitem.select(
             "l_orderkey", "l_extendedprice", "l_discount"
         ),
+        nb,
     )
     _ensure_bucketed(
         spark,
@@ -203,6 +246,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey BIGINT, o_orderpriority STRING",
         "o_orderkey",
         lambda: cat.orders.select("o_orderkey", "o_orderpriority"),
+        nb,
     )
     li, od = spark.table(li_tbl), spark.table(od_tbl)
     return (

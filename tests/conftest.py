@@ -9,8 +9,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from climate_anomaly_bigdata_pipeline_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMOKE = os.path.join(_TESTDATA, "sf0.001")
+SF_ORACLE = os.path.join(_TESTDATA, "sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -61,7 +61,7 @@ def test_running_min_decimal38_0_huge_magnitudes(spark):
         assert got == expected, f"n_parts={n_parts}"
 
 
-def test_pca_gemm_agrees_with_exact_decimal(spark):
+def test_pca_gemm_agrees_with_exact_decimal(spark, sf_dir):
     """The float-GEMM production PCA must agree with the exact-DECIMAL
     contract query to rtol 1e-9 on every output (VERDICT r9 #2's done
     criterion) — at round(6) the rows are identical."""
@@ -72,7 +72,7 @@ def test_pca_gemm_agrees_with_exact_decimal(spark):
         pca_top_component_gemm,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     exact = pca_top_component_embeddings(spark, sf).collect()[0].asDict()
     gemm = pca_top_component_gemm(spark, sf).collect()[0].asDict()
     assert exact["n_vectors"] == gemm["n_vectors"]
@@ -90,7 +90,7 @@ def test_pca_gemm_agrees_with_exact_decimal(spark):
         )
 
 
-def test_pca_deflation_first_component_matches_gemm(spark):
+def test_pca_deflation_first_component_matches_gemm(spark, sf_dir):
     """Component 0 of the deflation query IS the GEMM top component —
     same moments, same fixed iteration — so the rows must be equal."""
     from climate_anomaly_bigdata_pipeline_spark.queries.similarityq import (
@@ -98,7 +98,7 @@ def test_pca_deflation_first_component_matches_gemm(spark):
         pca_topk_components_deflation,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     top = pca_top_component_gemm(spark, sf).collect()[0]
     c0 = pca_topk_components_deflation(spark, sf).collect()[0]
     assert c0["component"] == 0
@@ -150,20 +150,26 @@ def test_bucketed_layout_reregisters_in_fresh_session():
     import subprocess
     import sys
 
-    script = r"""
-import sys
-sys.path.insert(0, "/root/repo")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from tests.conftest import SF_SMOKE
+
+    script = (
+        f"import sys\nsys.path.insert(0, {repo!r})\nSF = {SF_SMOKE!r}\n"
+        + r"""
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[4]")
          .appName("bktfresh").config("spark.ui.enabled", "false").getOrCreate())
 from climate_anomaly_bigdata_pipeline_spark.queries.storageq import (
     bucketed_join_revenue,
 )
-rows = bucketed_join_revenue(spark, "/root/testdata/sf0.001").collect()
+rows = bucketed_join_revenue(spark, SF).collect()
 assert len(rows) == 5, rows
 total = sum(r.n_lineitems for r in rows)
 print("BKT_OK", total)
 """
+    )
     outs = []
     for _ in range(2):
         proc = subprocess.run(
