@@ -775,21 +775,27 @@ WITH pv AS (
            sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
     FROM lineitem GROUP BY l_partkey
 ),
-tot AS (SELECT sum(val) AS t FROM pv)
+tot AS (SELECT sum(val) AS t, count(*) AS np FROM pv)
 SELECT l_partkey AS p_partkey,
        CAST(round(val, 2) AS DOUBLE) AS part_value
 FROM pv, tot
-WHERE CAST(round(val, 2) AS DOUBLE) > CAST(round(t, 2) AS DOUBLE) * 0.0005
+WHERE CAST(round(val, 2) AS DOUBLE)
+      > 1.5 * (CAST(round(t, 2) AS DOUBLE) / CAST(np AS DOUBLE))
 """
 
 
 @query("significant_parts_by_value", oracle=_SIGNIFICANT_PARTS_ORACLE)
 def significant_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction of
-    the GLOBAL total — the having-scalar-subquery pattern. The global
-    total is a window sum over the already-aggregated per-part table
-    (groups-sized), never a second lineitem pass; the comparison runs
-    in exact DECIMAL so the cut is order-independent."""
+    """TPC-H Q11 shape: parts whose shipped value exceeds 1.5× the MEAN
+    per-part value — the having-scalar-subquery pattern with a
+    corpus-relative cut (round 11; a fixed 0.0005-of-total fraction
+    went empty at sf0.1 because the part count grows with the corpus
+    while each part's share shrinks, so the sweep row certified only
+    agreement-on-empty). The global total and part count are a window
+    aggregate over the already-aggregated per-part table
+    (groups-sized), never a second lineitem pass; the threshold
+    compares exact-cents doubles with one division and one ×1.5 —
+    correctly-rounded IEEE identically in both engines."""
     li = Catalog(spark, sf_dir).lineitem
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
@@ -802,7 +808,12 @@ def significant_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = F.round("val", 2).cast("double")
     return (
         pv.withColumn("t", F.sum("val").over(tot))
-        .where(v2 > F.round("t", 2).cast("double") * 0.0005)
+        .withColumn("np", F.count(F.lit(1)).over(tot))
+        .where(
+            v2
+            > F.lit(1.5)
+            * (F.round("t", 2).cast("double") / F.col("np").cast("double"))
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             v2.alias("part_value"),
@@ -913,11 +924,17 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- k-core decomposition of the co-purchase graph --------------------------
 
-_KCORE_K = 3
-# Oracle rounds: the peeling fixpoint takes 10 rounds at sf0.01 and 0
-# at sf0.001 (measured); 14 unrolled rounds give margin, and extra
-# rounds past the fixpoint are no-ops, so engine (loop-to-fixpoint)
-# and oracle (fixed unroll) agree at every oracle scale.
+# k=2 (round 11; was 3): the co-purchase graph THINS as the corpus
+# grows (more parts spread the same order fan-out), so the 3-core is
+# empty at sf0.1 and its sweep row certified only agreement-on-empty.
+# The 2-core is non-empty at every sf (200 / 1535 / 3 nodes measured
+# at sf0.001/0.01/0.1), so every sweep row carries value signal.
+_KCORE_K = 2
+# Oracle rounds: the peeling fixpoint takes 3 rounds at sf0.01 and 5
+# at sf0.1 for k=2 (measured); 14 unrolled rounds give margin, and
+# extra rounds past the fixpoint are no-ops, so engine
+# (loop-to-fixpoint) and oracle (fixed unroll) agree at every oracle
+# scale.
 _KCORE_ROUNDS = 14
 
 
@@ -951,11 +968,11 @@ GROUP BY s
 
 @query("kcore_copurchase", oracle=_KCORE_ORACLE)
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the part co-purchase graph — iterative peeling of
-    degree<3 nodes to a fixpoint (:func:`operators.graph.k_core`), the
+    """2-core of the part co-purchase graph — iterative peeling of
+    degree<2 nodes to a fixpoint (:func:`operators.graph.k_core`), the
     degeneracy primitive for dense-community extraction. Engine loops
     with early exit; the oracle unrolls {_KCORE_ROUNDS} peeling rounds
-    (fixpoint measured at 10 at sf0.01, extra rounds are no-ops).
+    (fixpoint measured at 5 at sf0.1, extra rounds are no-ops).
     Every round is an equi-shuffle (degree count + two anti-joins), so
     node-bucketed edges make rounds exchange-free at scale."""
     li = Catalog(spark, sf_dir).lineitem

@@ -1332,8 +1332,15 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca_gemm_moments(e: DataFrame, d: int):
     """``(n, s[d], G[d][d])`` — count, per-dim sums, and the raw Gram
     matrix of the embedding corpus, via per-partition float64 BLAS
-    partials summed in-plan (groupBy idx, map-side combined) and
-    collected as d²+d+1 bounded rows (~33 KB at d=64)."""
+    partials collected as O(partitions · (d²+d+1)) bounded rows
+    (~33 KB per partition at d=64) and folded driver-side in PINNED
+    partition-id order. The pinned fold makes the moments
+    deterministic run to run for a given partitioning (ADVICE r10: an
+    in-plan double groupBy-sum was partition-ARRIVAL-ordered, so
+    downstream round(6)/top-k guards had to absorb run-to-run drift on
+    top of BLAS-vs-oracle drift); at 1000 executors the collect is
+    ~33 KB · partitions — still the bounded trained-codebook
+    posture."""
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -1341,6 +1348,7 @@ def _pca_gemm_moments(e: DataFrame, d: int):
     def part(batches):
         import numpy as np
         import pandas as pd
+        from pyspark import TaskContext
 
         G = np.zeros((d, d))
         s = np.zeros(d)
@@ -1354,6 +1362,7 @@ def _pca_gemm_moments(e: DataFrame, d: int):
             n += X.shape[0]
         yield pd.DataFrame(
             {
+                "pid": np.int64(TaskContext.get().partitionId()),
                 "idx": np.arange(d * d + d + 1, dtype=np.int64),
                 "val": np.concatenate([G.ravel(), s, [float(n)]]),
             }
@@ -1361,10 +1370,13 @@ def _pca_gemm_moments(e: DataFrame, d: int):
 
     parts = e.select(
         F.col("embedding").cast("array<double>").alias("v")
-    ).mapInPandas(part, "idx long, val double")
+    ).mapInPandas(part, "pid long, idx long, val double")
+    by_pid: dict[int, np.ndarray] = {}
+    for r in parts.collect():
+        by_pid.setdefault(r["pid"], np.zeros(d * d + d + 1))[r["idx"]] = r["val"]
     acc = np.zeros(d * d + d + 1)
-    for r in parts.groupBy("idx").agg(F.sum("val").alias("val")).collect():
-        acc[r["idx"]] = r["val"]
+    for pid in sorted(by_pid):
+        acc += by_pid[pid]
     n = int(acc[-1])
     return n, acc[d * d : d * d + d], acc[: d * d].reshape(d, d)
 

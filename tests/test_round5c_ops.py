@@ -88,7 +88,10 @@ def test_kcore_every_node_meets_degree(spark, sf_dir):
     """Every surviving node's within-core degree is >= k (the k-core
     definition); peeling to fixpoint guarantees it."""
     rows = QUERIES["kcore_copurchase"](spark, sf_dir).collect()
-    assert all(r.degree >= 3 for r in rows)
+    from climate_anomaly_bigdata_pipeline_spark.queries.advancedq import _KCORE_K
+
+    assert rows, "2-core must be non-empty at every sf (round-11 contract)"
+    assert all(r.degree >= _KCORE_K for r in rows)
 
 
 def test_kcore_brute_parity_small_graph(spark):
