@@ -487,7 +487,108 @@ assert set(_R9_PADDING) <= (
     set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
 )
 
-_PRIORITY = _WINDOW_R9  # ACTIVE for round 10's driver correctness check
+# ---- round-11 rotation ------------------------------------------------------
+
+# Seed of the round-12 rotation: round-11 additions earn a driver row
+# THIS round (the standing recipe).
+_WINDOW_R11_SEED: list[str] = [
+    "lpa_modularity",            # graph quality contract (modularity)
+    "greedy_pair_packing_stats",  # 2-packing waste measurement
+    "embedding_whitening_audit",  # anisotropy / whitening contract
+]
+
+# Queries whose CODE (plan or oracle) changed in round 11 — re-verify
+# FIRST so no driver row certifies stale code:
+#   - minhash_jaccard_calibration: per-band md5 candidate sampling
+#   - the 7 IVF-family queries: n_centroids ~ sqrt(N) (dynamic ncent
+#     CTE in the oracles; GEMM-candidate cell assignment in the plans)
+#   - the 3 GEMM-PCA queries: pid-ordered deterministic moment fold
+#   - kcore_copurchase (k=2) / significant_parts_by_value (1.5x-mean
+#     threshold): per-sf-meaningful parameters
+#   - the 2 storage-layout queries: dynamic bucket count + validated
+#     layout markers
+_R11_CODE_CHANGED = [
+    "minhash_jaccard_calibration",
+    "ann_recall_at_k",
+    "ivf_train_codebook",
+    "knn_join_ivf",
+    "ivf_ann_topk",
+    "semdedup_prune_embeddings",
+    "ivfpq_ann_topk",
+    "ann_serve_external",
+    "pca_top_component_gemm",
+    "pca_topk_components_deflation",
+    "pca_projection_outliers",
+    "kcore_copurchase",
+    "significant_parts_by_value",
+    "partitioned_fact_dpp_revenue",
+    "bucketed_join_revenue",
+]
+
+# RE-VERIFICATION padding: family keepers first (one representative
+# per judge-graded family not already covered by seed/changed — the
+# stalest member of each), then the registry names whose LAST driver
+# row is the oldest (CORRECTNESS_r04.json vintage, none newer),
+# alphabetical within that vintage — drops from the tail as
+# seed/changed grow.
+_R10_PADDING = [
+    "cms_heavy_hitters",  # sketches keeper (last driver row r7)
+    "full_outer_reconcile_customers",  # relational_coverage keeper (r7)
+    "cdc_snapshot_diff",  # incremental_history keeper (r7)
+    "rolling_corr_daily",  # window_ts keeper (r7)
+    "benford_first_digit_orders",  # stats keeper (r7)
+    "bpe_first_merge_pairs",  # text_analysis keeper (r7)
+    "dsir_importance_weights",  # curation keeper (r7)
+    "hybrid_rrf_retrieval",  # retrieval keeper (r7)
+    "flac_decode_profile",  # multimodal keeper (r8)
+    "asof_click_before_purchase",
+    "cross_join_limited",
+    "cube_lineitem",
+    "demo_noise_zscore",
+    "doc_quality_scores",
+    "embedding_neardup_pairs",
+    "fingerprint_duplicates",
+    "gold_extremes",
+    "gold_fact_supplier_monthly",
+    "gold_kpis_yearly",
+    "gold_supplier_dim",
+    "grouping_sets_lineitem",
+    "lang_id_heuristic",
+    "lsh_ann_topk",
+    "minhash_lsh_candidates",
+    "monthly_revenue_delta",
+    "ngram_jaccard_pairs",
+    "parse_delimited_roundtrip",
+    "parse_fixed_width_roundtrip",
+    "range_join_next_hour",
+    "rollup_lineitem",
+    "salted_join_revenue",
+    "sessionize_events",
+    "simhash_signatures",
+    "sliding_2h_events",
+    "small_qty_brand_revenue",
+    "topk_customers_per_nation",
+    "topk_orders",
+    "tumbling_hourly_events",
+    "union_multi_source",
+    "approx_quantiles_events",
+]
+
+_WINDOW_R10 = (
+    ["zscore_anomaly"]
+    + _WINDOW_R11_SEED
+    + _R11_CODE_CHANGED
+    + _R10_PADDING[: 50 - 1 - len(_WINDOW_R11_SEED) - len(_R11_CODE_CHANGED)]
+)
+assert len(_WINDOW_R10) == 50
+assert len(set(_WINDOW_R10)) == 50
+# every seed name is new to the driver:
+assert not set(_WINDOW_R11_SEED) & (
+    set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
+    | set(_WINDOW_R8) | set(_WINDOW_R9)
+)
+
+_PRIORITY = _WINDOW_R10  # ACTIVE for round 11's driver correctness check
 
 
 def _reorder() -> None:

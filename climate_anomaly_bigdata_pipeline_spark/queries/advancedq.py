@@ -1313,3 +1313,106 @@ def label_propagation_communities(
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy(F.col("n_nodes").desc(), "community")
     )
+
+
+# ---- LPA community quality: Newman modularity --------------------------------
+
+# The quality contract for the graph family (round 11; the analogue of
+# ANN's recall row): Newman modularity of the 4-round LPA partition,
+#   Q = Σ_c [ m_c/m − (D_c/(2m))² ]
+# with m = |edges|, m_c = intra-community edges, D_c = community degree
+# sum. Exactness: every input is an integer, so Q is computed over the
+# COMMON DENOMINATOR 4m³ — per-community integer terms
+# (4·m²·m_c − m·D_c²) summed exactly (Spark DECIMAL(38,0), DuckDB
+# HUGEINT: both exact, order-free), then ONE double division under
+# round(6). Never a per-community double sum (partition-order drift).
+# Scale shape: one labels⋈edges equi-join on each endpoint + two
+# grouped integer rollups — node-keyed shuffles, the same shape as the
+# LPA rounds themselves; the final fold is a 1-row aggregate.
+_LPA_MODULARITY_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+{_lpa_ctes(_LPA_ROUNDS)},
+lab AS (SELECT node, lbl FROM l{_LPA_ROUNDS}),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM edges),
+deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY node),
+intra AS (
+    SELECT la.lbl, CAST(count(*) AS HUGEINT) AS mc
+    FROM edges e
+    JOIN lab la ON la.node = e.u
+    JOIN lab lb ON lb.node = e.v AND lb.lbl = la.lbl
+    GROUP BY la.lbl
+),
+dsum AS (
+    SELECT la.lbl, CAST(sum(d.k) AS HUGEINT) AS dc
+    FROM lab la JOIN deg d ON d.node = la.node GROUP BY la.lbl
+),
+comm AS (
+    SELECT ds.lbl, COALESCE(i.mc, 0) AS mc, ds.dc
+    FROM dsum ds LEFT JOIN intra i ON i.lbl = ds.lbl
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(m) AS BIGINT) AS n_edges,
+       CAST(sum(mc) AS BIGINT) AS intra_edges,
+       round(CAST(sum(4 * m * m * mc - m * dc * dc) AS DOUBLE)
+             / CAST(4 * max(m) * max(m) * max(m) AS DOUBLE), 6)
+           AS modularity
+FROM comm, mm
+"""
+
+
+@query("lpa_modularity", oracle=_LPA_MODULARITY_ORACLE)
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 4-round LPA partition of the part
+    co-purchase graph — one row (community count, edge count,
+    intra-community edges, Q under round(6)); see the comment block
+    for the exact-integer common-denominator algebra."""
+    li = Catalog(spark, sf_dir).lineitem
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("u", "v").localCheckpoint()  # reused: LPA + m + deg + intra
+    lab = G.label_propagation(edges, rounds=_LPA_ROUNDS)
+    mm = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    adj = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k")
+    )
+    la = lab.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("mc"))
+    )
+    dsum = (
+        lab.join(deg, "node")
+        .groupBy(F.col("community").alias("lbl"))
+        .agg(F.sum("k").cast("decimal(38,0)").alias("dc"))
+    )
+    comm = dsum.join(intra, "lbl", "left").select(
+        "lbl",
+        F.coalesce(F.col("mc"), F.lit(0).cast("decimal(38,0)")).alias("mc"),
+        "dc",
+    )
+    four = F.lit(4).cast("decimal(38,0)")
+    return (
+        comm.crossJoin(F.broadcast(mm))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("m").cast("long").alias("n_edges"),
+            F.sum("mc").cast("long").alias("intra_edges"),
+            F.round(
+                F.sum(
+                    four * F.col("m") * F.col("m") * F.col("mc")
+                    - F.col("m") * F.col("dc") * F.col("dc")
+                ).cast("double")
+                / (four * F.max("m") * F.max("m") * F.max("m")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )

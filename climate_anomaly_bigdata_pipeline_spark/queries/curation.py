@@ -593,3 +593,124 @@ def length_bucket_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---- greedy pair packing: measure the waste the bucket audit reports ---------
+
+# The companion to `length_bucket_packing_stats` (round 11): that query
+# REPORTS padding waste; this one MEASURES what a packer recovers.
+# Longest-with-shortest pair packing (the 2-packing step of
+# shortest-pack-first histogram packing, Krell et al. 2021, public):
+# rank docs by token count desc, pair rank r with rank N+1−r; a pair
+# that fits in one cap-token sequence shares it, otherwise each doc
+# packs alone into ceil(n/cap) sequences. cap = 128 ≈ 2×(median + IQR
+# margin) of this corpus's 10-100-token docs — the regime where no-
+# split 2-packing carries signal (at cap 512 every pair fits and the
+# audit reads a flat 78% waste; at cap 128 typical pairs fit at ~15%
+# waste while heavy 76+76 pairs overflow to solo). Deterministic
+# (total order = (tokens desc, doc_id)), all-integer until the final
+# waste division under round(6). Scale shape: one global rank (the
+# stable_global_index sort shape) + one shuffle on the pair index +
+# a 1-row rollup; a production packer would run the same recipe
+# per-shard and this audit's numbers upper-bound its waste.
+_PAIR_CAP = 128
+
+_PAIRPACK_ORACLE = rf"""
+WITH dl AS (
+    SELECT doc_id,
+           len(str_split_regex(lower(trim(text)), '\s+')) AS n
+    FROM documents
+),
+d AS (SELECT doc_id, n FROM dl WHERE n > 0),
+r AS (
+    SELECT doc_id, n,
+           row_number() OVER (ORDER BY n DESC, doc_id) AS rn,
+           count(*) OVER () AS nd
+    FROM d
+),
+g AS (
+    SELECT least(rn, nd + 1 - rn) AS p,
+           count(*) AS cnt,
+           sum(n) AS sn,
+           sum(CAST(ceil(CAST(n AS DOUBLE) / {_PAIR_CAP}.0) AS BIGINT))
+               AS solo_seqs
+    FROM r GROUP BY 1
+),
+s AS (
+    SELECT sn,
+           CASE WHEN cnt = 2 AND sn <= {_PAIR_CAP} THEN 1
+                ELSE solo_seqs END AS seqs
+    FROM g
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+       CAST(sum(sn) AS BIGINT) AS total_tokens,
+       CAST(sum(seqs) AS BIGINT) AS n_seqs_pair,
+       CAST(ceil(CAST(sum(sn) AS DOUBLE) / {_PAIR_CAP}.0) AS BIGINT)
+           AS n_seqs_floor,
+       round(1.0 - CAST(sum(sn) AS DOUBLE)
+                   / CAST(sum(seqs) * {_PAIR_CAP} AS DOUBLE), 6)
+           AS pad_waste_frac
+FROM s
+"""
+
+
+@query("greedy_pair_packing_stats", oracle=_PAIRPACK_ORACLE)
+def greedy_pair_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-with-shortest 2-packing of documents into 128-token
+    sequences — one row (doc/token totals, sequences used, the
+    pack-everything floor, and the packer's padding waste under
+    round(6)); see the comment block."""
+    docs = Catalog(spark, sf_dir).documents
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"),
+    ).filter(F.col("n") > 0)
+    w = Window.orderBy(F.col("n").desc(), "doc_id")
+    tot = Window.partitionBy()
+    r = d.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(tot).alias("nd"),
+    )
+    cap = F.lit(float(_PAIR_CAP))
+    g = (
+        r.select(
+            F.least(F.col("rn"), F.col("nd") + 1 - F.col("rn")).alias("p"),
+            "n",
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").alias("sn"),
+            F.sum(
+                F.ceil(F.col("n").cast("double") / cap).cast("long")
+            ).alias("solo_seqs"),
+        )
+    )
+    s = g.select(
+        "sn",
+        F.when(
+            (F.col("cnt") == 2) & (F.col("sn") <= _PAIR_CAP), F.lit(1)
+        )
+        .otherwise(F.col("solo_seqs"))
+        .alias("seqs"),
+    )
+    return (
+        s.crossJoin(
+            F.broadcast(d.agg(F.count(F.lit(1)).cast("long").alias("ndocs")))
+        )
+        .agg(
+            F.max("ndocs").alias("n_docs"),
+            F.sum("sn").cast("long").alias("total_tokens"),
+            F.sum("seqs").cast("long").alias("n_seqs_pair"),
+            F.ceil(F.sum("sn").cast("double") / cap)
+            .cast("long")
+            .alias("n_seqs_floor"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("sn").cast("double")
+                / (F.sum("seqs") * _PAIR_CAP).cast("double"),
+                6,
+            ).alias("pad_waste_frac"),
+        )
+    )

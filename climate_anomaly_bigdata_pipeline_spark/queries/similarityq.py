@@ -1951,3 +1951,246 @@ def pca_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PCA_PROJ_K)
         .drop("__az")
     )
+
+
+# ---- embedding whitening / anisotropy audit ----------------------------------
+
+# The whitening quality report a curation pipeline reads before using
+# raw embeddings for retrieval (Mu & Viswanath 2018's "all-but-the-top"
+# observation, public): project every embedding onto the top-k
+# principal directions (the deflation spectrum), scale each projection
+# by 1/sigma_c — per component the whitened coordinates should be
+# mean 0 / variance 1, and the VAR SHARE column (lam_c / trace) is the
+# anisotropy measure itself (one dominant direction = anisotropic
+# corpus). Composes `pca_topk_components_deflation` row-locally
+# exactly as `pca_projection_outliers` composed the top component:
+# GEMM moments (one corpus scan), O(k·d²) driver deflation, then ONE
+# more corpus pass evaluating k literal-direction projections —
+# order-free fixed-point statistics, round(6) guard on the four
+# derived ratios. The oracle extends the deflation recursive CTE with
+# the same projection/stat tail.
+
+
+def _whitening_oracle() -> str:
+    v0 = repr(1.0 / 8.0)
+    d = _PCA_D
+    it = _PCA_ITERS
+    total = _PCA_TOPK * it
+    start = (
+        f"list_transform(range(1, {d + 1}), i -> CAST('{v0}' AS DOUBLE))"
+    )
+    dot = (
+        f"list_transform(range(1, {d + 1}), j -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), k -> "
+        f"cm[(j - 1) * {d} + k] * v[k])), (a, b) -> a + b))"
+    )
+    nrm_of = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(w, y -> y * y)), (a, b) -> a + b))"
+    )
+    lam_of = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), j -> v[j] * w[j])), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH RECURSIVE x AS (
+    SELECT vec_id, j - 1 AS j, xj
+    FROM (SELECT vec_id, unnest(embedding) AS xj,
+                 generate_subscripts(embedding, 1) AS j
+          FROM embeddings)
+),
+s2 AS (
+    SELECT a.j AS j, b.j AS k,
+           sum(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)) AS s2
+    FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+),
+s1 AS (
+    SELECT j, sum(CAST(xj AS DOUBLE)) AS sj FROM x GROUP BY j
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cmat AS (
+    SELECT s2.j, s2.k,
+           s2.s2 * CAST(n AS DOUBLE) - a.sj * b.sj AS c
+    FROM s2, nn
+    JOIN s1 a ON a.j = s2.j
+    JOIN s1 b ON b.j = s2.k
+),
+cvec AS (SELECT list(c ORDER BY j * {d} + k) AS cm FROM cmat),
+it AS (
+    SELECT 0 AS t,
+           CAST(NULL AS DOUBLE[]) AS w,
+           CAST(NULL AS DOUBLE[]) AS v_prev,
+           {start} AS v,
+           cm
+    FROM cvec
+    UNION ALL
+    SELECT t + 1,
+           w,
+           v AS v_prev,
+           CASE WHEN (t + 1) % {it} = 0 THEN {start}
+                ELSE list_transform(w, xw -> xw / nrm) END AS v,
+           CASE WHEN (t + 1) % {it} = 0
+                THEN list_transform(range(1, {d * d + 1}), i ->
+                     cm[i] - lam * (w[((i - 1) // {d}) + 1] / nrm)
+                                 * (w[((i - 1) % {d}) + 1] / nrm))
+                ELSE cm END AS cm
+    FROM (
+        SELECT t, cm, v, w, {nrm_of} AS nrm, {lam_of} AS lam
+        FROM (SELECT t, cm, v, {dot} AS w
+              FROM it WHERE t < {total}) s0
+    ) s1_
+),
+comps AS (
+    SELECT CAST(t // {it} - 1 AS INT) AS component,
+           list_transform(w, y -> y / nrm) AS v,
+           lam
+    FROM (
+        SELECT t, w, {nrm_of} AS nrm,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, {d + 1}),
+                                  j -> v_prev[j] * w[j])),
+                   (a, b) -> a + b) AS lam
+        FROM it WHERE t % {it} = 0 AND t > 0
+    )
+),
+tr AS (
+    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {d + 1}),
+                              j -> cm[(j - 1) * {d} + j])),
+               (a, b) -> a + b) AS trc
+    FROM cvec
+),
+mv AS (
+    SELECT list(sj / CAST(n AS DOUBLE) ORDER BY j) AS m
+    FROM s1, nn GROUP BY n
+),
+cs AS (
+    SELECT c.component, c.v, c.lam,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {d + 1}),
+                              j -> m[j] * c.v[j])),
+               (a, b) -> a + b) AS ms,
+           sqrt(c.lam / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               AS sigma
+    FROM comps c, mv, nn
+),
+proj AS (
+    SELECT c.component,
+           (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, {d + 1}),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * c.v[j])),
+                (a, b) -> a + b) - c.ms) / c.sigma AS p
+    FROM embeddings e, cs c
+),
+st AS (
+    SELECT component,
+           CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(sum(CAST(floor(p * {_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s1p,
+           CAST(sum(CAST(floor(p * p * {_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s2p
+    FROM proj GROUP BY component
+)
+SELECT s.component,
+       round(c.lam / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+           AS eigenvalue,
+       round(c.lam / t.trc, 6) AS var_share,
+       round(s.s1p / s.cnt, 6) AS white_mean,
+       round(s.s2p / s.cnt - (s.s1p / s.cnt) * (s.s1p / s.cnt), 6)
+           AS white_var
+FROM st s
+JOIN cs c ON c.component = s.component, tr t, nn
+ORDER BY s.component
+"""
+
+
+@query("embedding_whitening_audit", oracle=_whitening_oracle())
+def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per top-3 principal component: eigenvalue, variance share
+    (anisotropy), and the mean/variance of the whitened projections
+    (should be ~0/~1 — the whitening quality contract); see the
+    comment block. One moments scan + one projection scan."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    e = Catalog(spark, sf_dir).embeddings
+    n, s, G = _pca_gemm_moments(e, _PCA_D)
+    C = float(n) * G - np.outer(s, s)
+    # trace in pinned j order — mirrors the oracle's sequential
+    # list_reduce over the diagonal
+    trc = 0.0
+    for j in range(_PCA_D):
+        trc = trc + float(C[j, j])
+    comps = []
+    for c in range(_PCA_TOPK):
+        lam, v = _power_iterate(C, _PCA_ITERS, _PCA_D)
+        comps.append((c, lam, v))
+        C = C - lam * np.outer(v, v)
+    m = s / float(n)
+    params = []
+    for c, lam, v in comps:
+        ms = 0.0
+        for j in range(_PCA_D):  # pinned-order fold, same as oracle
+            ms = ms + float(m[j]) * float(v[j])
+        sigma = math.sqrt(lam / (float(n) * float(n)))
+        params.append((c, lam, v, ms, sigma))
+    x = e.select(F.col("embedding").cast("array<double>").alias("xv"))
+    pcols = []
+    for c, lam, v, ms, sigma in params:
+        vlit = F.lit([float(y) for y in v])
+        p = (
+            F.aggregate(
+                F.zip_with("xv", vlit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            - F.lit(ms)
+        ) / F.lit(sigma)
+        pcols.append(p.alias(f"p{c}"))
+    proj = x.select(*pcols).select(
+        F.posexplode(F.array(*[f"p{c}" for c, *_ in params])).alias(
+            "component", "p"
+        )
+    )
+    fix = F.lit(_FIX)
+    st = proj.groupBy("component").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        (
+            F.sum(F.floor(F.col("p") * fix).cast("decimal(38,0)"))
+            .cast("double")
+            / fix
+        ).alias("s1p"),
+        (
+            F.sum(
+                F.floor(F.col("p") * F.col("p") * fix).cast("decimal(38,0)")
+            )
+            .cast("double")
+            / fix
+        ).alias("s2p"),
+    )
+    meta = spark.createDataFrame(
+        [
+            (c, lam / (float(n) * float(n)), lam / trc)
+            for c, lam, v, ms, sigma in params
+        ],
+        "component int, ev double, share double",
+    )
+    mean = F.col("s1p") / F.col("cnt")
+    return (
+        st.join(meta, "component")
+        .select(
+            "component",
+            F.round("ev", 6).alias("eigenvalue"),
+            F.round("share", 6).alias("var_share"),
+            F.round(mean, 6).alias("white_mean"),
+            F.round(F.col("s2p") / F.col("cnt") - mean * mean, 6).alias(
+                "white_var"
+            ),
+        )
+        .orderBy("component")
+    )
