@@ -455,11 +455,11 @@ def with_cell_candidates(
     codebook (n_centroids ~ sqrt(N), 447 cells at sf10) the per-row
     interpreted fold over EVERY centroid became the dominant cost
     (~2e10 lambda steps), while one numpy GEMM per Arrow batch is
-    seconds. Input must carry ``v``/``norm`` (see :func:`_normed`);
-    under-parallelized inputs (local parquet artifacts split into
-    fewer partitions than cores) are repartitioned so the GEMM uses
-    the whole machine — at 100 TB the scan already arrives
-    well-partitioned and the repartition is a no-op."""
+    seconds. Input must carry ``v``/``norm`` (see :func:`_normed`).
+    Deliberately NO repartition: the serving plans' no-Exchange
+    contract holds (cell assignment stays row-local), and the GEMM is
+    cheap enough that even an under-split local scan finishes in
+    fractions of a second per partition."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -467,9 +467,6 @@ def with_cell_candidates(
     Cn = np.sqrt((C * C).sum(axis=1))
     nt = min(int(topn), len(cents))
     kth_pos = len(cents) - nt
-    sc = e.sparkSession.sparkContext
-    if e.rdd.getNumPartitions() < sc.defaultParallelism:
-        e = e.repartition(sc.defaultParallelism)
     out_schema = T.StructType(
         list(e.schema.fields)
         + [T.StructField(out, T.ArrayType(T.IntegerType()))]

@@ -117,7 +117,13 @@ def tile_sql_tables(out_dir: str, reps: int) -> None:
             body = tpl.format(reps=reps, **OFFSETS)
             sql = body.replace("FROM src", f"FROM read_parquet('{src}')")
         con.execute(
-            f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET, COMPRESSION ZSTD)"
+            # ROW_GROUP_SIZE: without it DuckDB writes one giant row
+            # group per file, and a Spark scan of that file is ONE task
+            # no matter how many splits it plans (a row group is the
+            # minimum read unit) — measured at sf10: every corpus scan
+            # ran single-task until this was fixed.
+            f"COPY ({sql}) TO '{dst}' "
+            f"(FORMAT PARQUET, COMPRESSION ZSTD, ROW_GROUP_SIZE 65536)"
         )
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{name}: {n} rows")
@@ -151,7 +157,15 @@ def tile_embeddings(out_dir: str, reps: int) -> None:
             "label": pa.array(labs, type=pa.int32()),
         }
     )
-    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"), compression="zstd")
+    pq.write_table(
+        out,
+        os.path.join(out_dir, "embeddings.parquet"),
+        compression="zstd",
+        # ≥32 row groups so a Spark scan parallelizes (see the COPY
+        # note above); single-row-group files made every embedding
+        # scan single-task at sf1/sf10.
+        row_group_size=max(1024, len(ids) // 32),
+    )
     print(f"embeddings: {len(ids)} rows")
 
 
