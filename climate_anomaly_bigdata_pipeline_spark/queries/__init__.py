@@ -495,6 +495,7 @@ _WINDOW_R11_SEED: list[str] = [
     "lpa_modularity",            # graph quality contract (modularity)
     "greedy_pair_packing_stats",  # 2-packing waste measurement
     "embedding_whitening_audit",  # anisotropy / whitening contract
+    "ivf_cell_balance",          # quantizer-health / retrain gate
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -2194,3 +2194,79 @@ def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---- IVF quantizer health: cell-balance report --------------------------------
+
+# The operational contract behind the n_centroids ~ sqrt(N) lever: the
+# celled join is only as good as its worst cell (a hot cell = one
+# straggler task = the skew the docstrings promise AQE handles). This
+# row reports the assignment histogram's shape — cells used, extremes,
+# and the imbalance factor max|cell| / (N/nc) — so a pipeline can gate
+# "retrain the quantizer" on a number instead of a hunch. All-integer
+# aggregates; two derived ratios under round(6). One corpus scan
+# (GEMM-candidate assignment) + a cell-keyed count.
+_CELL_BALANCE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{{lloyd}},
+pairs AS (
+    SELECT e.vec_id, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+hist AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY cell
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+SELECT (SELECT n FROM ncent)::BIGINT AS n_cells,
+       CAST(count(*) AS BIGINT) AS cells_used,
+       CAST(max(n) AS BIGINT) AS max_cell,
+       CAST(min(n) AS BIGINT) AS min_cell,
+       round(CAST((SELECT n FROM nn) AS DOUBLE)
+             / CAST((SELECT n FROM ncent) AS DOUBLE), 6) AS mean_cell,
+       round(CAST(max(n) AS DOUBLE) * CAST((SELECT n FROM ncent) AS DOUBLE)
+             / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS imbalance_factor
+FROM hist
+""".format(lloyd=_lloyd_ctes(_TRAIN_ITERS))
+
+
+@query("ivf_cell_balance", oracle=_CELL_BALANCE_ORACLE)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer health: cells used, extreme cell sizes, and the
+    imbalance factor max|cell|/(N/nc) for the corpus-derived codebook
+    (see the comment block). The retrain-gate metric for the
+    n_centroids ~ sqrt(N) lever."""
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = _ivf_codebook(spark, sf_dir)
+    nc = len(cents)
+    e = SIM._normed(emb, "vec_id", "embedding")
+    hist = (
+        SIM.assign_cells(e, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nn = emb.count()
+    return hist.agg(
+        F.lit(nc).cast("long").alias("n_cells"),
+        F.count(F.lit(1)).cast("long").alias("cells_used"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.round(
+            F.lit(float(nn)) / F.lit(float(nc)), 6
+        ).alias("mean_cell"),
+        F.round(
+            F.max("n").cast("double") * F.lit(float(nc)) / F.lit(float(nn)),
+            6,
+        ).alias("imbalance_factor"),
+    )
