@@ -496,6 +496,7 @@ _WINDOW_R11_SEED: list[str] = [
     "greedy_pair_packing_stats",  # 2-packing waste measurement
     "embedding_whitening_audit",  # anisotropy / whitening contract
     "ivf_cell_balance",          # quantizer-health / retrain gate
+    "psi_event_value_drift",     # train/serve drift gate (PSI)
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

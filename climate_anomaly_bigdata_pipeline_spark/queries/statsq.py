@@ -3536,3 +3536,115 @@ def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---- population stability index: train/serve drift ---------------------------
+
+# The drift gate every production scoring pipeline runs between its
+# reference (training) window and the serving window: PSI =
+# Σ_bins (q_i − p_i)·ln(q_i/p_i) over a PINNED 25-bin spine (the
+# histogram_event_values bucketing — fixed range, no quantile pre-pass
+# whose cross-engine interpolation would be its own exactness fight),
+# with add-one smoothing so empty bins are defined. Reference = events
+# before Jan 16, target = after (the corpus spans January). p/q are
+# integer-ratio doubles (exact inputs, one division each); the 25
+# ln-terms fold in PINNED bucket order (the ccf/list_reduce recipe) and
+# the single PSI lands under round(6) — the standing guard for libm ln
+# ulp. Rule-of-thumb thresholds (0.1 watch / 0.25 act) belong to the
+# reader, not the query. Scale shape: one scan, one 25-key partial
+# agg, a 25-row fold.
+_PSI_BINS = 25
+_PSI_SPLIT = "2024-01-16"
+
+_PSI_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(least(greatest(floor((value - 0.0) / 20.0), 0),
+                      {_PSI_BINS - 1}) AS INT) AS bucket,
+           CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+    FROM events WHERE value IS NOT NULL
+),
+spine AS (SELECT CAST(range AS INT) AS bucket FROM range({_PSI_BINS})),
+h AS (
+    SELECT s.bucket,
+           COALESCE(sum(b.is_ref), 0) AS rn,
+           COALESCE(sum(1 - b.is_ref), 0) AS tn
+    FROM spine s LEFT JOIN b ON b.bucket = s.bucket
+    GROUP BY s.bucket
+),
+tot AS (SELECT sum(rn) AS r, sum(tn) AS t FROM h),
+terms AS (
+    SELECT h.bucket,
+           CAST(h.rn + 1 AS DOUBLE) / CAST(tot.r + {_PSI_BINS} AS DOUBLE) AS p,
+           CAST(h.tn + 1 AS DOUBLE) / CAST(tot.t + {_PSI_BINS} AS DOUBLE) AS q
+    FROM h, tot
+)
+SELECT CAST(tot.r AS BIGINT) AS n_ref,
+       CAST(tot.t AS BIGINT) AS n_target,
+       round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list((q - p) * ln(q / p) ORDER BY bucket)
+                FROM terms)),
+           (a, x) -> a + x), 6) AS psi
+FROM tot
+"""
+
+
+@query("psi_event_value_drift", oracle=_PSI_ORACLE)
+def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of events.value between the first and
+    second half of January (pinned 25-bin spine, add-one smoothing,
+    pinned-order ln fold; see the comment block)."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - 0.0) / 20.0), F.lit(0)),
+        F.lit(_PSI_BINS - 1),
+    ).cast("int")
+    is_ref = F.when(
+        F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 1
+    ).otherwise(0)
+    b = ev.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bucket"))
+    h = (
+        spine.join(
+            b.groupBy("bucket").agg(
+                F.sum("is_ref").alias("rn"),
+                F.sum(1 - F.col("is_ref")).alias("tn"),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("tn", F.lit(0)).alias("tn"),
+        )
+    )
+    tot = Window.partitionBy()
+    terms = h.select(
+        "bucket",
+        (
+            (F.col("rn") + 1).cast("double")
+            / (F.sum("rn").over(tot) + _PSI_BINS).cast("double")
+        ).alias("p"),
+        (
+            (F.col("tn") + 1).cast("double")
+            / (F.sum("tn").over(tot) + _PSI_BINS).cast("double")
+        ).alias("q"),
+        F.sum("rn").over(tot).alias("r"),
+        F.sum("tn").over(tot).alias("t"),
+    )
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    return terms.select(
+        "r", "t", F.struct(F.col("bucket"), term.alias("v")).alias("s")
+    ).agg(
+        F.max("r").cast("long").alias("n_ref"),
+        F.max("t").cast("long").alias("n_target"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("v"),
+            ),
+            6,
+        ).alias("psi"),
+    )
