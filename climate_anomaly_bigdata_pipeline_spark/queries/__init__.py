@@ -497,6 +497,7 @@ _WINDOW_R11_SEED: list[str] = [
     "embedding_whitening_audit",  # anisotropy / whitening contract
     "ivf_cell_balance",          # quantizer-health / retrain gate
     "psi_event_value_drift",     # train/serve drift gate (PSI)
+    "ivf_recall_vs_nprobe",      # probe/recall tuning curve
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -2270,3 +2270,141 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("imbalance_factor"),
     )
+
+
+# ---- IVF tuning curve: recall@5 vs nprobe ------------------------------------
+
+# The cost-of-recall curve an index operator actually tunes with: the
+# same batch KNN at nprobe ∈ {1, 2, 4} against the same GEMM-exact
+# ground truth. The per-row recall numbers make the probe/recall
+# trade-off a driver-checked table instead of a prose claim (cost side:
+# in-cell candidate work scales ~linearly in nprobe, measured in
+# BASELINE). Engine cost = one exact KNN + one IVF KNN per probed
+# setting over the shared offline codebook and ONE shared cell
+# assignment per run; the oracle re-derives everything with the probe
+# rank bound swept.
+_TUNE_NPROBES = (1, 2, 4)
+
+
+def _recall_curve_oracle() -> str:
+    per = []
+    for p in _TUNE_NPROBES:
+        per.append(f"""probe{p} AS (
+    SELECT vec_id, cid
+    FROM pairs
+    WHERE vec_id % {_KNN_QUERY_MOD} = 0
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, cid DESC) <= {p}
+),
+icand{p} AS (
+    SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="a.v", b="qq.v")} AS cosine
+    FROM probe{p} pr
+    JOIN e qq ON qq.vec_id = pr.vec_id
+    JOIN assign a ON a.cell = pr.cid
+    WHERE a.vec_id != pr.vec_id
+),
+ivfk{p} AS (
+    SELECT query_id, neighbor_id
+    FROM icand{p}
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) <= {_KNN_K}
+),
+hits{p} AS (
+    SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS h
+    FROM brutek b
+    LEFT JOIN ivfk{p} i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {p} AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(h) AS DOUBLE)
+             / CAST(count(*) * {_KNN_K} AS DOUBLE), 6) AS recall_at_k
+FROM hits{p}"""
+        for p in _TUNE_NPROBES
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {_KNN_QUERY_MOD} = 0),
+bscored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a="e.v", b="q.qv")} AS cosine
+    FROM e, q
+    WHERE e.vec_id != q.query_id
+),
+brutek AS (
+    SELECT query_id, neighbor_id
+    FROM bscored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) <= {_KNN_K}
+),
+{_lloyd_ctes(_TRAIN_ITERS)},
+pairs AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, v, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+{",".join(per)}
+SELECT * FROM ({rows})
+ORDER BY nprobe
+"""
+
+
+@query("ivf_recall_vs_nprobe", oracle=_recall_curve_oracle())
+def ivf_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the batch IVF KNN at nprobe 1/2/4 against the shared
+    GEMM-exact ground truth — the probe/recall tuning curve as a
+    driver-checked table (see the comment block)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings
+    book = _ivf_codebook(spark, sf_dir)
+    b = knn_join_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()  # ground truth shared by all three settings
+    outs = []
+    for p in _TUNE_NPROBES:
+        i = SIM.ivf_knn_join(
+            emb, k=_KNN_K, nprobe=p, codebook=book
+        ).select("query_id", "neighbor_id")
+        matched = b.join(i, ["query_id", "neighbor_id"], "left_semi")
+        hits = (
+            b.select("query_id")
+            .distinct()
+            .join(
+                matched.groupBy("query_id").agg(
+                    F.count(F.lit(1)).alias("h")
+                ),
+                "query_id",
+                "left",
+            )
+            .select(F.coalesce("h", F.lit(0)).alias("h"))
+        )
+        outs.append(
+            hits.agg(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(
+                    F.sum("h").cast("double")
+                    / (F.count(F.lit(1)) * _KNN_K).cast("double"),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+    return reduce(lambda a, c: a.unionAll(c), outs).orderBy("nprobe")
