@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from climate_anomaly_bigdata_pipeline_spark.operators.similarity import (
-    _cell_assign_structs,
+    _cand_cell_structs,
+    assign_cells,
     dot_expr,
+    with_cell_candidates,
 )
 
 
@@ -43,14 +45,13 @@ def assign_corpus_cells(
 ) -> DataFrame:
     """Home-cell assignment of the static corpus — run ONCE, cache (or
     persist partitioned by ``cell``) and reuse across every micro-batch.
-    Row-local expression against the codebook literal: no shuffle."""
+    Row-local (GEMM candidates + exact-fold rescore — the
+    with_cell_candidates contract, bit-identical to evaluating every
+    centroid): no shuffle."""
     e = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
-    return e.withColumn(
-        "cell",
-        F.array_max(_cell_assign_structs(codebook)).getField("i"),
-    )
+    return assign_cells(e, codebook)
 
 
 def ann_serve_batch(
@@ -82,13 +83,13 @@ def ann_serve_batch(
         F.col(query_vec_col).cast("array<double>").alias("v"),
     ).withColumn("norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
     # Probe-cell selection is row-local on the (broadcast) query side:
-    # sorted (cosine, cid) structs, first nprobe cells.
-    probes = q.withColumn(
+    # GEMM candidate cells, exact-rescored + sorted, first nprobe.
+    probes = with_cell_candidates(q, codebook, topn=max(nprobe, 1)).withColumn(
         "cell",
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_cell_assign_structs(codebook))),
+                    F.reverse(F.array_sort(_cand_cell_structs(codebook))),
                     1,
                     nprobe,
                 ),
