@@ -498,6 +498,7 @@ _WINDOW_R11_SEED: list[str] = [
     "ivf_cell_balance",          # quantizer-health / retrain gate
     "psi_event_value_drift",     # train/serve drift gate (PSI)
     "ivf_recall_vs_nprobe",      # probe/recall tuning curve
+    "stl_residual_anomalies",    # seasonal-adjusted anomaly detector
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -781,3 +781,102 @@ def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st")["l"], 4).alias("level_end"),
         F.round(F.col("st")["b"], 4).alias("trend_end"),
     )
+
+
+# ---- seasonal-adjusted anomaly detection: STL residual outliers ---------------
+
+# The anomaly detector the reference's domain actually wants (its
+# z-score flags raw extremes; a CLIMATE-style anomaly is a deviation
+# from trend + seasonality): top-10 days by |robust z| of the STL
+# residual, robust z = (r − median) / (1.4826·MAD) — median/MAD
+# instead of mean/std so the anomalies themselves don't inflate the
+# yardstick. Exactness: the STL residuals are bit-identical in both
+# engines (the stl_decompose_daily_revenue contract); median and MAD
+# are ELEMENT PICKS from the sorted residual list (exact-halving
+# midpoint for even n), not engine aggregates, so the chain is
+# deterministic; 1.4826 is one correctly-rounded literal in both
+# parsers; derived columns sit under round(6). Scale shape: the series
+# is the calendar-bounded daily pre-agg (the acf/stl contract), so the
+# sorted-list fold is a bounded one-row collect — never a corpus-sized
+# sort.
+_STL_ANOM_K = 10
+
+_PICK_MID = (
+    "CASE WHEN n % 2 = 1 THEN {a}[(n + 1) // 2]"
+    " ELSE ({a}[n // 2] + {a}[n // 2 + 1]) / 2.0 END"
+)
+
+_STL_ANOM_ORACLE = f"""
+WITH stl AS ({_STL_ORACLE}),
+res AS (
+    SELECT day, revenue, residual FROM stl WHERE residual IS NOT NULL
+),
+lst AS (
+    SELECT list(residual ORDER BY residual) AS r,
+           CAST(count(*) AS BIGINT) AS n
+    FROM res
+),
+med AS (SELECT {_PICK_MID.format(a="r")} AS m FROM lst),
+ad AS (
+    SELECT list(abs(residual - m) ORDER BY abs(residual - m)) AS r,
+           CAST(count(*) AS BIGINT) AS n
+    FROM res, med
+),
+mad AS (SELECT {_PICK_MID.format(a="r")} AS s FROM ad)
+SELECT day, revenue,
+       round(residual, 6) AS residual,
+       round((residual - m) / (1.4826 * s), 6) AS robust_z
+FROM res, med, mad
+ORDER BY round(abs((residual - m) / (1.4826 * s)), 6) DESC, day
+LIMIT {_STL_ANOM_K}
+"""
+
+
+@query("stl_residual_anomalies", oracle=_STL_ANOM_ORACLE)
+def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 seasonal-adjusted daily-revenue anomalies: |robust z| of
+    the STL residual under a median/MAD yardstick (see the comment
+    block). Composes `stl_decompose_daily_revenue` exactly as
+    `pca_projection_outliers` composes the PCA moments."""
+    res = (
+        stl_decompose_daily_revenue(spark, sf_dir)
+        .filter(F.col("residual").isNotNull())
+        .select("day", "revenue", "residual")
+        .localCheckpoint()  # bounded daily series; reused 3x
+    )
+
+    def _mid(arr, n):
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    lst = res.agg(
+        F.array_sort(F.collect_list("residual")).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    med = lst.select(_mid(F.col("r"), F.col("n")).alias("m"))
+    ad = res.crossJoin(F.broadcast(med)).agg(
+        F.array_sort(
+            F.collect_list(F.abs(F.col("residual") - F.col("m")))
+        ).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("m").alias("m"),
+    )
+    scale = ad.select("m", _mid(F.col("r"), F.col("n")).alias("s"))
+    rz = (F.col("residual") - F.col("m")) / (F.lit(1.4826) * F.col("s"))
+    return (
+        res.crossJoin(F.broadcast(scale))
+        .select(
+            "day",
+            "revenue",
+            F.round("residual", 6).alias("residual"),
+            F.round(rz, 6).alias("robust_z"),
+            F.round(F.abs(rz), 6).alias("__az"),
+        )
+        .orderBy(F.col("__az").desc(), "day")
+        .limit(_STL_ANOM_K)
+        .drop("__az")
+    )
