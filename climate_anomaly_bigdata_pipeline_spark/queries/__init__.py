@@ -499,6 +499,7 @@ _WINDOW_R11_SEED: list[str] = [
     "psi_event_value_drift",     # train/serve drift gate (PSI)
     "ivf_recall_vs_nprobe",      # probe/recall tuning curve
     "stl_residual_anomalies",    # seasonal-adjusted anomaly detector
+    "dedup_impact_report",       # what dedup saves, per source
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -1200,3 +1200,79 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id1", "id2")
     )
+
+
+# ---- dedup impact report: what deduplication actually saves -------------------
+
+# The "was it worth it" table every dedup pass prints before anyone
+# trusts it (round 11): per document source, corpus size before/after
+# exact first-occurrence dedup in DOCUMENTS, TOKENS, and BYTES, plus
+# the duplicate fraction. Kept = lowest doc_id per md5(text) — the
+# dedup_keep_representatives rule, so this row is the accounting view
+# of that operator. All-integer aggregates (token counts via the
+# standard whitespace tokenizer, bytes via octet_length of the raw
+# text) with one round(6) division per source. Scale shape: one
+# md5-keyed window for first-occurrence + one grouped rollup — the
+# same single shuffle the dedup itself pays; no pair joins anywhere.
+_IMPACT_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, source, text,
+           len(str_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN rn = 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+           AS bytes_kept,
+       round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END)
+                        AS DOUBLE)
+                   / CAST(sum(n_tok) AS DOUBLE), 6) AS token_dup_frac
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("dedup_impact_report", oracle=_IMPACT_ORACLE)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of exact first-occurrence dedup: doc/token/
+    byte counts before and after, and the token duplicate fraction
+    (see the comment block)."""
+    docs = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tok"),
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias(
+            "n_bytes"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(kept * F.col("n_tok")).cast("long").alias("tokens_kept"),
+            F.sum("n_bytes").cast("long").alias("bytes_total"),
+            F.sum(kept * F.col("n_bytes")).cast("long").alias("bytes_kept"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(kept * F.col("n_tok")).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("token_dup_frac"),
+        )
+        .orderBy("source")
+    )
