@@ -94,3 +94,145 @@ def test_corpus_sig_missing_source_raises(spark, tmp_path):
 
     with pytest.raises(OSError):
         _corpus_sig(str(tmp_path), "nope")
+
+
+# ---- round-11 operator contracts ---------------------------------------------
+
+
+def test_gemm_candidate_assignment_matches_full_codebook(spark):
+    """assign_cells (GEMM candidates + exact rescore) must reproduce the
+    full-codebook struct-max assignment bit-for-bit on random data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+
+    random.seed(7)
+    cents = [(i * 3, [random.uniform(-1, 1) for _ in range(16)]) for i in range(37)]
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    e = SIM._normed(df, "vec_id", "embedding")
+    fast = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.assign_cells(e, cents).select("vec_id", "cell").collect()
+    }
+    slow = {
+        r["vec_id"]: r["cell"]
+        for r in e.withColumn(
+            "cell", F.array_max(SIM._cell_assign_structs(cents)).getField("i")
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert fast == slow
+
+
+def test_cell_candidates_cover_top_nprobe(spark):
+    """with_cell_candidates(topn=n) must return a superset of the exact
+    top-n cells per row (sorted-prefix equality through the rescore)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.operators import similarity as SIM
+
+    random.seed(11)
+    cents = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    e = SIM._normed(df, "vec_id", "embedding")
+    got = (
+        SIM.with_cell_candidates(e, cents, topn=3)
+        .withColumn(
+            "top3",
+            F.slice(
+                F.reverse(F.array_sort(SIM._cand_cell_structs(cents))), 1, 3
+            ),
+        )
+        .select("vec_id", F.transform("top3", lambda s: s.getField("i")).alias("t"))
+        .collect()
+    )
+    ref = (
+        e.withColumn(
+            "top3",
+            F.slice(
+                F.reverse(F.array_sort(SIM._cell_assign_structs(cents))), 1, 3
+            ),
+        )
+        .select("vec_id", F.transform("top3", lambda s: s.getField("i")).alias("t"))
+        .collect()
+    )
+    assert {r["vec_id"]: list(r["t"]) for r in got} == {
+        r["vec_id"]: list(r["t"]) for r in ref
+    }
+
+
+def test_lpa_modularity_identities(spark, sf_dir):
+    """Σ_c D_c = 2m (degree partition identity) is implicit; check the
+    reported row's invariants: intra ≤ m and -0.5 ≤ Q ≤ 1."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["lpa_modularity"](spark, sf_dir).collect()[0]
+    assert 0 <= r.intra_edges <= r.n_edges
+    assert -0.5 <= r.modularity <= 1.0
+    assert r.n_communities >= 1
+
+
+def test_pair_packing_bounds(spark, sf_dir):
+    """Pair packing can never beat the fractional floor and never does
+    worse than one doc per sequence."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["greedy_pair_packing_stats"](spark, sf_dir).collect()[0]
+    assert r.n_seqs_pair >= r.n_seqs_floor
+    assert r.n_seqs_pair <= r.n_docs  # pairing merges, never splits pairs up
+    assert 0.0 <= r.pad_waste_frac < 1.0
+
+
+def test_whitening_audit_invariants(spark, sf_dir):
+    """Whitened projections are mean ~0 / var ~1 per component; variance
+    shares are positive and sum below 1 for 3 of 64 components."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_whitening_audit"](spark, sf_dir).collect()
+    assert [r.component for r in rows] == [0, 1, 2]
+    assert sum(r.var_share for r in rows) < 1.0
+    for r in rows:
+        assert r.var_share > 0
+        assert abs(r.white_mean) < 1e-3
+        assert 0.8 < r.white_var < 1.2
+
+
+def test_psi_nonnegative(spark, sf_dir):
+    """Every PSI term (q-p)·ln(q/p) is non-negative, so PSI >= 0."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["psi_event_value_drift"](spark, sf_dir).collect()[0]
+    assert r.psi >= 0.0
+    assert r.n_ref > 0 and r.n_target > 0
+
+
+def test_stl_anomalies_are_the_top_residual_z(spark, sf_dir):
+    """The returned rows must be ordered by |robust_z| descending."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["stl_residual_anomalies"](spark, sf_dir).collect()
+    azs = [abs(r.robust_z) for r in rows]
+    assert azs == sorted(azs, reverse=True)
+    assert len(rows) == 10
+
+
+def test_dedup_impact_totals_consistent(spark, sf_dir):
+    """kept <= total on every axis; duplicate fraction matches counts."""
+    from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_impact_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        assert 0 < r.tokens_kept <= r.tokens_total
+        assert 0 < r.bytes_kept <= r.bytes_total
+        assert abs(
+            r.token_dup_frac - round(1.0 - r.tokens_kept / r.tokens_total, 6)
+        ) < 1e-9
