@@ -500,6 +500,7 @@ _WINDOW_R11_SEED: list[str] = [
     "ivf_recall_vs_nprobe",      # probe/recall tuning curve
     "stl_residual_anomalies",    # seasonal-adjusted anomaly detector
     "dedup_impact_report",       # what dedup saves, per source
+    "pit_prior_regime_purchases",  # point-in-time join vs SCD-2 history
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

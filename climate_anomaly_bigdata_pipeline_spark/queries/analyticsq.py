@@ -25,8 +25,8 @@ from climate_anomaly_bigdata_pipeline_spark.queries import query
 
 # ---- SCD-2 history over the event stream ------------------------------------
 
-_SCD2_ORACLE = """
-WITH flagged AS (
+_SCD2_CTES = """
+flagged AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER w AS prev_type
     FROM events
@@ -45,6 +45,10 @@ hist AS (
     FROM ch
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
+"""
+
+_SCD2_ORACLE = f"""
+WITH {_SCD2_CTES}
 SELECT user_id, event_type, version, effective_from, effective_to,
        (effective_to IS NULL) AS is_current
 FROM hist
@@ -798,4 +802,89 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node", F.round(F.col("rank"), 10).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(_PR_TOPK)
+    )
+
+
+# ---- point-in-time join against the SCD-2 history -----------------------------
+
+# The dimensional-correctness trap every lakehouse interview asks
+# about (round 11): attribute each purchase to the user's type REGIME
+# one hour BEFORE the purchase, per the SCD-2 history — a true
+# point-in-time (as-of backward) join, not a current-row join. The
+# 1-hour lag makes it non-degenerate (at the purchase instant the
+# regime is trivially 'purchase'); purchases whose user has no regime
+# ≥ 1 h old yet are dropped (inner as-of semantics, documented).
+# Semantics pinned in BOTH engines: among regimes with
+# effective_from <= t, take the greatest effective_from, ties to the
+# highest version — the oracle's QUALIFY pick and asof_join's
+# (ts, version) window order are the same rule. Scale shape: the
+# engine side is the tag+union+one-window as-of composition
+# (O((L+R) log(L+R)), one hash shuffle on user_id — never the
+# O(L×R)-per-key inequality join the oracle runs), then a grouped
+# rollup with the standard DECIMAL money sum.
+_PIT_ORACLE = f"""
+WITH {_SCD2_CTES},
+p AS (
+    SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS t, value
+    FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT p.event_id, p.value,
+           h.event_type AS prior_type, h.effective_from, h.version
+    FROM p JOIN hist h
+      ON h.user_id = p.user_id AND h.effective_from <= p.t
+),
+pick AS (
+    SELECT event_id, value, prior_type FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY event_id
+        ORDER BY effective_from DESC, version DESC
+    ) = 1
+)
+SELECT prior_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(round(sum(CAST(value AS DECIMAL(19,4))), 2) AS DOUBLE)
+           AS value_sum
+FROM pick GROUP BY prior_type ORDER BY prior_type
+"""
+
+
+@query("pit_prior_regime_purchases", oracle=_PIT_ORACLE)
+def pit_prior_regime_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What was the user doing an hour before buying? Purchases
+    attributed to the SCD-2 type regime effective at ts − 1 h via a
+    true point-in-time (as-of backward) join; grouped purchase counts
+    and exact-DECIMAL value per prior regime (see the comment block)."""
+    ev = Catalog(spark, sf_dir).events
+    hist = TS.scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("prior_type"),
+        "effective_from",
+        F.col("version").cast("long").alias("version"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("t"),
+        "value",
+    )
+    j = TS.asof_join(
+        p, hist, by=["user_id"], left_ts="t",
+        right_ts="effective_from", right_tiebreak="version",
+    )
+    return (
+        j.groupBy("prior_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(19,4)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("prior_type")
     )
