@@ -501,6 +501,10 @@ _WINDOW_R11_SEED: list[str] = [
     "stl_residual_anomalies",    # seasonal-adjusted anomaly detector
     "dedup_impact_report",       # what dedup saves, per source
     "pit_prior_regime_purchases",  # point-in-time join vs SCD-2 history
+    "zorder_clustering_report",   # z-order zone-map skipping audit
+    "encoding_efficiency_report",  # columnar encoding statistics
+    "embedding_uniformity_report",  # Wang-Isola pairwise geometry
+    "epoch_plan_token_budget",    # token-budget mixing plan
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -714,3 +714,86 @@ def greedy_pair_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste_frac"),
         )
     )
+
+
+# ---- token-budget epoch plan ---------------------------------------------------
+
+# The data-mixing plan a pretraining run actually executes: given the
+# per-source token inventory and the temperature-scaled (alpha = 0.5)
+# target weights of `temperature_mix_weights`, a global token budget of
+# BUDGET_EPOCHS x the corpus decides how many EPOCHS of each source the
+# run will consume (target_s / available_s). Sources pushed past the
+# ~4-epoch repeat ceiling (Muennighoff et al. 2023's diminishing-
+# returns point, public) get flagged — the signal to cap the weight or
+# acquire more data. Token counts ride the standing whitespace-token
+# recipe (one explode-free size(split) scan); the weight denominator is
+# the proven sum(pow) OVER () shape from temperature_mix_weights; the
+# three derived doubles land under round(6). Scale shape: one document
+# scan, a per-source partial agg, and a |sources|-row window — the
+# plan itself is dashboard-sized at any corpus size.
+_EPOCH_BUDGET_X = 2.0  # global budget = 2x the corpus token count
+_EPOCH_ALPHA = 0.5
+_EPOCH_CEILING = 4.0
+
+_EPOCH_PLAN_ORACLE = rf"""
+WITH c AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(str_split_regex(lower(trim(text)), '\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, n_docs, n_tokens,
+           pow(n_tokens, {_EPOCH_ALPHA}) / sum(pow(n_tokens, {_EPOCH_ALPHA}))
+               OVER () AS wt,
+           sum(n_tokens) OVER () AS total_tokens
+    FROM c
+)
+SELECT source, n_docs, n_tokens,
+       round(wt, 6) AS weight,
+       CAST(floor(wt * {_EPOCH_BUDGET_X} * total_tokens) AS BIGINT)
+           AS target_tokens,
+       round(wt * {_EPOCH_BUDGET_X} * total_tokens / n_tokens, 6) AS epochs,
+       round(wt * {_EPOCH_BUDGET_X} * total_tokens / n_tokens, 6)
+           > {_EPOCH_CEILING} AS repeat_risk
+FROM w
+ORDER BY source
+"""
+
+
+@query("epoch_plan_token_budget", oracle=_EPOCH_PLAN_ORACLE)
+def epoch_plan_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan for a 2x-corpus token budget under
+    temperature-scaled (alpha=0.5) mixing: token inventory, target
+    weight, target tokens, epochs needed, and the >4-epoch repeat-risk
+    flag (see the comment block)."""
+    docs = Catalog(spark, sf_dir).documents
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    all_w = Window.partitionBy()
+    wt = F.pow("n_tokens", F.lit(_EPOCH_ALPHA)) / F.sum(
+        F.pow("n_tokens", F.lit(_EPOCH_ALPHA))
+    ).over(all_w)
+    total = F.sum("n_tokens").over(all_w)
+    epochs = wt * _EPOCH_BUDGET_X * total / F.col("n_tokens")
+    return (
+        c.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(wt, 6).alias("weight"),
+            F.floor(wt * _EPOCH_BUDGET_X * total).cast("long").alias(
+                "target_tokens"
+            ),
+            F.round(epochs, 6).alias("epochs"),
+            (F.round(epochs, 6) > _EPOCH_CEILING).alias("repeat_risk"),
+        )
+        .orderBy("source")
+    )

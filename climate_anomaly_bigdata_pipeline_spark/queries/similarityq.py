@@ -2408,3 +2408,130 @@ def ivf_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, c: a.unionAll(c), outs).orderBy("nprobe")
+
+
+# ---- embedding-space uniformity / alignment report ----------------------------
+
+# The representation-quality contract of Wang & Isola 2020 ("alignment
+# and uniformity on the hypersphere", public): over unit-normalized
+# embeddings, uniformity = ln E[exp(-2·||u_a - u_b||²)] on random
+# pairs — a collapsed embedding space scores near 0, a uniform one
+# near the -4 floor. The pair sample is the engine's deterministic
+# md5-bucket recipe (deterministic_sample / minhash-calibration
+# posture): vectors land in B = max(1, N // 64) buckets by
+# md5(vec_id), pairs form WITHIN a bucket only — O(64·N) pairs total,
+# linear in the corpus, never the all-pairs quadratic, and a row's
+# bucket never changes under data growth. Per pair only ONE
+# sequential-fold dot product runs (unit vectors are prepared once per
+# row, so ||u_a - u_b||² = 2 - 2·cos); the three pair statistics
+# accumulate through the floor-fixed-point DECIMAL sums (order-free,
+# bit-exact), and the two libm calls (exp per pair, one final ln)
+# land under the standing round(6) guard. Companion to
+# embedding_whitening_audit: whitening reads the spectrum's shape,
+# this reads the pairwise geometry the retrieval stack actually sees.
+_UNIF_BUCKET_TARGET = 64
+
+
+def _uniformity_oracle() -> str:
+    return f"""
+WITH bk AS (
+    SELECT greatest(1, count(*) // {_UNIF_BUCKET_TARGET}) AS b
+    FROM embeddings
+),
+u AS (
+    SELECT vec_id,
+           CAST(concat('0x', substr(md5(concat('unif:', vec_id)), 1, 8))
+                AS BIGINT) % (SELECT b FROM bk) AS bucket,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_dot_product(
+                     list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                     list_transform(embedding, y -> CAST(y AS DOUBLE)))))
+               AS uv
+    FROM embeddings
+),
+p AS (
+    SELECT list_dot_product(a.uv, b.uv) AS cos
+    FROM u a JOIN u b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(CAST(floor(cos * {_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s_cos,
+           CAST(sum(CAST(floor(cos * cos * {_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s_cos2,
+           CAST(sum(CAST(floor(exp(4.0 * (cos - 1.0)) * {_FIX!r})
+                         AS DECIMAL(38,0)))
+                AS DOUBLE) / {_FIX!r} AS s_e
+    FROM p
+)
+SELECT (SELECT CAST(b AS BIGINT) FROM bk) AS n_buckets,
+       np AS n_pairs,
+       round(s_cos / np, 6) AS mean_cos,
+       round(s_cos2 / np, 6) AS mean_sq_cos,
+       round(ln(s_e / np), 6) AS uniformity
+FROM s
+"""
+
+
+@query("embedding_uniformity_report", oracle=_uniformity_oracle())
+def embedding_uniformity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang-Isola uniformity plus mean/mean-squared pair cosine over
+    md5-bucketed deterministic pair samples of the unit-normalized
+    embeddings (see the comment block). One normalization scan, one
+    bucket-keyed self-join bounded at ~64 rows per bucket."""
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.dedup import dot_expr
+
+    emb = Catalog(spark, sf_dir).embeddings
+    n = emb.count()
+    b = max(1, n // _UNIF_BUCKET_TARGET)
+    v = F.col("embedding").cast("array<double>")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("unif:"), F.col("vec_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % b
+    )
+    u = emb.select(
+        F.col("vec_id"),
+        bucket.alias("bucket"),
+        F.transform(v, lambda x: x / F.sqrt(dot_expr(v, v))).alias("uv"),
+    )
+    a = u.select(
+        F.col("vec_id").alias("ida"),
+        "bucket",
+        F.col("uv").alias("uva"),
+    )
+    bb = u.select(
+        F.col("vec_id").alias("idb"),
+        "bucket",
+        F.col("uv").alias("uvb"),
+    )
+    p = a.join(bb, "bucket").filter(F.col("ida") < F.col("idb")).select(
+        dot_expr(F.col("uva"), F.col("uvb")).alias("cos")
+    )
+    fix = F.lit(_FIX)
+
+    def fxsum(col):
+        return F.sum(F.floor(col * fix).cast("decimal(38,0)")).cast(
+            "double"
+        ) / fix
+
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        fxsum(F.col("cos")).alias("s_cos"),
+        fxsum(F.col("cos") * F.col("cos")).alias("s_cos2"),
+        fxsum(F.exp(4.0 * (F.col("cos") - 1.0))).alias("s_e"),
+    )
+    return s.select(
+        F.lit(b).cast("long").alias("n_buckets"),
+        F.col("np").alias("n_pairs"),
+        F.round(F.col("s_cos") / F.col("np"), 6).alias("mean_cos"),
+        F.round(F.col("s_cos2") / F.col("np"), 6).alias("mean_sq_cos"),
+        F.round(F.log(F.col("s_e") / F.col("np")), 6).alias("uniformity"),
+    )

@@ -260,3 +260,249 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---- z-order clustering effectiveness report ----------------------------------
+
+# The data-skipping layout audit (round 11): interleave the bits of two
+# query dimensions (customer bucket, order month) into a Morton
+# z-value, chunk rows into files by z-range, and report each file's
+# per-dimension min/max "zone map" next to the same report for a
+# single-key linear layout. The zone maps ARE the decision: a z-ordered
+# file bounds BOTH dimensions (a two-dim point probe prunes ~most
+# files), while the linear layout bounds only its sort key — the
+# second dimension's span is the full domain, so a probe on it prunes
+# nothing. `skip_probe_k2` materializes that for a pinned probe on the
+# SECOND dimension alone (k2 = 7, the dimension the linear layout
+# cannot bound): true iff the file's zone map excludes the probe. (A
+# probe on the sort key itself is the case the linear layout already
+# wins — z-ordering trades a little of that for bounding EVERY
+# interleaved dimension.)
+# Everything is exact integer arithmetic (bit ops + min/max), no
+# floats anywhere; one scan, one explode into the two layouts, one
+# 32-group aggregate. At 100 TB this is the audit a table-format
+# (Iceberg/Delta-style) OPTIMIZE ZORDER job emits to prove the rewrite
+# bought skipping — the recipe (Morton interleave → range-chunk →
+# zone-map min/max) is the public textbook one.
+_ZO_BITS = 4  # 4 bits per dimension -> 8-bit z-value, 16 files per layout
+_ZO_FILES = 16
+_ZO_PROBE_K2 = 7
+
+
+def _zo_interleave_sql(k1: str, k2: str) -> str:
+    terms = []
+    for i in range(_ZO_BITS):
+        terms.append(f"((({k1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({k2} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH k AS (
+    SELECT CAST(o_custkey % 16 AS INTEGER) AS k1,
+           CAST(month(o_orderdate) - 1 AS INTEGER) AS k2
+    FROM orders
+),
+z AS (
+    SELECT k1, k2,
+           ({_zo_interleave_sql('k1', 'k2')}) AS zv
+    FROM k
+),
+files AS (
+    SELECT 'zorder' AS layout, CAST(zv // {256 // _ZO_FILES} AS INTEGER)
+               AS file_id, k1, k2
+    FROM z
+    UNION ALL
+    SELECT 'linear' AS layout, CAST(k1 AS INTEGER) AS file_id, k1, k2
+    FROM z
+)
+SELECT layout, file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(k1) AS INTEGER) AS k1_min,
+       CAST(max(k1) AS INTEGER) AS k1_max,
+       CAST(min(k2) AS INTEGER) AS k2_min,
+       CAST(max(k2) AS INTEGER) AS k2_max,
+       (NOT (min(k2) <= {_ZO_PROBE_K2} AND {_ZO_PROBE_K2} <= max(k2)))
+           AS skip_probe_k2
+FROM files
+GROUP BY layout, file_id
+ORDER BY layout, file_id
+"""
+
+
+@query("zorder_clustering_report", oracle=_ZORDER_ORACLE)
+def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map report of a Morton z-ordered file layout vs a
+    single-key linear layout over orders (see the comment block): per
+    (layout, file) row counts, per-dimension min/max, and whether the
+    pinned second-dimension point probe can skip the file. Exact
+    integers end to end."""
+    od = Catalog(spark, sf_dir).orders
+    k1 = (F.col("o_custkey") % 16).cast("int")
+    k2 = (F.month("o_orderdate") - 1).cast("int")
+    k = od.select(k1.alias("k1"), k2.alias("k2"))
+    zv = None
+    for i in range(_ZO_BITS):
+        t1 = F.shiftleft(
+            F.shiftright(F.col("k1"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        t2 = F.shiftleft(
+            F.shiftright(F.col("k2"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        zv = t1 + t2 if zv is None else zv + t1 + t2
+    z = k.withColumn("zv", zv)
+    files = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    (F.col("zv") / (256 // _ZO_FILES))
+                    .cast("int")
+                    .alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("k1").cast("int").alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+        "k1",
+        "k2",
+    ).select("f.layout", "f.file_id", "k1", "k2")
+    in_k2 = (F.min("k2") <= _ZO_PROBE_K2) & (F.lit(_ZO_PROBE_K2) <= F.max("k2"))
+    return (
+        files.groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k1").cast("int").alias("k1_min"),
+            F.max("k1").cast("int").alias("k1_max"),
+            F.min("k2").cast("int").alias("k2_min"),
+            F.max("k2").cast("int").alias("k2_max"),
+            (~in_k2).alias("skip_probe_k2"),
+        )
+        .orderBy("layout", "file_id")
+    )
+
+
+# ---- column encoding efficiency report ----------------------------------------
+
+# The encoding-selection probe a columnar writer (parquet's
+# dictionary/RLE/delta chooser) runs before committing a layout,
+# surfaced as a query: order events the way the table is written
+# (per-user, time-ascending — the sessionize/scd2 write order) and
+# measure, per candidate column, the statistics each encoding keys on:
+# run count (RLE pays off when runs are long), distinct count and the
+# exact bit width of a dictionary index (length of the binary
+# representation of ndv-1 — the integer-exact log2 recipe from
+# length_bucket_packing_stats), and for the timestamp column the bit
+# width of the largest per-user forward delta in MICROSECONDS
+# (unix_micros/epoch_us on both engines — exact integers, no float
+# seconds). Scale shape: one per-user window sort (the shape every
+# sessionization already pays), map-side-combinable counts, a 2-row
+# result. At 100 TB the same statistics decide gigabytes per column.
+_ENCODING_ORACLE = """
+WITH w AS (
+    SELECT event_type,
+           epoch_us(ts) AS tus,
+           CASE WHEN lag(event_type) OVER uw IS NULL
+                     OR event_type <> lag(event_type) OVER uw
+                THEN 1 ELSE 0 END AS type_run_start,
+           CASE WHEN lag(ts) OVER uw IS NULL
+                     OR ts <> lag(ts) OVER uw
+                THEN 1 ELSE 0 END AS ts_run_start,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER uw AS dus
+    FROM events
+    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS type_ndv,
+           CAST(count(DISTINCT tus) AS BIGINT) AS ts_ndv,
+           CAST(sum(type_run_start) AS BIGINT) AS type_runs,
+           CAST(sum(ts_run_start) AS BIGINT) AS ts_runs,
+           CAST(max(dus) AS BIGINT) AS max_delta_us
+    FROM w
+)
+SELECT col, n, ndv, n_runs,
+       round(CAST(n_runs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS runs_ratio,
+       CAST(length(bin(ndv - 1)) AS INTEGER) AS dict_index_bits,
+       delta_bits
+FROM (
+    SELECT 'event_type' AS col, n, type_ndv AS ndv, type_runs AS n_runs,
+           CAST(NULL AS INTEGER) AS delta_bits
+    FROM s
+    UNION ALL
+    SELECT 'ts' AS col, n, ts_ndv AS ndv, ts_runs AS n_runs,
+           CAST(length(bin(max_delta_us)) AS INTEGER) AS delta_bits
+    FROM s
+)
+ORDER BY col
+"""
+
+
+@query("encoding_efficiency_report", oracle=_ENCODING_ORACLE)
+def encoding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column encoding statistics for events written in per-user
+    time order (see the comment block): run counts (RLE), distinct
+    counts and exact dictionary index bit widths, and the bit width of
+    the largest per-user timestamp delta in microseconds."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_t = F.lag("event_type").over(uw)
+    lag_ts = F.lag("ts").over(uw)
+    w = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.when(
+            lag_t.isNull() | (F.col("event_type") != lag_t), 1
+        ).otherwise(0).alias("type_run_start"),
+        F.when(lag_ts.isNull() | (F.col("ts") != lag_ts), 1)
+        .otherwise(0)
+        .alias("ts_run_start"),
+        (F.unix_micros("ts") - F.unix_micros(lag_ts)).alias("dus"),
+    )
+    s = w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("type_ndv"),
+        F.countDistinct("tus").alias("ts_ndv"),
+        F.sum("type_run_start").alias("type_runs"),
+        F.sum("ts_run_start").alias("ts_runs"),
+        F.max("dus").alias("max_delta_us"),
+    )
+
+    def bits(col):
+        return F.length(F.conv(col.cast("string"), 10, 2)).cast("int")
+
+    rows = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("col"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("type_ndv").cast("long").alias("ndv"),
+                    F.col("type_runs").cast("long").alias("n_runs"),
+                    F.lit(None).cast("int").alias("delta_bits"),
+                ),
+                F.struct(
+                    F.lit("ts").alias("col"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("ts_ndv").cast("long").alias("ndv"),
+                    F.col("ts_runs").cast("long").alias("n_runs"),
+                    bits(F.col("max_delta_us")).alias("delta_bits"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "col",
+        "n",
+        "ndv",
+        "n_runs",
+        F.round(
+            F.col("n_runs").cast("double") / F.col("n").cast("double"), 6
+        ).alias("runs_ratio"),
+        bits(F.col("ndv") - 1).alias("dict_index_bits"),
+        "delta_bits",
+    ).orderBy("col")

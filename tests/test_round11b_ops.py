@@ -1,0 +1,129 @@
+"""Round-11 second-wave operator contracts: the four frontier queries
+added after the driver-window rotation (z-order zone maps, encoding
+statistics, embedding uniformity, token-budget epoch plan).
+
+Each test pins the INVARIANT the query's report claims, not just
+non-emptiness — e.g. the z-order layout must actually out-skip the
+linear layout on the pinned probe, and the uniformity statistic must
+sit in its analytic range.
+"""
+
+import math
+
+import pytest
+
+from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
+
+
+def _rows(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir).collect()
+
+
+def test_zorder_out_skips_linear(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "zorder_clustering_report")
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    assert set(by_layout) == {"zorder", "linear"}
+    # every row's zone map is internally consistent
+    for r in rows:
+        assert 0 <= r.k1_min <= r.k1_max <= 15
+        assert 0 <= r.k2_min <= r.k2_max <= 11
+        assert r.n_rows > 0
+    # the whole point: for a probe on the SECOND dimension (k2 = 7),
+    # the linear layout's zone maps bound nothing (every file spans
+    # the full k2 domain -> zero skips) while the z-ordered layout
+    # skips the files whose interleaved k2 window excludes the probe.
+    zo_skipped = sum(1 for r in by_layout["zorder"] if r.skip_probe_k2)
+    lin_skipped = sum(1 for r in by_layout["linear"] if r.skip_probe_k2)
+    assert lin_skipped == 0
+    assert zo_skipped > len(by_layout["zorder"]) // 2
+    full_k2 = [
+        r for r in by_layout["linear"] if r.k2_min == 0 and r.k2_max == 11
+    ]
+    assert len(full_k2) == len(by_layout["linear"])
+
+
+def test_zorder_row_conservation(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "zorder_clustering_report")
+    per_layout = {}
+    for r in rows:
+        per_layout[r.layout] = per_layout.get(r.layout, 0) + r.n_rows
+    # both layouts partition the SAME table: identical row totals
+    assert per_layout["zorder"] == per_layout["linear"]
+
+
+def test_encoding_report_invariants(spark, sf_dir):
+    rows = {r.col: r for r in _rows(spark, sf_dir, "encoding_efficiency_report")}
+    assert set(rows) == {"event_type", "ts"}
+    t = rows["event_type"]
+    # runs can never exceed rows, and a dict index needs exactly
+    # ceil(log2(ndv)) bits for ndv > 1 (binary-length recipe)
+    assert 1 <= t.n_runs <= t.n
+    assert t.dict_index_bits == len(bin(t.ndv - 1)) - 2
+    assert t.delta_bits is None
+    ts = rows["ts"]
+    assert ts.ndv <= ts.n
+    assert ts.delta_bits is not None and ts.delta_bits > 0
+    # timestamps within a user are near-unique -> runs_ratio ~ 1
+    assert ts.runs_ratio > 0.9
+
+
+def test_uniformity_in_analytic_range(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "embedding_uniformity_report")
+    # uniformity = ln E[exp(4(cos-1))] with cos in [-1, 1] is bounded
+    # by [-8, 0]; mean_sq_cos in [0, 1]; pair count is ~N*(N/B - 1)/2
+    assert -8.0 <= r.uniformity <= 0.0
+    assert -1.0 <= r.mean_cos <= 1.0
+    assert 0.0 <= r.mean_sq_cos <= 1.0
+    assert r.n_pairs > 0 and r.n_buckets >= 1
+    # E[cos^2] >= E[cos]^2 (Jensen) — catches a broken fixed-point sum
+    assert r.mean_sq_cos + 1e-9 >= r.mean_cos * r.mean_cos
+
+
+def test_uniformity_pair_sample_is_linear(spark, sf_dir):
+    """The md5-bucket pair sample must stay ~64·N, not N²/2."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    n = Catalog(spark, sf_dir).embeddings.count()
+    (r,) = _rows(spark, sf_dir, "embedding_uniformity_report")
+    b = max(1, n // 64)
+    if b == 1:
+        assert r.n_pairs == n * (n - 1) // 2
+    else:
+        # expected pairs ~ B * (N/B choose 2) = N(N/B - 1)/2; allow 3x
+        # slack for bucket-size variance at small N
+        assert r.n_pairs <= 3 * n * (n // b) // 2
+
+
+def test_epoch_plan_budget_accounting(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "epoch_plan_token_budget")
+    assert len(rows) >= 2  # documents span multiple sources
+    total_tokens = sum(r.n_tokens for r in rows)
+    # weights sum to 1 (within round(6) dust)
+    assert math.isclose(sum(r.weight for r in rows), 1.0, abs_tol=1e-4)
+    # floor(target) sums to <= budget and within |sources| of it
+    budget = 2.0 * total_tokens
+    tgt = sum(r.target_tokens for r in rows)
+    assert tgt <= budget
+    assert budget - tgt < len(rows) + 1
+    for r in rows:
+        # epochs = (unfloored) target / available: bracket it with the
+        # floored target_tokens on both sides
+        assert (
+            r.target_tokens / r.n_tokens
+            <= r.epochs + 1e-6
+            <= (r.target_tokens + 1) / r.n_tokens + 2e-6
+        )
+        assert r.repeat_risk == (r.epochs > 4.0)
+
+
+def test_epoch_plan_temperature_favors_small_sources(spark, sf_dir):
+    """alpha = 0.5 upweights small sources: epochs must be
+    monotonically non-increasing in source size."""
+    rows = sorted(
+        _rows(spark, sf_dir, "epoch_plan_token_budget"),
+        key=lambda r: r.n_tokens,
+    )
+    eps = [r.epochs for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(eps, eps[1:]))
