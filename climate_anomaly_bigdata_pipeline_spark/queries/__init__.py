@@ -505,6 +505,8 @@ _WINDOW_R11_SEED: list[str] = [
     "encoding_efficiency_report",  # columnar encoding statistics
     "embedding_uniformity_report",  # Wang-Isola pairwise geometry
     "epoch_plan_token_budget",    # token-budget mixing plan
+    "conformal_interval_coverage",  # distribution-free UQ contract
+    "ivf_silhouette_quality",     # quantizer geometric quality
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

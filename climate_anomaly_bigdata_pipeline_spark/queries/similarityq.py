@@ -2535,3 +2535,129 @@ def embedding_uniformity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_cos2") / F.col("np"), 6).alias("mean_sq_cos"),
         F.round(F.log(F.col("s_e") / F.col("np")), 6).alias("uniformity"),
     )
+
+
+# ---- IVF quantizer geometric quality: simplified silhouette -------------------
+
+# The geometric twin of `ivf_cell_balance` (that row reads the
+# assignment HISTOGRAM; this one reads the assignment GEOMETRY):
+# simplified silhouette (Hruschka et al., public — distances to
+# CENTROIDS instead of all points, the O(N·nc) form that scales) over
+# the deterministic ``vec_id % {mod}`` evaluation sample the trainer
+# itself uses. Per sampled vector: a = cosine distance to its own
+# (argmax-cos, ties cid DESC — the assignment rule) centroid, b = the
+# distance to the nearest OTHER centroid, s = (b − a) / max(a, b) —
+# with argmax assignment s ∈ [0, 1]; mean s near 0 says the corpus
+# sits on cell boundaries (the isotropy story `embedding_whitening_-
+# audit` predicts and recall@k confirms), near 1 says tight cells. The
+# per-pair cosine is the exact sequential fold (bit-identical to the
+# oracle's list_dot_product re-derivation of the SAME codebook); the
+# mean accumulates via the floor-fixed-point DECIMAL sum; the boundary
+# fraction (s < 0.25) compares identical doubles. Scale shape: one
+# sampled corpus scan x nc broadcast centroids (nc <= 4096 by the
+# sqrt-N clamp — always broadcastable), one vec-keyed top-2, one
+# 1-row rollup.
+_SIL_BOUNDARY = 0.25
+
+_SILHOUETTE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_lloyd_ctes(_TRAIN_ITERS)},
+pairs AS (
+    SELECT e.vec_id, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+    WHERE e.vec_id % {_TRAIN_SAMPLE_MOD} = 0
+),
+top2 AS (
+    SELECT vec_id, cid, cos,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+    FROM pairs
+    QUALIFY rn <= 2
+),
+sil AS (
+    SELECT vec_id,
+           1.0 - max(CASE WHEN rn = 1 THEN cos END) AS a,
+           1.0 - max(CASE WHEN rn = 2 THEN cos END) AS b
+    FROM top2 GROUP BY vec_id
+),
+sv AS (
+    SELECT CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                ELSE (b - a) / greatest(a, b) END AS s
+    FROM sil
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cells,
+       round(CAST(sum(CAST(floor(s * {_FIX!r}) AS DECIMAL(38,0)))
+                  AS DOUBLE) / {_FIX!r} / count(*), 6) AS mean_silhouette,
+       round(CAST(sum(CASE WHEN s < {_SIL_BOUNDARY} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS frac_boundary
+FROM sv
+"""
+
+
+@query("ivf_silhouette_quality", oracle=_SILHOUETTE_ORACLE)
+def ivf_silhouette_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette report of the corpus-derived IVF codebook
+    over the trainer's deterministic evaluation sample (see the comment
+    block): sampled point count, cell count, mean silhouette, and the
+    fraction of points on a cell boundary (s < 0.25)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from climate_anomaly_bigdata_pipeline_spark.operators.dedup import (
+        cosine_expr,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    book = _ivf_codebook(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in book],
+        "cid bigint, cv array<double>",
+    )
+    e = emb.filter(F.col("vec_id") % _TRAIN_SAMPLE_MOD == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_expr(F.col("v"), F.col("cv")).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").desc()
+    )
+    top2 = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    sil = top2.groupBy("vec_id").agg(
+        (1.0 - F.max(F.when(F.col("rn") == 1, F.col("cos")))).alias("a"),
+        (1.0 - F.max(F.when(F.col("rn") == 2, F.col("cos")))).alias("b"),
+    )
+    g = F.greatest("a", "b")
+    sv = sil.select(
+        F.when(g == 0.0, 0.0)
+        .otherwise((F.col("b") - F.col("a")) / g)
+        .alias("s")
+    )
+    fix = F.lit(_FIX)
+    return sv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.lit(len(book)).cast("long").alias("n_cells"),
+        F.round(
+            F.sum(F.floor(F.col("s") * fix).cast("decimal(38,0)"))
+            .cast("double")
+            / fix
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+        F.round(
+            F.sum(
+                F.when(F.col("s") < _SIL_BOUNDARY, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_boundary"),
+    )

@@ -10,6 +10,8 @@ same parity recipe as the moments/PageRank queries.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3647,4 +3649,188 @@ def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("psi"),
+    )
+
+
+# ---- split-conformal prediction interval coverage ----------------------------
+
+# The distribution-free uncertainty contract (Vovk et al.; Lei et al.
+# 2018, public): fit a predictor on a TRAIN split, take the
+# ceil((n_cal+1)·(1−alpha))-th smallest absolute residual on a held-out
+# CALIBRATION split as the interval half-width q_hat, and report the
+# empirical coverage of |y − ŷ| ≤ q_hat on a TEST split — finite-sample
+# guaranteed ≥ 1−alpha in expectation, and the number every deployed
+# regression dashboard should show. Engine recipe: splits are the
+# standing md5-bucket hash (a row's split never changes under growth);
+# the OLS moments accumulate through floor-fixed-point DECIMAL(38,0)
+# sums (order-free bit-exact — the whitening-audit posture), so slope/
+# intercept are the SAME doubles in both engines and every residual is
+# too; q_hat is an EXACT order statistic (no quantile interpolation to
+# fight cross-engine): Spark side selects it with the distributed
+# two-phase stable_global_index (range exchange + local row_number —
+# no single-task global sort), the oracle with a plain row_number.
+# Scale shape: one moments scan, one range exchange over the ~20%
+# calibration split, one broadcast of the 1-row q_hat onto the test
+# scan. (At 100 TB one would md5-sample the calibration split to ~1M
+# rows first — the guarantee only needs exchangeability, and the same
+# bucket filter composes.)
+_CONF_ALPHA = 0.1
+# 2^30, NOT the engine-wide 2^53: Spark's floor(double) returns BIGINT,
+# and y*2^53 ~ 4.5e20 overflows long. 2^30 keeps every per-row scaled
+# moment under 2^63 (x*y < 2^23 here) while truncation stays IDENTICAL
+# in both engines -- the sums remain order-free and bit-exact, just at
+# 1e-9 moment granularity (far below the regression's own noise).
+_CONF_FIX = 1073741824.0
+
+_CONFORMAL_ORACLE = f"""
+WITH b AS (
+    SELECT l_quantity AS x, l_extendedprice AS y,
+           CAST(concat('0x', substr(md5(concat('conf:', l_orderkey, ':',
+                                               l_linenumber)), 1, 8))
+                AS BIGINT) % 10 AS bkt,
+           l_orderkey, l_linenumber
+    FROM lineitem
+),
+tr AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(floor(x * {_CONF_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_CONF_FIX!r} AS sx,
+           CAST(sum(CAST(floor(y * {_CONF_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_CONF_FIX!r} AS sy,
+           CAST(sum(CAST(floor(x * y * {_CONF_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_CONF_FIX!r} AS sxy,
+           CAST(sum(CAST(floor(x * x * {_CONF_FIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_CONF_FIX!r} AS sxx
+    FROM b WHERE bkt <= 5
+),
+fit AS (
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+    FROM tr
+),
+cal AS (
+    SELECT abs(y - (intercept + slope * x)) AS r,
+           l_orderkey, l_linenumber
+    FROM b, fit WHERE bkt IN (6, 7)
+),
+kk AS (
+    SELECT CAST(least(count(*),
+                      ceil((count(*) + 1) * {1.0 - _CONF_ALPHA})) AS BIGINT)
+               AS k,
+           CAST(count(*) AS BIGINT) AS n_cal
+    FROM cal
+),
+q AS (
+    SELECT r AS q_hat FROM (
+        SELECT r, row_number() OVER (
+            ORDER BY r, l_orderkey, l_linenumber) AS rn
+        FROM cal
+    ) WHERE rn = (SELECT k FROM kk)
+),
+te AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(y - (intercept + slope * x)) <= q_hat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    FROM b, fit, q WHERE bkt >= 8
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tr) AS n_train,
+       (SELECT n_cal FROM kk) AS n_cal,
+       te.n_test,
+       round((SELECT slope FROM fit), 6) AS slope,
+       round((SELECT intercept FROM fit), 6) AS intercept,
+       round((SELECT q_hat FROM q), 6) AS q_hat,
+       round(CAST(te.n_covered AS DOUBLE) / CAST(te.n_test AS DOUBLE), 6)
+           AS coverage
+FROM te
+"""
+
+
+@query("conformal_interval_coverage", oracle=_CONFORMAL_ORACLE)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for extendedprice ~
+    quantity: train/calibration/test md5 splits, exact order-statistic
+    half-width on calibration, empirical coverage on test (see the
+    comment block)."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
+
+    li = Catalog(spark, sf_dir).lineitem
+    fix = F.lit(_CONF_FIX)
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("conf:"),
+                        F.col("l_orderkey"),
+                        F.lit(":"),
+                        F.col("l_linenumber"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    b = li.select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        bkt.alias("bkt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+    def fxsum(col):
+        return F.sum(F.floor(col * fix).cast("decimal(38,0)")).cast(
+            "double"
+        ) / fix
+
+    tr = b.filter(F.col("bkt") <= 5).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fxsum(F.col("x")).alias("sx"),
+        fxsum(F.col("y")).alias("sy"),
+        fxsum(F.col("x") * F.col("y")).alias("sxy"),
+        fxsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    trr = tr.first()
+    n, sx, sy, sxy, sxx = trr["n"], trr["sx"], trr["sy"], trr["sxy"], trr["sxx"]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    resid = F.abs(F.col("y") - (F.lit(intercept) + F.lit(slope) * F.col("x")))
+    cal = b.filter(F.col("bkt").isin(6, 7)).select(
+        resid.alias("r"), "l_orderkey", "l_linenumber"
+    )
+    idx, n_cal = R.stable_global_index(
+        cal,
+        ["r", "l_orderkey", "l_linenumber"],
+        out_col="rn",
+        return_total=True,
+    )
+    k = min(n_cal, math.ceil((n_cal + 1) * (1.0 - _CONF_ALPHA)))
+    q = idx.filter(F.col("rn") == k - 1).select(F.col("r").alias("q_hat"))
+    te = (
+        b.filter(F.col("bkt") >= 8)
+        .join(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(resid <= F.col("q_hat"), 1).otherwise(0)
+            ).cast("long").alias("n_covered"),
+            F.first("q_hat").alias("q_hat"),
+        )
+    )
+    return te.select(
+        F.lit(int(n)).cast("long").alias("n_train"),
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        "n_test",
+        F.round(F.lit(slope), 6).alias("slope"),
+        F.round(F.lit(intercept), 6).alias("intercept"),
+        F.round("q_hat", 6).alias("q_hat"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
     )

@@ -127,3 +127,26 @@ def test_epoch_plan_temperature_favors_small_sources(spark, sf_dir):
     )
     eps = [r.epochs for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(eps, eps[1:]))
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "conformal_interval_coverage")
+    # split-conformal guarantees E[coverage] >= 1 - alpha; on a real
+    # (exchangeable md5) split the empirical value should sit near 0.9
+    # and never collapse
+    assert 0.85 <= r.coverage <= 1.0
+    assert r.q_hat > 0
+    assert r.n_train > r.n_cal > 0 and r.n_test > 0
+    # the splits partition lineitem
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+
+    n = Catalog(spark, sf_dir).lineitem.count()
+    assert r.n_train + r.n_cal + r.n_test == n
+
+
+def test_silhouette_in_range(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "ivf_silhouette_quality")
+    # argmax assignment makes a <= b, so s in [0, 1]
+    assert 0.0 <= r.mean_silhouette <= 1.0
+    assert 0.0 <= r.frac_boundary <= 1.0
+    assert r.n_points > 0 and r.n_cells >= 4
