@@ -507,6 +507,8 @@ _WINDOW_R11_SEED: list[str] = [
     "epoch_plan_token_budget",    # token-budget mixing plan
     "conformal_interval_coverage",  # distribution-free UQ contract
     "ivf_silhouette_quality",     # quantizer geometric quality
+    "dedup_threshold_sweep",      # near-dup threshold tuning curve
+    "cross_split_semantic_leakage",  # near-dup train->eval contamination
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -1276,3 +1276,227 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- dedup threshold sweep: the tuning curve of the near-dup family ----------
+
+# The operational question every dedup deployment answers before
+# picking its threshold: how many pairs / how many documents does each
+# candidate threshold remove? One exact-Jaccard candidate pass at a
+# LOW floor (0.3 — the co-shingle pair set is computed once; the
+# threshold only filters it), then a conditional rollup per pinned
+# threshold: pair count, distinct later-duplicate docs (the id2 of a
+# pair — the keep-first convention `dedup_keep_representatives` uses),
+# and the fraction of the corpus those docs are. The tuning-curve
+# pattern of `ivf_recall_vs_nprobe` applied to the dedup family.
+# Jaccard = shared/(n1+n2-shared) is an exact integer ratio in double,
+# so threshold comparisons agree bit-for-bit across engines. Scale
+# shape: the SAME stop-shingle-guarded pair join ngram_jaccard_pairs
+# runs (threshold-independent cost), one explode x 5 thresholds over
+# the pair set, one 5-group rollup.
+_SWEEP_THRESHOLDS = [0.3, 0.5, 0.7, 0.8, 0.9]
+_SWEEP_FLOOR = 0.3
+
+_SWEEP_VALUES = ", ".join(f"({t!r})" for t in _SWEEP_THRESHOLDS)
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE},
+fsh AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_DOC_FREQ}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+    FROM fsh a JOIN fsh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id1, id2,
+           CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE)
+               AS jaccard
+    FROM shared
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE)
+          >= {_SWEEP_FLOOR!r}
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus),
+th AS (SELECT * FROM (VALUES {_SWEEP_VALUES}) AS v(threshold))
+SELECT th.threshold,
+       CAST(count(p.id1) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.id2) AS BIGINT) AS n_dup_docs,
+       round(CAST(count(DISTINCT p.id2) AS DOUBLE)
+             / CAST((SELECT n_docs FROM nd) AS DOUBLE), 6) AS frac_dup_docs
+FROM th LEFT JOIN pairs p ON p.jaccard >= th.threshold
+GROUP BY th.threshold
+ORDER BY th.threshold
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_THRESHOLD_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup tuning curve: pair and later-duplicate-doc counts at
+    five Jaccard thresholds from ONE candidate pass (see the comment
+    block). The dedup family's analogue of the IVF probe/recall
+    curve."""
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        corpus,
+        n=_SHINGLE_N,
+        threshold=_SWEEP_FLOOR,
+        max_doc_freq=_MAX_DOC_FREQ,
+    ).select("id1", "id2", "jaccard")
+    n_docs = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = th.join(
+        pairs, pairs["jaccard"] >= th["threshold"], "left"
+    )
+    return (
+        hits.groupBy("threshold")
+        .agg(
+            F.count("id1").cast("long").alias("n_pairs"),
+            F.countDistinct("id2").cast("long").alias("n_dup_docs"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("frac_dup_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---- cross-split semantic leakage audit ---------------------------------------
+
+# The leakage mode `split_leakage_audit` cannot see: a NEAR-duplicate
+# (not byte-identical, so fingerprints differ) of a training document
+# landing in val/test — the contamination that silently inflates eval
+# scores. Audit = embedding near-dup pairs (cosine >= 0.99, the
+# `embedding_neardup_pairs` corpus with every-4th vector duplicated
+# under a new id — so cross-split twins exist by construction) crossed
+# with the md5 hash split (80/10/10 on vec_id; a copy hashes to an
+# INDEPENDENT split, exactly the real-world hazard). Reported: pair
+# counts, cross-split pair count, the distinct eval vectors with a
+# train twin, and that count as a fraction of the eval split. The
+# Spark plan generates candidates with the chunked float64 GEMM
+# (`embedding_neardup_pairs_gemm` — candidates at threshold-margin,
+# re-verified with the exact fold, output bit-identical to the brute
+# oracle); split labels are row-local md5 arithmetic, no extra join.
+_LEAK_EVAL_BUCKETS = (8, 9)  # bucket 8 = val, 9 = test; <= 7 = train
+
+
+def _split_bucket_sql(col: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('split:', {col})), 1, 8)) "
+        f"AS BIGINT) % 10"
+    )
+
+
+_SEMANTIC_LEAK_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+),
+lab AS (
+    SELECT vec_id, v, {_split_bucket_sql('vec_id')} AS bkt FROM corpus
+),
+pairs AS (
+    SELECT a.vec_id AS id1, a.bkt AS b1, b.vec_id AS id2, b.bkt AS b2
+    FROM lab a, lab b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+),
+leaked AS (
+    SELECT CASE WHEN b1 <= 7 THEN id2 ELSE id1 END AS eval_id
+    FROM pairs
+    WHERE (b1 <= 7 AND b2 IN {_LEAK_EVAL_BUCKETS})
+       OR (b2 <= 7 AND b1 IN {_LEAK_EVAL_BUCKETS})
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_vectors,
+       (SELECT CAST(count(*) AS BIGINT) FROM lab
+        WHERE bkt IN {_LEAK_EVAL_BUCKETS}) AS n_eval_vectors,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE b1 <> b2)
+           AS n_cross_split_pairs,
+       CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_leaked,
+       round(CAST(count(DISTINCT eval_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM lab
+                     WHERE bkt IN {_LEAK_EVAL_BUCKETS}) AS DOUBLE), 6)
+           AS leak_frac
+FROM leaked
+"""
+
+
+@query("cross_split_semantic_leakage", oracle=_SEMANTIC_LEAK_ORACLE)
+def cross_split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (near-duplicate) train→eval contamination audit over
+    the hash-split embedding corpus (see the comment block): one row
+    with pair counts, cross-split pairs, and the leaked fraction of
+    the eval split."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    corpus = emb.unionByName(copies).select("vec_id", "embedding")
+
+    def bkt(col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("split:"), col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        )
+
+    lab = corpus.select("vec_id", bkt(F.col("vec_id")).alias("bkt"))
+    counts = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("bkt").isin(*_LEAK_EVAL_BUCKETS), 1).otherwise(0)
+        ).cast("long").alias("n_eval_vectors"),
+    )
+    pairs = DD.embedding_neardup_pairs_gemm(corpus, threshold=0.99).select(
+        "id1", "id2", bkt(F.col("id1")).alias("b1"), bkt(F.col("id2")).alias("b2")
+    )
+    is_eval = lambda c: c.isin(*_LEAK_EVAL_BUCKETS)  # noqa: E731
+    leak_pair = (
+        (F.col("b1") <= 7) & is_eval(F.col("b2"))
+    ) | ((F.col("b2") <= 7) & is_eval(F.col("b1")))
+    eval_id = F.when(F.col("b1") <= 7, F.col("id2")).otherwise(F.col("id1"))
+    pagg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("b1") != F.col("b2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_split_pairs"),
+        F.countDistinct(F.when(leak_pair, eval_id))
+        .cast("long")
+        .alias("n_eval_leaked"),
+    )
+    return counts.crossJoin(F.broadcast(pagg)).select(
+        "n_vectors",
+        "n_eval_vectors",
+        "n_pairs",
+        "n_cross_split_pairs",
+        "n_eval_leaked",
+        F.round(
+            F.col("n_eval_leaked").cast("double")
+            / F.col("n_eval_vectors").cast("double"),
+            6,
+        ).alias("leak_frac"),
+    )

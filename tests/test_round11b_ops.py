@@ -150,3 +150,39 @@ def test_silhouette_in_range(spark, sf_dir):
     assert 0.0 <= r.mean_silhouette <= 1.0
     assert 0.0 <= r.frac_boundary <= 1.0
     assert r.n_points > 0 and r.n_cells >= 4
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "dedup_threshold_sweep"),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.3, 0.5, 0.7, 0.8, 0.9]
+    # raising the threshold can only REMOVE pairs and dup docs
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_dup_docs >= b.n_dup_docs
+    # the injected last-word mutants must survive at 0.8 (same
+    # guarantee ngram_jaccard_pairs pins)
+    assert rows[3].n_pairs > 0
+
+
+def test_threshold_sweep_agrees_with_ngram_pairs(spark, sf_dir):
+    """The 0.8 row must count exactly the ngram_jaccard_pairs result."""
+    base = _rows(spark, sf_dir, "ngram_jaccard_pairs")
+    rows = {r.threshold: r for r in _rows(spark, sf_dir, "dedup_threshold_sweep")}
+    assert rows[0.8].n_pairs == len(base)
+    assert rows[0.8].n_dup_docs == len({r.id2 for r in base})
+
+
+def test_semantic_leakage_detects_planted_twins(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "cross_split_semantic_leakage")
+    # every duplicated vector pairs with its source; splits are
+    # independent hashes, so ~36% of twin pairs cross train<->eval
+    assert r.n_pairs > 0
+    assert 0 < r.n_cross_split_pairs <= r.n_pairs
+    assert 0 <= r.n_eval_leaked <= r.n_eval_vectors
+    assert abs(r.leak_frac - r.n_eval_leaked / r.n_eval_vectors) < 1e-5
+    # the audit must see SOME leakage on this corpus (twins exist and
+    # the split is independent of twin identity)
+    assert r.n_eval_leaked > 0
