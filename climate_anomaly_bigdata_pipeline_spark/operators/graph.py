@@ -264,28 +264,16 @@ def cooccurrence_edges(
     return out
 
 
-def triangles_per_node(
+def oriented_triangles(
     edges: DataFrame, u_col: str = "u", v_col: str = "v"
-) -> DataFrame:
-    """Per-node triangle counts over an undirected edge list, via the
-    degree-ordered orientation (Suri & Vassilvitskii's MR triangle
-    counting): orient every edge from the endpoint with smaller
-    ``(degree, id)`` to the larger, so each node's out-degree is
-    O(√m) and the wedge join (out-edges ⋈ out-edges on the pivot)
-    touches Σ outdeg(a)² = O(m^1.5) rows instead of Σ deg(a)² — the
-    bound that makes triangle counting feasible on a 100 TB edge set.
-    A wedge a→b, a→c closes iff the oriented edge b→c exists; each
-    triangle is found exactly once, then exploded to its 3 vertices.
-    Self-loops are dropped up front (an oriented u→u would otherwise
-    fabricate a wedge that "closes" through any real neighbor).
-
-    All three steps are equi-joins / keyed aggregations (shuffle on
-    node id); no cross join, no driver-side collection. The canonical
-    edge set and the oriented set are each consumed by several plan
-    branches, so both are lineage-truncated with ``localCheckpoint``
-    (otherwise the upstream edge construction replays per branch).
-    Returns ``(node, n_triangles)`` for nodes in ≥1 triangle.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Enumerate each triangle of an undirected edge list exactly once
+    via the degree-ordered orientation (the triangles_per_node core,
+    extracted in round 11 so edge-support can reuse it): returns
+    ``(tri, canonical)`` where ``tri`` has one row (a, b, c) per
+    triangle and ``canonical`` is the deduped self-loop-free u<v edge
+    set the triangles were found over. See triangles_per_node for the
+    complexity argument."""
     e = (
         edges.select(
             F.least(u_col, v_col).alias("u"),
@@ -327,10 +315,73 @@ def triangles_per_node(
         oriented.select(F.col("d").alias("b"), F.col("s").alias("c"))
     )
     tri = wedges.join(closing, ["b", "c"])
+    return tri.select("a", "b", "c"), e
+
+
+def triangles_per_node(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list, via the
+    degree-ordered orientation (Suri & Vassilvitskii's MR triangle
+    counting): orient every edge from the endpoint with smaller
+    ``(degree, id)`` to the larger, so each node's out-degree is
+    O(√m) and the wedge join (out-edges ⋈ out-edges on the pivot)
+    touches Σ outdeg(a)² = O(m^1.5) rows instead of Σ deg(a)² — the
+    bound that makes triangle counting feasible on a 100 TB edge set.
+    A wedge a→b, a→c closes iff the oriented edge b→c exists; each
+    triangle is found exactly once, then exploded to its 3 vertices.
+    Self-loops are dropped up front (an oriented u→u would otherwise
+    fabricate a wedge that "closes" through any real neighbor).
+
+    All three steps are equi-joins / keyed aggregations (shuffle on
+    node id); no cross join, no driver-side collection. The canonical
+    edge set and the oriented set are each consumed by several plan
+    branches, so both are lineage-truncated with ``localCheckpoint``
+    (otherwise the upstream edge construction replays per branch).
+    Returns ``(node, n_triangles)`` for nodes in ≥1 triangle.
+    """
+    tri, _ = oriented_triangles(edges, u_col, v_col)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def triangle_support_per_edge(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-EDGE triangle counts (the k-truss "support"): each triangle
+    (a, b, c) found once by the oriented enumeration contributes to its
+    three canonical u<v edges; edges in no triangle keep support 0 via
+    a left join from the canonical edge set. Support >= k-2 is exactly
+    the k-truss membership condition, so this is the peel-step primitive
+    — same O(m^1.5) wedge bound and all-equi-join shape as
+    triangles_per_node."""
+    tri, canonical = oriented_triangles(edges, u_col, v_col)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    sup = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return canonical.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
 
 

@@ -511,6 +511,7 @@ _WINDOW_R11_SEED: list[str] = [
     "cross_split_semantic_leakage",  # near-dup train->eval contamination
     "anomaly_ensemble_votes",     # 2-of-3 detector ensemble
     "seasonal_naive_backtest",    # forecast-baseline MAE/MAPE backtest
+    "edge_support_profile",       # k-truss support histogram
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify
@@ -539,6 +540,11 @@ _R11_CODE_CHANGED = [
     "significant_parts_by_value",
     "partitioned_fact_dpp_revenue",
     "bucketed_join_revenue",
+    # round-11 second session: triangles_per_node refactored onto the
+    # extracted oriented_triangles core (operators/graph.py) — its two
+    # consumers re-verify on the refactored code
+    "triangle_parts_copurchase",
+    "clustering_coefficient_parts",
 ]
 
 # RE-VERIFICATION padding: family keepers first (one representative

@@ -1416,3 +1416,74 @@ def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# ---- edge-support profile: the k-truss primitive ------------------------------
+
+# Per-edge triangle counts ("support") over the co-purchase graph,
+# rolled into the support histogram — the k-truss building block
+# (an edge is in the k-truss iff support >= k-2), one level deeper
+# than the node-side triangle count the family already carries. The
+# Spark side reuses the degree-ordered triangle enumeration (each
+# triangle found ONCE, O(m^1.5) wedge bound, all equi-joins) and
+# explodes each triangle to its three canonical edges; zero-support
+# edges survive via a left join from the canonical edge set. The
+# oracle brute-forces the a<b<c triple join the triangle oracle uses
+# and mirrors the edge explode. All-integer output.
+_EDGE_SUPPORT_ORACLE = f"""
+WITH {COPURCHASE_CTE},
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_edges AS (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+sup AS (
+    SELECT e.u, e.v, CAST(coalesce(t.c, 0) AS BIGINT) AS support
+    FROM edges e
+    LEFT JOIN (
+        SELECT u, v, count(*) AS c FROM tri_edges GROUP BY u, v
+    ) t ON t.u = e.u AND t.v = e.v
+)
+SELECT support,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(count(*)) OVER (
+            ORDER BY support DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_edges_at_least
+FROM sup
+GROUP BY support
+ORDER BY support
+"""
+
+
+@query("edge_support_profile", oracle=_EDGE_SUPPORT_ORACLE)
+def edge_support_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-support histogram of the co-purchase edges (see the
+    comment block): per support level, the edge count and the
+    cumulative count of edges with at least that support — read the
+    k-truss size for any k directly off the n_edges_at_least column
+    at support = k-2."""
+    from pyspark.sql import Window as W
+
+    li = Catalog(spark, sf_dir).lineitem
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).drop("w")
+    sup = G.triangle_support_per_edge(edges)
+    hist = sup.groupBy("support").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    cum = W.orderBy(F.col("support").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return hist.select(
+        "support",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.sum("n_edges").over(cum).cast("long").alias("n_edges_at_least"),
+    ).orderBy("support")

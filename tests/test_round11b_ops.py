@@ -215,3 +215,20 @@ def test_backtest_shapes_and_bounds(spark, sf_dir):
     assert n.n_days == s.n_days + 6
     for r in rows.values():
         assert r.mae > 0 and r.mape > 0
+
+
+def test_edge_support_consistent_with_triangles(spark, sf_dir):
+    """Sum of per-edge support = 3x the triangle count (each triangle
+    has exactly 3 edges); the cumulative column telescopes."""
+    rows = sorted(
+        _rows(spark, sf_dir, "edge_support_profile"), key=lambda r: r.support
+    )
+    assert rows and rows[0].support >= 0
+    total_support = sum(r.support * r.n_edges for r in rows)
+    tri = QUERIES["triangle_parts_copurchase"](spark, sf_dir).collect()
+    n_triangles = sum(r.n_triangles for r in tri) // 3  # node-sum = 3x tris
+    assert total_support == 3 * n_triangles
+    # cumulative column: at the smallest support it covers ALL edges
+    assert rows[0].n_edges_at_least == sum(r.n_edges for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_edges_at_least == b.n_edges_at_least + a.n_edges
