@@ -512,6 +512,8 @@ _WINDOW_R11_SEED: list[str] = [
     "anomaly_ensemble_votes",     # 2-of-3 detector ensemble
     "seasonal_naive_backtest",    # forecast-baseline MAE/MAPE backtest
     "edge_support_profile",       # k-truss support histogram
+    "dirichlet_lm_topk_docs",     # query-likelihood LM retrieval
+    "hll_rsd_sweep",              # sketch accuracy/memory tuning curve
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 11 — re-verify

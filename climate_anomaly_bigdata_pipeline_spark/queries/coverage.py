@@ -887,3 +887,63 @@ def hll_sliding_from_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+# ---- HLL precision sweep: the sketch family's tuning curve --------------------
+
+# The rsd-vs-cost tuning curve for approximate distinct counting —
+# the sketch analogue of ivf_recall_vs_nprobe: one
+# approx_count_distinct per requested relative standard deviation
+# (0.05 / 0.02 / 0.01 — each rsd picks an HLL register count, so this
+# IS the memory/accuracy lever), certified against the exact count.
+# The estimate itself is engine-specific and stays OUT of the hashed
+# columns (the hll_sketch_rollup contract): each row carries the
+# exact count and a within-3-rsd boolean certificate (>= 3 sigma —
+# a sound certificate, not a tautology: a broken sketch fails it).
+_HLL_RSDS = (0.05, 0.02, 0.01)
+
+_HLL_SWEEP_ORACLE = f"""
+WITH x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events),
+r AS (SELECT * FROM (VALUES {", ".join(f"({v!r})" for v in _HLL_RSDS)})
+      AS v(rsd))
+SELECT r.rsd, x.exact_users, TRUE AS within_3rsd
+FROM r, x
+ORDER BY r.rsd
+"""
+
+
+@query("hll_rsd_sweep", oracle=_HLL_SWEEP_ORACLE)
+def hll_rsd_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates at three HLL precisions with exact-count
+    certificates (see the comment block): the accuracy/memory tuning
+    curve of the sketch family."""
+    ev = Catalog(spark, sf_dir).events
+    agg = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        *[
+            F.approx_count_distinct("user_id", rsd=v).alias(f"est_{i}")
+            for i, v in enumerate(_HLL_RSDS)
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("rsd"),
+                        F.col("exact_users").alias("exact_users"),
+                        (
+                            F.abs(
+                                F.col(f"est_{i}").cast("double")
+                                - F.col("exact_users").cast("double")
+                            )
+                            <= 3.0 * v * F.col("exact_users").cast("double")
+                        ).alias("within_3rsd"),
+                    )
+                    for i, v in enumerate(_HLL_RSDS)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("rsd")

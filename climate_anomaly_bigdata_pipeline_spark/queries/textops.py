@@ -1318,3 +1318,112 @@ def tokens_per_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_log2")
     )
+
+
+# ---- Dirichlet-smoothed query-likelihood retrieval -----------------------------
+
+# The other classic lexical scorer beside BM25 (Zhai & Lafferty 2001,
+# public): score(q,d) = Σ_t ln((tf(t,d) + μ·p(t|C)) / (dl_d + μ)),
+# with p(t|C) the COLLECTION frequency ratio (not document frequency —
+# the LM/BM25 modeling difference this query exists to exercise) and
+# μ ≈ the corpus's average document length (2000 is the web-track
+# default; this corpus's ~50-token docs want μ of the same order as
+# dl). Unlike BM25, absent terms still contribute (the smoothed
+# background mass), so the score table is docs × |q| built by a
+# 3-row-literal cross join with a LEFT join onto the tf table — at
+# 100 TB that is |q| broadcast copies of the doc-length table, not a
+# corpus blowup. Per-doc fold in sorted term order (bit-exact), ln
+# under the standing round(6), top-k by the raw unrounded score with
+# a doc_id tiebreak — the bm25_topk_docs posture throughout.
+_DIR_MU = 50.0
+
+_DIRICHLET_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM toks),
+cf AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cf
+    FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+    GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+    GROUP BY doc_id, tok
+),
+q AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}) AS v(tok)),
+scored AS (
+    SELECT dl.doc_id, q.tok,
+           ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+               + {_DIR_MU!r} * (CAST(cf.cf AS DOUBLE) / CAST(st.tot AS DOUBLE)))
+              / (CAST(dl.dl AS DOUBLE) + {_DIR_MU!r})) AS s
+    FROM dl
+    CROSS JOIN q
+    JOIN cf ON cf.tok = q.tok
+    CROSS JOIN st
+    LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = q.tok
+),
+agg AS (
+    SELECT doc_id,
+           list_reduce(list(s ORDER BY tok), (a, x) -> a + x) AS raw
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(round(raw, 6) AS DOUBLE) AS ql_score
+FROM agg
+ORDER BY raw DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@query("dirichlet_lm_topk_docs", oracle=_DIRICHLET_ORACLE)
+def dirichlet_lm_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 for the shared 3-term
+    query (see the comment block) — the language-model scorer beside
+    BM25, with the absent-term background mass BM25 has no analogue
+    for."""
+    docs = Catalog(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = toks.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    hits = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    cf = hits.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "tok string")
+    s = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(_DIR_MU)
+            * (F.col("cf").cast("double") / F.col("tot").cast("double"))
+        )
+        / (F.col("dl").cast("double") + F.lit(_DIR_MU))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(q))
+        .join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(st))
+        .join(tf, ["doc_id", "tok"], "left")
+        .select("doc_id", "tok", s.alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok"), F.col("s").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c["v"],
+        ).alias("raw")
+    )
+    return (
+        agg.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(_BM25_K)
+        .select("doc_id", F.round("raw", 6).cast("double").alias("ql_score"))
+    )

@@ -232,3 +232,25 @@ def test_edge_support_consistent_with_triangles(spark, sf_dir):
     assert rows[0].n_edges_at_least == sum(r.n_edges for r in rows)
     for a, b in zip(rows, rows[1:]):
         assert a.n_edges_at_least == b.n_edges_at_least + a.n_edges
+
+
+def test_dirichlet_vs_bm25_rankings_correlate(spark, sf_dir):
+    """Both scorers answer the same 3-term query; their top-20 sets
+    should overlap substantially but need not match (the LM background
+    mass reorders docs BM25 ties)."""
+    ql = [r.doc_id for r in _rows(spark, sf_dir, "dirichlet_lm_topk_docs")]
+    bm = [r.doc_id for r in QUERIES["bm25_topk_docs"](spark, sf_dir).collect()]
+    assert len(ql) == len(bm) == 20
+    assert len(set(ql) & set(bm)) >= 5
+    # query-likelihoods are log-probabilities: strictly negative
+    scores = [r.ql_score for r in _rows(spark, sf_dir, "dirichlet_lm_topk_docs")]
+    assert all(s < 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hll_sweep_certificates(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "hll_rsd_sweep")
+    assert [r.rsd for r in rows] == [0.01, 0.02, 0.05]
+    exact = {r.exact_users for r in rows}
+    assert len(exact) == 1 and exact.pop() > 0
+    assert all(r.within_3rsd for r in rows)
