@@ -214,6 +214,35 @@ def knn_join(
     )
 
 
+def ivf_assignment(
+    e: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    topn: int = 1,
+) -> DataFrame:
+    """Coarse-quantize a :func:`_normed` corpus against ``codebook``:
+    one localCheckpointed scan emitting ``__cells`` (ALL candidate
+    cells as (cosine, cid) structs sorted desc — element 0 is the home
+    cell, the first n are the exact top-n probe set for any n ≤ the
+    candidate depth) plus the ``cell`` home-cell column.
+
+    Candidates come from the GEMM pass (superset of the exact top-n by
+    the margin contract), then the exact fold rescoring + sort makes
+    the probe list bit-identical to evaluating every centroid
+    (:func:`with_cell_candidates` docstring). The checkpoint matters
+    twice over: the corpus branch and the probe branch of
+    :func:`ivf_knn_join` both read it, and a tuning sweep shares ONE
+    assignment across all its nprobe settings."""
+    return (
+        with_cell_candidates(e, codebook, topn=max(topn, 1))
+        .withColumn(
+            "__cells", F.reverse(F.array_sort(_cand_cell_structs(codebook)))
+        )
+        .withColumn("cell", F.col("__cells")[0].getField("i"))
+        .drop("__cand")
+        .localCheckpoint()
+    )
+
+
 def ivf_knn_join(
     df: DataFrame,
     k: int = 5,
@@ -224,6 +253,7 @@ def ivf_knn_join(
     train_iters: int = 0,
     train_sample_mod: int | None = None,
     codebook: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Self-KNN over the whole corpus, IVF-celled — the scale path for
     "top-k neighbors of every document" (embedding dedup, retrieval
@@ -242,40 +272,29 @@ def ivf_knn_join(
     the codebook before assignment (:func:`train_ivf_codebook`) —
     trained cells track the data's clusters, so the same nprobe buys
     strictly better recall.
+
+    ``assigned``: a precomputed :func:`ivf_assignment` output whose
+    ``topn`` was ≥ ``nprobe``. Tuning sweeps (recall-vs-nprobe) pass
+    the SAME assignment to every setting — the assignment scan is
+    nprobe-independent (the exact rescoring sorts ALL candidate
+    cells, so slicing the first ``nprobe`` of a deeper probe list is
+    bit-identical to assigning at ``topn=nprobe``), and re-deriving it
+    per setting just re-reads the corpus (VERDICT r11 #4).
     """
     from pyspark.sql import Window
 
-    # One materialization of (id, v, norm) shared by training passes
-    # and serving — the norm fold over the corpus isn't recomputed per
-    # Lloyd iteration.
-    e = _normed(df, id_col, vec_col).localCheckpoint()
+    if assigned is None:
+        # One materialization of (id, v, norm) shared by training
+        # passes and serving — the norm fold over the corpus isn't
+        # recomputed per Lloyd iteration.
+        e = _normed(df, id_col, vec_col).localCheckpoint()
 
-    # Offline-codebook serving path, same contract as :func:`ivf_topk`.
-    cents = codebook if codebook is not None else train_ivf_codebook(
-        df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col,
-        sample_mod=train_sample_mod, normed=e,
-    )
-
-    # (cosine, cid) structs sorted desc: element 0 is the home cell,
-    # the first nprobe are the probe set. Same tie-break as ivf_topk
-    # (larger cid wins on equal cosine — struct comparison is (c, i)).
-    # Candidates come from the GEMM pass (superset of the exact
-    # top-nprobe by the margin contract), then the exact fold rescoring
-    # + sort makes the probe set bit-identical to evaluating every
-    # centroid (with_cell_candidates docstring).
-    # The corpus branch and the probe branch below both read the cell
-    # assignment — materialize it once (localCheckpoint = executor-local
-    # cache, not a shuffle) or the assignment runs over the corpus
-    # twice.
-    assigned = (
-        with_cell_candidates(e, cents, topn=max(nprobe, 1))
-        .withColumn(
-            "__cells", F.reverse(F.array_sort(_cand_cell_structs(cents)))
+        # Offline-codebook serving path, same contract as :func:`ivf_topk`.
+        cents = codebook if codebook is not None else train_ivf_codebook(
+            df, n_centroids, train_iters, id_col=id_col, vec_col=vec_col,
+            sample_mod=train_sample_mod, normed=e,
         )
-        .withColumn("cell", F.col("__cells")[0].getField("i"))
-        .drop("__cand")
-        .localCheckpoint()
-    )
+        assigned = ivf_assignment(e, cents, topn=nprobe)
     # In-cell scoring is one float64 GEMM per cell (the knn_join_gemm
     # recipe): corpus and probe blobs are grouped by cell executor-side,
     # each cell task emits every corpus row within margin of a probing

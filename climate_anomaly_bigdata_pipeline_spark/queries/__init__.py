@@ -612,7 +612,99 @@ assert not set(_WINDOW_R11_SEED) & (
     | set(_WINDOW_R8) | set(_WINDOW_R9)
 )
 
-_PRIORITY = _WINDOW_R10  # ACTIVE for round 11's driver correctness check
+# _WINDOW_R10 earned its rows in CORRECTNESS_r11.json (49/50 green;
+# embedding_whitening_audit's red row was a rounding-boundary flake —
+# VERDICT r11 — fixed this round via the bit-parity fixed-point moment
+# path, and it re-verifies in _R12_CODE_CHANGED below).
+
+# ---- round-12 rotation ------------------------------------------------------
+
+# Seed of the round-13 rotation: round-12 additions earn a driver row
+# THIS round (the standing recipe). Grown as queries land.
+_WINDOW_R12_SEED: list[str] = []
+
+# Queries whose CODE (plan or oracle) changed in round 12 — re-verify
+# FIRST so no driver row certifies stale code:
+#   - embedding_whitening_audit: bit-parity fixed-point moments + the
+#     pinned pure-Python power iteration (VERDICT r11 #1 — the one red
+#     row in CORRECTNESS_r11)
+#   - ivf_recall_vs_nprobe: cell assignment shared across the three
+#     nprobe settings (VERDICT r11 #4)
+#   - knn_join_ivf / ivf_ann_topk / ann_serve_external: ivf_knn_join's
+#     assignment block extracted into ivf_assignment (same plan, the
+#     shared-assignment refactor — re-verified out of caution)
+#   - hll_rsd_sweep: certificate widened to 5 sigma and renamed
+#     within_5rsd (ADVICE r11)
+#   - cross_split_semantic_leakage: scale-safe copy-id offset
+#     (ADVICE r11)
+#   - dirichlet_lm_topk_docs: token stream localCheckpointed once
+#     (ADVICE r11)
+_R12_CODE_CHANGED = [
+    "embedding_whitening_audit",
+    "ivf_recall_vs_nprobe",
+    "knn_join_ivf",
+    "ivf_ann_topk",
+    "ann_serve_external",
+    "hll_rsd_sweep",
+    "cross_split_semantic_leakage",
+    "dirichlet_lm_topk_docs",
+]
+
+# RE-VERIFICATION padding: family keepers first (one representative
+# per judge-graded family not already covered by flagship/seed/changed
+# — the STALEST green member of each, computed from the committed
+# CORRECTNESS_r*.json union), then the registry names whose LAST
+# driver row is the oldest (r04 vintage, then r05), alphabetical
+# within a vintage. Drops from the tail as seed/changed grow.
+_R11_PADDING = [
+    "quantile_digest_rollup",  # sketches keeper (last row r07)
+    "pct_rank_orders",  # relational_coverage keeper (r07)
+    "equidepth_hist_orders",  # sampling keeper (r07)
+    "cohort_retention_monthly",  # incremental_history keeper (r07)
+    "stl_decompose_daily_revenue",  # window_ts keeper (r07)
+    "mannwhitney_purchase_click",  # stats keeper (r07)
+    "bpe_token_profile",  # text_analysis keeper (r07)
+    "chunk_dedup_docs",  # dedup keeper (r07)
+    "temperature_mix_weights",  # curation keeper (r07)
+    "bm25_topk_docs",  # retrieval keeper (r10)
+    "flac_lpc_decode_profile",  # multimodal keeper (r08)
+    "bfs_copurchase_distances",  # graph keeper (r07)
+]
+_R11_PADDING += [
+    n
+    for n in _R10_PADDING[10:]
+    if n not in _R12_CODE_CHANGED and n not in _R11_PADDING
+]
+_R11_PADDING += [  # r05-vintage fill past the _R10_PADDING tail
+    "benchmark_decontamination",
+    "chain_components_star",
+    "chisq_event_type_dow",
+    "chunk_documents_64_16",
+    "dedup_clusters_embedding",
+    "dedup_keep_representatives",
+    "embedding_centroids_by_label",
+    "entity_resolution_customers",
+    "ewma_user_value",
+    "funnel_view_click_purchase",
+    "interval_overlap_sessions_noon",
+    "jsonl_parse_roundtrip",
+]
+
+_WINDOW_R11 = (
+    ["zscore_anomaly"]
+    + _WINDOW_R12_SEED
+    + _R12_CODE_CHANGED
+    + _R11_PADDING[: 50 - 1 - len(_WINDOW_R12_SEED) - len(_R12_CODE_CHANGED)]
+)
+assert len(_WINDOW_R11) == 50
+assert len(set(_WINDOW_R11)) == 50
+# every seed name is new to the driver:
+assert not set(_WINDOW_R12_SEED) & (
+    set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
+    | set(_WINDOW_R8) | set(_WINDOW_R9) | set(_WINDOW_R10)
+)
+
+_PRIORITY = _WINDOW_R11  # ACTIVE for round 12's driver correctness check
 
 
 def _reorder() -> None:

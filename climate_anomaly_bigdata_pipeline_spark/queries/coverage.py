@@ -898,8 +898,16 @@ def hll_sliding_from_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IS the memory/accuracy lever), certified against the exact count.
 # The estimate itself is engine-specific and stays OUT of the hashed
 # columns (the hll_sketch_rollup contract): each row carries the
-# exact count and a within-3-rsd boolean certificate (>= 3 sigma —
-# a sound certificate, not a tautology: a broken sketch fails it).
+# exact count and a within-5-rsd boolean certificate (a sound
+# certificate, not a tautology: a broken sketch fails it). KNOWN
+# COUPLING (ADVICE r11): the oracle hardcodes TRUE for the
+# certificate because the bound is PROBABILISTIC, not analytic — a
+# >5-sigma excursion (a different sf, a Spark upgrade changing HLL++
+# internals) surfaces as a cross-engine diff on this row rather than
+# a failed value. 5 sigma puts routine HLL variance ~6 orders of
+# magnitude away from flipping it (P < 6e-7 per row under the usual
+# normal approximation), while a genuinely broken sketch still lands
+# far outside.
 _HLL_RSDS = (0.05, 0.02, 0.01)
 
 _HLL_SWEEP_ORACLE = f"""
@@ -907,7 +915,7 @@ WITH x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
            FROM events),
 r AS (SELECT * FROM (VALUES {", ".join(f"({v!r})" for v in _HLL_RSDS)})
       AS v(rsd))
-SELECT r.rsd, x.exact_users, TRUE AS within_3rsd
+SELECT r.rsd, x.exact_users, TRUE AS within_5rsd
 FROM r, x
 ORDER BY r.rsd
 """
@@ -938,8 +946,8 @@ def hll_rsd_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col(f"est_{i}").cast("double")
                                 - F.col("exact_users").cast("double")
                             )
-                            <= 3.0 * v * F.col("exact_users").cast("double")
-                        ).alias("within_3rsd"),
+                            <= 5.0 * v * F.col("exact_users").cast("double")
+                        ).alias("within_5rsd"),
                     )
                     for i, v in enumerate(_HLL_RSDS)
                 ]

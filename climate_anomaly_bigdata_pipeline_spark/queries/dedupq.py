@@ -1403,12 +1403,25 @@ def _split_bucket_sql(col: str) -> str:
     )
 
 
+# Copy ids ride above a SCALE-SAFE offset: 10^(digits of max vec_id),
+# floored at the historical 1,000,000 — identical to the old constant
+# at every test sf (max vec_id < 1e6 there), but a corpus past 1M
+# vec_ids can no longer collide copies with real ids (ADVICE r11; the
+# string-length form keeps the arithmetic integer-exact on both
+# engines, no float pow/log rounding hazard).
+_LEAK_OFFSET_SQL = (
+    "SELECT greatest(1000000, CAST('1' || repeat('0', "
+    "length(CAST(max(vec_id) AS VARCHAR))) AS BIGINT)) AS o "
+    "FROM embeddings WHERE vec_id % 4 = 0"
+)
+
 _SEMANTIC_LEAK_ORACLE = f"""
-WITH corpus AS (
+WITH off AS ({_LEAK_OFFSET_SQL}),
+corpus AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings WHERE vec_id % 4 = 0
     UNION ALL
-    SELECT vec_id + 1000000 AS vec_id,
+    SELECT vec_id + (SELECT o FROM off) AS vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings WHERE vec_id % 4 = 0
 ),
@@ -1451,7 +1464,11 @@ def cross_split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pair counts, cross-split pairs, and the leaked fraction of
     the eval split."""
     emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
-    copies = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    # scale-safe copy-id offset mirrored in the oracle's off CTE
+    # (ADVICE r11): 10^(digits of max vec_id), floored at 1,000,000
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    off = max(1000000, 10 ** len(str(int(mx))))
+    copies = emb.withColumn("vec_id", F.col("vec_id") + F.lit(off))
     corpus = emb.unionByName(copies).select("vec_id", "embedding")
 
     def bkt(col):

@@ -1381,6 +1381,120 @@ def _pca_gemm_moments(e: DataFrame, d: int):
     return n, acc[d * d : d * d + d], acc[: d * d].reshape(d, d)
 
 
+# Fixed-point moment scale for the BIT-PARITY whitening contract
+# (2^40): every per-row term is floor((x_j·x_k)·2^40) — one IEEE
+# multiply + one exact power-of-two scaling + floor, identical on both
+# engines — summed as exact integers (order-free), so the folded
+# moments are bit-identical between Spark and DuckDB with no
+# BLAS-vs-fold drift at all. Grid resolution 2^-40 ≈ 9e-13 (on par
+# with the float-GEMM path's own drift); per-partition int64 headroom
+# 2^63/2^40 = 8.4M rows — far above the ~500k embedding rows a 128 MB
+# scan partition holds, and the driver folds partials in arbitrary-
+# precision Python ints.
+_MFIX = 1099511627776.0  # 2^40
+
+
+def _pca_fixed_moments(e: DataFrame, d: int):
+    """``(n, s_fix[d], G_fix[d][d])`` — count plus EXACT integer
+    fixed-point sums ``Σ floor(x_j·2^40)`` / ``Σ floor(x_j·x_k·2^40)``
+    over the embedding corpus. Unlike :func:`_pca_gemm_moments` (the
+    float-BLAS production path), these moments are bit-identical to a
+    DuckDB oracle computing the same floors: integer addition is
+    associative, so no pinned fold order is needed and no cross-engine
+    drift exists (VERDICT r11 #1 — the whitening audit's
+    rounding-boundary flake). Same scan shape: one narrow mapInPandas
+    pass, O(partitions·(d²+d+1)) partial rows."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        Gi = np.zeros((d, d), dtype=np.int64)
+        si = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].to_list(), dtype=np.float64)
+            # 512-row blocks bound the transient n×d×d product cube
+            # (~17 MB) while keeping the floor work vectorized.
+            for c in range(0, X.shape[0], 512):
+                Xc = X[c : c + 512]
+                Gi += (
+                    np.floor((Xc[:, :, None] * Xc[:, None, :]) * _MFIX)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                si += np.floor(Xc * _MFIX).astype(np.int64).sum(axis=0)
+                n += Xc.shape[0]
+        yield pd.DataFrame(
+            {
+                "pid": np.int64(TaskContext.get().partitionId()),
+                "idx": np.arange(d * d + d + 1, dtype=np.int64),
+                "val": np.concatenate(
+                    [Gi.ravel(), si, [np.int64(n)]]
+                ).astype(np.int64),
+            }
+        )
+
+    parts = e.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).mapInPandas(part, "pid long, idx long, val long")
+    # Exact integer fold — order-free, so no pid pinning needed.
+    acc = [0] * (d * d + d + 1)
+    for r in parts.collect():
+        acc[r["idx"]] += int(r["val"])
+    n = acc[-1]
+    s_fix = acc[d * d : d * d + d]
+    g_fix = [acc[j * d : (j + 1) * d] for j in range(d)]
+    return n, s_fix, g_fix
+
+
+def _power_iterate_cte(cm: list, d: int, iters: int, topk: int):
+    """``[(lam, v)]`` per deflated component, replaying the whitening
+    oracle's recursive CTE BIT-FOR-BIT in pure Python: pinned left
+    folds from 0.0, the same left-associated arithmetic, the same
+    deflation expression ``cm[i] − lam·(w[j]/nrm)·(w[k]/nrm)``, the
+    same 1/8 restart vector. Given a bit-identical input matrix (the
+    fixed-point moments), every float64 op here is the IEEE op DuckDB
+    performs, so lam/v — and everything derived from them — agree to
+    the last ulp across engines."""
+    import math
+
+    cm = list(cm)
+    v = [0.125] * d
+    comps = []
+    for t in range(topk * iters):
+        w = []
+        for j in range(d):
+            acc = 0.0
+            base = j * d
+            for k in range(d):
+                acc = acc + cm[base + k] * v[k]
+            w.append(acc)
+        nrm_acc = 0.0
+        for y in w:
+            nrm_acc = nrm_acc + y * y
+        nrm = math.sqrt(nrm_acc)
+        lam = 0.0
+        for j in range(d):
+            lam = lam + v[j] * w[j]
+        if (t + 1) % iters == 0:
+            comps.append((lam, [w[j] / nrm for j in range(d)]))
+            cm = [
+                cm[i] - lam * (w[i // d] / nrm) * (w[i % d] / nrm)
+                for i in range(d * d)
+            ]
+            v = [0.125] * d
+        else:
+            v = [w[j] / nrm for j in range(d)]
+    return comps
+
+
 def _power_iterate(C, iters: int, d: int):
     """``(lam, v)`` after ``iters`` fixed power steps from the
     all-ones/8 start — the exact query's determinism contract (fixed
@@ -2003,11 +2117,16 @@ WITH RECURSIVE x AS (
 ),
 s2 AS (
     SELECT a.j AS j, b.j AS k,
-           sum(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)) AS s2
+           CAST(sum(CAST(floor(CAST(a.xj AS DOUBLE) * CAST(b.xj AS DOUBLE)
+                                * {_MFIX!r}) AS DECIMAL(38,0)))
+                AS DOUBLE) / {_MFIX!r} AS s2
     FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
 ),
 s1 AS (
-    SELECT j, sum(CAST(xj AS DOUBLE)) AS sj FROM x GROUP BY j
+    SELECT j,
+           CAST(sum(CAST(floor(CAST(xj AS DOUBLE) * {_MFIX!r})
+                         AS DECIMAL(38,0))) AS DOUBLE) / {_MFIX!r} AS sj
+    FROM x GROUP BY j
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
 cmat AS (
@@ -2114,30 +2233,42 @@ def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment block. One moments scan + one projection scan."""
     import math
 
-    import numpy as np
-
     from pyspark.sql import functions as F
 
     e = Catalog(spark, sf_dir).embeddings
-    n, s, G = _pca_gemm_moments(e, _PCA_D)
-    C = float(n) * G - np.outer(s, s)
+    d = _PCA_D
+    # BIT-PARITY path (VERDICT r11 #1): exact integer fixed-point
+    # moments (order-free, zero cross-engine drift) + the pinned
+    # pure-Python replay of the oracle's recursive CTE, so lam / v /
+    # ms / sigma — and therefore all four round(6) outputs — are
+    # bit-identical between Spark and DuckDB instead of ~1e-12 apart
+    # and one quantum boundary away from a flake.
+    n, s_fix, g_fix = _pca_fixed_moments(e, d)
+    n_d = float(n)
+    sjd = [float(x) / _MFIX for x in s_fix]
+    cm = [0.0] * (d * d)
+    for j in range(d):
+        gj = g_fix[j]
+        for k in range(d):
+            cm[j * d + k] = (float(gj[k]) / _MFIX) * n_d - sjd[j] * sjd[k]
     # trace in pinned j order — mirrors the oracle's sequential
     # list_reduce over the diagonal
     trc = 0.0
-    for j in range(_PCA_D):
-        trc = trc + float(C[j, j])
-    comps = []
-    for c in range(_PCA_TOPK):
-        lam, v = _power_iterate(C, _PCA_ITERS, _PCA_D)
-        comps.append((c, lam, v))
-        C = C - lam * np.outer(v, v)
-    m = s / float(n)
+    for j in range(d):
+        trc = trc + cm[j * d + j]
+    comps = [
+        (c, lam, v)
+        for c, (lam, v) in enumerate(
+            _power_iterate_cte(cm, d, _PCA_ITERS, _PCA_TOPK)
+        )
+    ]
+    m = [sj / n_d for sj in sjd]
     params = []
     for c, lam, v in comps:
         ms = 0.0
-        for j in range(_PCA_D):  # pinned-order fold, same as oracle
-            ms = ms + float(m[j]) * float(v[j])
-        sigma = math.sqrt(lam / (float(n) * float(n)))
+        for j in range(d):  # pinned-order fold, same as oracle
+            ms = ms + m[j] * v[j]
+        sigma = math.sqrt(lam / (n_d * n_d))
         params.append((c, lam, v, ms, sigma))
     x = e.select(F.col("embedding").cast("array<double>").alias("xv"))
     pcols = []
@@ -2378,10 +2509,20 @@ def ivf_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = knn_join_exact(spark, sf_dir).select(
         "query_id", "neighbor_id"
     ).localCheckpoint()  # ground truth shared by all three settings
+    # ONE cell assignment shared by every nprobe setting (VERDICT r11
+    # #4): the assignment scan is nprobe-independent, and the first p
+    # entries of the deepest probe list are bit-identical to assigning
+    # at topn=p (ivf_assignment docstring) — so the three settings
+    # differ only in the probe-set slice, not in corpus scans.
+    assigned = SIM.ivf_assignment(
+        SIM._normed(emb, "vec_id", "embedding").localCheckpoint(),
+        book,
+        topn=max(_TUNE_NPROBES),
+    )
     outs = []
     for p in _TUNE_NPROBES:
         i = SIM.ivf_knn_join(
-            emb, k=_KNN_K, nprobe=p, codebook=book
+            emb, k=_KNN_K, nprobe=p, codebook=book, assigned=assigned
         ).select("query_id", "neighbor_id")
         matched = b.join(i, ["query_id", "neighbor_id"], "left_semi")
         hits = (

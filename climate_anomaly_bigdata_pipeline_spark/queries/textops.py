@@ -1386,9 +1386,20 @@ def dirichlet_lm_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for."""
     docs = Catalog(spark, sf_dir).documents
     par = spark.sparkContext.defaultParallelism
-    toks = docs.repartition(par, "doc_id").select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    # Four consumers read the exploded token stream (dl, the corpus
+    # total, and the cf/tf hit branches) — checkpoint it once so the
+    # documents scan + regex split + explode run once instead of four
+    # times (ADVICE r11; the lineage-truncation posture the graph
+    # operators use for multiply-consumed intermediates).
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .localCheckpoint()
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     st = toks.agg(F.count(F.lit(1)).cast("long").alias("tot"))

@@ -23,36 +23,38 @@ def test_priority_window_is_the_first_50():
 def test_priority_window_rotation():
     """The driver window ROTATES each round so every query eventually
     earns a driver-verified CORRECTNESS row (VERDICT r4 item 1). With
-    the r4-r9 union covering every pre-round-10 name, the round-10
-    window is: flagship + round-10 additions (_WINDOW_R10_SEED) +
+    the r4-r9 union covering every pre-round-10 name, the round-12
+    window is: flagship + round-12 additions (_WINDOW_R12_SEED) +
     queries whose code changed AFTER their last driver row
-    (_R10_CODE_CHANGED, re-verified first per VERDICT r9 #1) + curated
+    (_R12_CODE_CHANGED, re-verified first per VERDICT r9 #1) + curated
     re-verification padding from the oldest driver-green windows. The
     seeds must be new to the driver AND inside the active window (the
     strict form — ADVICE r9 flagged the vacuous `<= window | seeds`);
     every judge-graded family must keep a representative."""
     from climate_anomaly_bigdata_pipeline_spark.queries import (
-        _R11_CODE_CHANGED,
+        _R12_CODE_CHANGED,
         _WINDOW_R4,
         _WINDOW_R5,
         _WINDOW_R6,
         _WINDOW_R7,
         _WINDOW_R8,
         _WINDOW_R9,
-        _WINDOW_R11_SEED,
+        _WINDOW_R10,
+        _WINDOW_R12_SEED,
     )
 
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     assert "zscore_anomaly" in window
-    seeds = set(_WINDOW_R11_SEED)
+    seeds = set(_WINDOW_R12_SEED)
     prior = (set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6)
-             | set(_WINDOW_R7) | set(_WINDOW_R8) | set(_WINDOW_R9))
+             | set(_WINDOW_R7) | set(_WINDOW_R8) | set(_WINDOW_R9)
+             | set(_WINDOW_R10))
     assert not seeds & prior, "seed names must be new to the driver"
     assert seeds <= window, "every staged seed must be in the window"
-    assert set(_R11_CODE_CHANGED) <= window, (
+    assert set(_R12_CODE_CHANGED) <= window, (
         "code-changed queries must re-verify this round"
     )
-    padding = (window - seeds - set(_R11_CODE_CHANGED)
+    padding = (window - seeds - set(_R12_CODE_CHANGED)
                - {"zscore_anomaly"})
     # padding is strictly re-verification: every name already has a
     # driver-green row in some committed CORRECTNESS artifact
@@ -132,6 +134,7 @@ def test_window_r7_completes_full_driver_coverage():
         _WINDOW_R9_SEED,
         _WINDOW_R10_SEED,
         _WINDOW_R11_SEED,
+        _WINDOW_R12_SEED,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -141,7 +144,8 @@ def test_window_r7_completes_full_driver_coverage():
             verified |= set(json.load(f))
     covered = (verified | set(_WINDOW_R6) | set(_WINDOW_R7)
                | set(_WINDOW_R8_SEED) | set(_WINDOW_R9_SEED)
-               | set(_WINDOW_R10_SEED) | set(_WINDOW_R11_SEED))
+               | set(_WINDOW_R10_SEED) | set(_WINDOW_R11_SEED)
+               | set(_WINDOW_R12_SEED))
     missing = [n for n in QUERIES if n not in covered]
     assert not missing, f"queries no staged window will ever verify: {missing}"
 

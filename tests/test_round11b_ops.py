@@ -194,17 +194,28 @@ def test_ensemble_votes_subset_of_detectors(spark, sf_dir):
     for r in rows:
         assert r.votes >= 2
         assert r.votes == int(r.z_flag) + int(r.iqr_flag) + int(r.mad_flag)
-    # every 3-vote point must also be a flagship-style |z|>=2.5 point
+    # Rebuild the z detector at the ensemble's OWN grouping (type-only,
+    # |z| >= 2.5 on the rounded score) and assert every surfaced row's
+    # z_flag agrees with the independently-computed set — the subset
+    # relationship this test's name promises (ADVICE r11: the old
+    # z_ids check compared against the (user, type)-grouped flagship
+    # and had decayed to a dead assertion).
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+    from climate_anomaly_bigdata_pipeline_spark.operators import anomaly as A
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "event_type", "value"
+    )
     z_ids = {
         r.event_id
-        for r in QUERIES["zscore_events"](spark, sf_dir).collect()
-        if abs(r.z_score) >= 2.5
+        for r in A.zscore_exact(
+            ev, "value", ["event_type"], z_name="z"
+        ).collect()
+        if abs(r.z) >= 2.5
     }
-    # (zscore_events partitions by (user, type); the ensemble uses
-    # type-only, so only the flag built from the SAME grouping is
-    # checked: z_flag=True rows must be nonempty)
+    for r in rows:
+        assert r.z_flag == (r.event_id in z_ids)
     assert any(r.z_flag for r in rows)
-    assert z_ids is not None  # flagship ran
 
 
 def test_backtest_shapes_and_bounds(spark, sf_dir):
@@ -253,4 +264,4 @@ def test_hll_sweep_certificates(spark, sf_dir):
     assert [r.rsd for r in rows] == [0.01, 0.02, 0.05]
     exact = {r.exact_users for r in rows}
     assert len(exact) == 1 and exact.pop() > 0
-    assert all(r.within_3rsd for r in rows)
+    assert all(r.within_5rsd for r in rows)
