@@ -621,7 +621,10 @@ assert not set(_WINDOW_R11_SEED) & (
 
 # Seed of the round-13 rotation: round-12 additions earn a driver row
 # THIS round (the standing recipe). Grown as queries land.
-_WINDOW_R12_SEED: list[str] = []
+_WINDOW_R12_SEED: list[str] = [
+    "ktruss_decomposition_parts",  # graph family's third quality contract
+    "retrieval_scorer_shootout",  # BM25 vs Dirichlet vs RRF eval contract
+]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify
 # FIRST so no driver row certifies stale code:

@@ -1438,3 +1438,294 @@ def dirichlet_lm_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_K)
         .select("doc_id", F.round("raw", 6).cast("double").alias("ql_score"))
     )
+
+
+# ---- retrieval scorer shootout: BM25 vs Dirichlet QL vs hybrid RRF ------------
+
+# The eval contract ACROSS scorers (VERDICT r11 #6 — the tuning-curve
+# pattern of ivf_recall_vs_nprobe applied to retrieval): the same
+# fixed query set and corpus-derived qrels as retrieval_eval_ndcg,
+# scored by (a) the BM25 tf-saturation ranker, (b) the Dirichlet
+# query-likelihood ranker, and (c) their reciprocal-rank fusion
+# (RRF, Cormack et al. 2009, constant 60) — one row per scorer with
+# the MEAN nDCG@10 / MRR / P@10 over the query terms, so "which
+# scorer wins on this corpus" is a driver-checked number. Candidate
+# sets are the term posting lists on both engines (the serving
+# reality — Dirichlet's background-only docs are out of candidate
+# range by construction here). Float parity: ranking keys are
+# pure-IEEE ratios (BM25's idf-free saturation, Dirichlet's pre-log
+# ratio — log is monotone so ranks are unchanged), RRF sums two
+# exact-double reciprocals of small integers, and every DCG/mean fold
+# runs in pinned order; only the three means are rounded(6).
+_RRF_C = 60.0
+
+
+def _scorer_shootout_oracle() -> str:
+    nt = len(_BM25_TERMS)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM toks WHERE tok IN {str(tuple(_BM25_TERMS))}
+    GROUP BY doc_id, tok
+),
+cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+cand AS (
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           CAST(tf.tf AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+               AS m_bm,
+           (CAST(tf.tf AS DOUBLE)
+              + {_DIR_MU!r} * (CAST(cf.cf AS DOUBLE) / CAST(st.tot AS DOUBLE)))
+              / (CAST(dl.dl AS DOUBLE) + {_DIR_MU!r}) AS m_dir
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN cf ON cf.tok = tf.tok
+    CROSS JOIN st
+),
+rnks AS (
+    SELECT doc_id, tok, tf,
+           CAST(row_number() OVER (
+               PARTITION BY tok ORDER BY m_bm DESC, doc_id
+           ) AS BIGINT) AS r_bm,
+           CAST(row_number() OVER (
+               PARTITION BY tok ORDER BY m_dir DESC, doc_id
+           ) AS BIGINT) AS r_dir
+    FROM cand
+),
+runs AS (
+    SELECT 'bm25' AS scorer, tok, tf, r_bm AS rnk FROM rnks
+    UNION ALL
+    SELECT 'dirichlet_ql', tok, tf, r_dir FROM rnks
+    UNION ALL
+    SELECT 'hybrid_rrf', tok, tf,
+           CAST(row_number() OVER (
+               PARTITION BY tok
+               ORDER BY 1.0 / ({_RRF_C!r} + CAST(r_bm AS DOUBLE))
+                        + 1.0 / ({_RRF_C!r} + CAST(r_dir AS DOUBLE)) DESC,
+                        doc_id
+           ) AS BIGINT) AS rnk
+    FROM rnks
+),
+disc AS (SELECT * FROM (VALUES {_NDCG_DISC_VALUES}) AS v(rnk, wt)),
+dcg AS (
+    SELECT r.scorer, r.tok,
+           list_reduce(
+               list(CAST(r.tf AS DOUBLE) * d.wt ORDER BY r.rnk),
+               (a, x) -> a + x
+           ) AS dcg,
+           COALESCE(
+               CAST(1.0 AS DOUBLE)
+                   / min(r.rnk) FILTER (WHERE r.tf >= {_REL_MIN}),
+               CAST(0.0 AS DOUBLE)
+           ) AS mrr,
+           CAST(count(*) FILTER (WHERE r.tf >= {_REL_MIN}) AS DOUBLE)
+               / CAST({_NDCG_K}.0 AS DOUBLE) AS p_at_10
+    FROM runs r JOIN disc d ON d.rnk = r.rnk
+    WHERE r.rnk <= {_NDCG_K}
+    GROUP BY r.scorer, r.tok
+),
+ideal AS (
+    SELECT tok, tf,
+           CAST(row_number() OVER (
+               PARTITION BY tok ORDER BY tf DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM tf
+    QUALIFY rnk <= {_NDCG_K}
+),
+idcg AS (
+    SELECT i.tok,
+           list_reduce(
+               list(CAST(i.tf AS DOUBLE) * d.wt ORDER BY i.rnk),
+               (a, x) -> a + x
+           ) AS idcg
+    FROM ideal i JOIN disc d ON d.rnk = i.rnk
+    GROUP BY i.tok
+),
+per AS (
+    SELECT d.scorer, d.tok, d.dcg / i.idcg AS ndcg, d.mrr, d.p_at_10
+    FROM dcg d JOIN idcg i ON i.tok = d.tok
+)
+SELECT scorer,
+       round(list_reduce(list(ndcg ORDER BY tok), (a, x) -> a + x)
+             / {float(nt)!r}, 6) AS mean_ndcg10,
+       round(list_reduce(list(mrr ORDER BY tok), (a, x) -> a + x)
+             / {float(nt)!r}, 6) AS mean_mrr,
+       round(list_reduce(list(p_at_10 ORDER BY tok), (a, x) -> a + x)
+             / {float(nt)!r}, 6) AS mean_p_at_10
+FROM per
+GROUP BY scorer
+ORDER BY scorer
+"""
+
+
+@query("retrieval_scorer_shootout", oracle=_scorer_shootout_oracle())
+def retrieval_scorer_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean nDCG@10 / MRR / P@10 of BM25, Dirichlet QL, and their RRF
+    fusion over the shared query set (see the comment block) — the
+    which-scorer-wins row of the retrieval family."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    # one exploded token pass feeds dl / totals / cf / tf (the
+    # dirichlet_lm_topk_docs checkpoint posture)
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .localCheckpoint()
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("cf"))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    m_bm = tfd / (
+        tfd
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (dld / avgdl))
+    )
+    m_dir = (
+        tfd + F.lit(_DIR_MU) * (F.col("cf").cast("double") / F.col("tot").cast("double"))
+    ) / (dld + F.lit(_DIR_MU))
+    cand = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", "tf", m_bm.alias("m_bm"), m_dir.alias("m_dir"))
+    )
+    w_bm = Window.partitionBy("tok").orderBy(F.desc("m_bm"), F.asc("doc_id"))
+    w_dir = Window.partitionBy("tok").orderBy(F.desc("m_dir"), F.asc("doc_id"))
+    rnks = cand.select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.row_number().over(w_bm).cast("long").alias("r_bm"),
+        F.row_number().over(w_dir).cast("long").alias("r_dir"),
+    ).localCheckpoint()
+    rrf_key = F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_bm").cast("double")) + F.lit(
+        1.0
+    ) / (F.lit(_RRF_C) + F.col("r_dir").cast("double"))
+    w_rrf = Window.partitionBy("tok").orderBy(rrf_key.desc(), F.asc("doc_id"))
+    runs = (
+        rnks.select(
+            F.lit("bm25").alias("scorer"), "tok", "tf", F.col("r_bm").alias("rnk")
+        )
+        .unionAll(
+            rnks.select(
+                F.lit("dirichlet_ql").alias("scorer"),
+                "tok",
+                "tf",
+                F.col("r_dir").alias("rnk"),
+            )
+        )
+        .unionAll(
+            rnks.select(
+                F.lit("hybrid_rrf").alias("scorer"),
+                "tok",
+                "tf",
+                F.row_number().over(w_rrf).cast("long").alias("rnk"),
+            )
+        )
+    )
+    disc = F.array(*[F.lit(w) for w in _DCG_W])
+    top = runs.filter(F.col("rnk") <= _NDCG_K).select(
+        "scorer",
+        "tok",
+        "rnk",
+        "tf",
+        (
+            F.col("tf").cast("double")
+            * F.element_at(disc, F.col("rnk").cast("int"))
+        ).alias("g"),
+    )
+    dcg = top.groupBy("scorer", "tok").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rnk", F.col("g").alias("v")))),
+            F.lit(0.0),
+            lambda a, c: a + c["v"],
+        ).alias("dcg"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("tf") >= _REL_MIN, F.col("rnk"))),
+            F.lit(0.0),
+        ).alias("mrr"),
+        (
+            F.count(F.when(F.col("tf") >= _REL_MIN, F.lit(1))).cast("double")
+            / F.lit(float(_NDCG_K))
+        ).alias("p_at_10"),
+    )
+    w_ideal = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    idcg = (
+        tf.withColumn("rnk", F.row_number().over(w_ideal).cast("long"))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select(
+            "tok",
+            "rnk",
+            (
+                F.col("tf").cast("double")
+                * F.element_at(disc, F.col("rnk").cast("int"))
+            ).alias("g"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", F.col("g").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, c: a + c["v"],
+            ).alias("idcg")
+        )
+    )
+    nt = F.lit(float(len(_BM25_TERMS)))
+    per = dcg.join(F.broadcast(idcg), "tok").select(
+        "scorer", "tok", (F.col("dcg") / F.col("idcg")).alias("ndcg"), "mrr", "p_at_10"
+    )
+
+    def mean_fold(col: str):
+        return F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("tok", F.col(col).alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, c: a + c["v"],
+            )
+            / nt,
+            6,
+        )
+
+    return (
+        per.groupBy("scorer")
+        .agg(
+            mean_fold("ndcg").alias("mean_ndcg10"),
+            mean_fold("mrr").alias("mean_mrr"),
+            mean_fold("p_at_10").alias("mean_p_at_10"),
+        )
+        .orderBy("scorer")
+    )
