@@ -624,6 +624,7 @@ assert not set(_WINDOW_R11_SEED) & (
 _WINDOW_R12_SEED: list[str] = [
     "ktruss_decomposition_parts",  # graph family's third quality contract
     "retrieval_scorer_shootout",  # BM25 vs Dirichlet vs RRF eval contract
+    "dsir_epoch_rebalance",  # DSIR selection -> epoch plan, end-to-end
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify

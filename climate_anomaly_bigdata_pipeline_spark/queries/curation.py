@@ -797,3 +797,147 @@ def epoch_plan_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- DSIR-selected mix rebalance -----------------------------------------------
+
+# The end-to-end row joining the selection stage to the mixing stage
+# (VERDICT r11 #7): run DSIR selection (keep documents whose
+# log-importance under the hashed-unigram target/raw models is > 0 —
+# "more target-like than background", the row-local rule that needs no
+# global sort), then recompute the temperature-scaled epoch plan on
+# the SELECTED inventory. Per source: the full and selected doc/token
+# inventories, the post-selection mix weight, target tokens at the 2x
+# budget, epochs over the selected pool, and the >4-epoch repeat-risk
+# flag — i.e. what DSIR does to each source's repeat pressure, as one
+# driver-checked table. The selection threshold compares the
+# round(6)-guarded score on both engines (the standing boundary-drift
+# posture); the plan arithmetic is the proven sum(pow) OVER () shape
+# of epoch_plan_token_budget with zero-kept sources guarded to 0.
+_DSIR_REBALANCE_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+    FROM toks
+),
+spine AS (SELECT range AS bucket FROM range({_DSIR_BUCKETS})),
+tgt AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket),
+raw AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+dist AS (
+    SELECT s.bucket, COALESCE(t.c, 0) AS ct, COALESCE(r.c, 0) AS cr
+    FROM spine s
+    LEFT JOIN tgt t ON s.bucket = t.bucket
+    LEFT JOIN raw r ON s.bucket = r.bucket
+),
+lr AS (
+    SELECT bucket,
+           ln(CAST(ct + 1 AS DOUBLE)
+              / CAST((SELECT sum(ct) FROM dist) + {_DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE)
+              / CAST((SELECT sum(cr) FROM dist) + {_DSIR_BUCKETS} AS DOUBLE))
+               AS logratio
+    FROM dist
+),
+db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+dw AS (
+    SELECT db.doc_id,
+           CAST(sum(db.cnt) AS BIGINT) AS n_tokens,
+           CAST(round(list_reduce(
+               list(db.cnt * lr.logratio ORDER BY db.bucket),
+               (a, x) -> a + x
+           ), 6) AS DOUBLE) AS logw
+    FROM db JOIN lr ON db.bucket = lr.bucket
+    GROUP BY db.doc_id
+),
+sel AS (
+    SELECT d.source, dw.n_tokens, dw.logw
+    FROM dw JOIN documents d ON d.doc_id = dw.doc_id
+),
+c AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE logw > 0.0) AS BIGINT)
+               AS n_docs_kept,
+           CAST(COALESCE(sum(n_tokens) FILTER (WHERE logw > 0.0), 0)
+                AS BIGINT) AS kept_tokens
+    FROM sel GROUP BY source
+),
+w AS (
+    SELECT source, n_docs, n_tokens, n_docs_kept, kept_tokens,
+           CASE WHEN kept_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE pow(kept_tokens, {_EPOCH_ALPHA})
+                     / sum(pow(kept_tokens, {_EPOCH_ALPHA})) OVER ()
+           END AS wt,
+           sum(kept_tokens) OVER () AS total_kept
+    FROM c
+)
+SELECT source, n_docs, n_docs_kept, n_tokens, kept_tokens,
+       round(wt, 6) AS weight,
+       CAST(floor(wt * {_EPOCH_BUDGET_X} * total_kept) AS BIGINT)
+           AS target_tokens,
+       CASE WHEN kept_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(wt * {_EPOCH_BUDGET_X} * total_kept / kept_tokens, 6)
+       END AS epochs,
+       CASE WHEN kept_tokens = 0 THEN FALSE
+            ELSE round(wt * {_EPOCH_BUDGET_X} * total_kept / kept_tokens, 6)
+                 > {_EPOCH_CEILING}
+       END AS repeat_risk
+FROM w
+ORDER BY source
+"""
+
+
+@query("dsir_epoch_rebalance", oracle=_DSIR_REBALANCE_ORACLE)
+def dsir_epoch_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled epoch plan recomputed on the DSIR-selected
+    corpus (log-importance > 0; see the comment block) — per source the
+    full vs selected inventory and the post-selection repeat pressure."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    dw = dsir_importance_weights(spark, sf_dir)
+    sel = dw.join(docs.select("doc_id", "source"), "doc_id")
+    kept = F.col("log_importance") > 0.0
+    c = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
+    )
+    all_w = Window.partitionBy()
+    pw = F.pow("kept_tokens", F.lit(_EPOCH_ALPHA))
+    wt = F.when(F.col("kept_tokens") == 0, F.lit(0.0)).otherwise(
+        pw / F.sum(pw).over(all_w)
+    )
+    total = F.sum("kept_tokens").over(all_w)
+    epochs_raw = wt * F.lit(_EPOCH_BUDGET_X) * total / F.col("kept_tokens")
+    epochs = F.when(F.col("kept_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(epochs_raw, 6)
+    )
+    return (
+        c.select(
+            "source",
+            "n_docs",
+            "n_docs_kept",
+            "n_tokens",
+            "kept_tokens",
+            F.round(wt, 6).alias("weight"),
+            F.floor(wt * F.lit(_EPOCH_BUDGET_X) * total)
+            .cast("long")
+            .alias("target_tokens"),
+            epochs.alias("epochs"),
+            F.when(F.col("kept_tokens") == 0, F.lit(False))
+            .otherwise(F.round(epochs_raw, 6) > _EPOCH_CEILING)
+            .alias("repeat_risk"),
+        )
+        .orderBy("source")
+    )

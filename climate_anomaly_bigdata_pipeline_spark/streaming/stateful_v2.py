@@ -95,3 +95,89 @@ def running_user_profiles_v2(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---- incremental exact dedup ---------------------------------------------------
+
+# The streaming twin of the batch `dedup_first_event` row (VERDICT r11
+# #7): keep-first dedup as a CONTINUOUS contract instead of a nightly
+# batch. State per (user_id, event_type) is one ValueState holding the
+# current winner — the (ts, event_id)-minimal event — plus the running
+# duplicate count; each micro-batch folds its rows into that monoid
+# (min is associative/commutative, so arrival order across batches
+# cannot change the final winner) and emits the updated winner in
+# update mode. After the stream drains, last-emit-per-key is
+# BIT-IDENTICAL to the batch dedup_first_event result — the parity a
+# real pipeline needs to swap the nightly dedup job for the stream.
+# State is O(live keys) × one small tuple; at 100 TB add TTL so
+# retired entity keys age out of the RocksDB store.
+
+DEDUP_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, value double, "
+    "n_dups long"
+)
+
+
+class ExactDedupProcessor(StatefulProcessor):
+    """Keep-first exact dedup across micro-batches (see module doc)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        # winner = (ts_micros, event_id, value, n_seen)
+        self._winner = handle.getValueState(
+            "winner", "ts long, event_id long, value double, n long"
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        if self._winner.exists():
+            ts, eid, val, n = self._winner.get()
+        else:
+            ts, eid, val, n = None, None, None, 0
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # batch-local winner: (ts, event_id)-minimal row
+            tsm = (
+                pdf["ts"].astype("int64") // 1000  # ns -> us, batch parity
+                if str(pdf["ts"].dtype).startswith("datetime64[ns")
+                else pdf["ts"].astype("int64")
+            )
+            cand = pdf.assign(__tsm=tsm).sort_values(
+                ["__tsm", "event_id"]
+            ).iloc[0]
+            cts = int(cand["__tsm"])
+            ceid = int(cand["event_id"])
+            if ts is None or (cts, ceid) < (ts, eid):
+                ts, eid = cts, ceid
+                val = float(cand["value"])
+        self._winner.update((ts, eid, val, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "event_id": [eid],
+                "value": [val],
+                "n_dups": [n - 1],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_exact_dedup_v2(events: DataFrame) -> DataFrame:
+    """Incremental keep-first dedup per (user_id, event_type) via the
+    v2 stateful API; each micro-batch emits the updated winner, so the
+    sink's last row per key equals the batch ``dedup_first_event``."""
+    return (
+        events.select("user_id", "event_type", "event_id", "ts", "value")
+        .groupBy("user_id", "event_type")
+        .transformWithStateInPandas(
+            ExactDedupProcessor(),
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
