@@ -86,6 +86,31 @@ def main() -> None:
         if only
         else QUERIES
     )
+    # Codec-family isolation (VERDICT r11 #3): the per-payload decode
+    # profiles time pure-Python/Arrow work whose cost in the one-JVM
+    # suite swings 5x with accumulated GC debt from the ~190 preceding
+    # array-heavy queries (jpeg and flac literally swap places between
+    # canonical maps with no code change). On a FULL run they are
+    # benched in their own fresh JVM subprocess and merged back, so
+    # the canonical map records the plan's cost, not the suite's heap
+    # history. Subset runs (SPARK_GRAFT_BENCH_ONLY) keep one JVM.
+    codec_names = [
+        n
+        for n in (
+            "jpeg_decode_profile",
+            "jpeg_progressive_profile",
+            "png_decode_profile",
+            "flac_decode_profile",
+            "flac_lpc_decode_profile",
+            "wav_decode_profile",
+            "phash_image_dedup",
+            "audio_fingerprint_dedup",
+            "video_scene_cuts",
+        )
+        if n in queries
+    ]
+    if not only and codec_names:
+        queries = {n: f for n, f in queries.items() if n not in codec_names}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
@@ -128,6 +153,32 @@ def main() -> None:
                 dt = min(dt, rdt)
             best[name] = min(best.get(name, dt), dt)
     timings = {name: round(v, 3) for name, v in best.items()}
+
+    if not only and codec_names:
+        import subprocess
+
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(codec_names)
+        env["SPARK_GRAFT_BENCH_OUT"] = ""  # merged below, never clobber
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        sub = None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                sub = json.loads(line)
+                break
+        if sub is None:
+            errors["__codec_family__"] = (
+                f"rc={proc.returncode}: {proc.stderr[-300:]}"
+            )
+        else:
+            timings.update(sub.get("queries", {}))
+            errors.update(sub.get("errors", {}))
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -625,6 +625,10 @@ _WINDOW_R12_SEED: list[str] = [
     "ktruss_decomposition_parts",  # graph family's third quality contract
     "retrieval_scorer_shootout",  # BM25 vs Dirichlet vs RRF eval contract
     "dsir_epoch_rebalance",  # DSIR selection -> epoch plan, end-to-end
+    "matrix_profile_discords_daily",  # subsequence-level anomaly (discords)
+    "bloom_semijoin_reduction",  # runtime-filter mechanics, exact numbers
+    "shuffle_skew_report",  # the salting-decision gate
+    "approx_percentile_accuracy_sweep",  # quantile-sketch tuning curve
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify

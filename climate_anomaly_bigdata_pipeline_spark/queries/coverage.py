@@ -955,3 +955,109 @@ def hll_rsd_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return rows.orderBy("rsd")
+
+
+# ---- approximate-percentile accuracy sweep -------------------------------------
+
+# The quantile-sketch analogue of hll_rsd_sweep: one approx_percentile
+# per requested accuracy (100 / 1000 / 10000 — accuracy IS the
+# memory/error lever of Spark's Greenwald-Khanna-style sketch),
+# certified against the exact interpolated quantile by RANK: the
+# engine recomputes the approx value's true rank in a second scan and
+# checks |rank − q·N| ≤ N/accuracy + 1 (the published GK guarantee
+# plus one tie slack). The approx VALUES are engine-specific and stay
+# OUT of the hashed columns (the hll_sketch_rollup contract); the
+# hashed row carries the exact quantile and the boolean certificate.
+# KNOWN COUPLING (the hll_rsd_sweep posture, documented there): the
+# oracle hardcodes TRUE for the certificate — the bound is the
+# sketch's analytic guarantee, so a violation surfaces as a
+# cross-engine diff, which is exactly what it would mean (a broken
+# sketch implementation).
+_APCT_QS = (0.5, 0.95, 0.99)
+_APCT_ACCS = (100, 1000, 10000)
+
+_APCT_ORACLE = f"""
+WITH e AS (
+    SELECT {", ".join(f"round(quantile_cont(value, {q}), 4) AS e{int(q * 100)}"
+                      for q in _APCT_QS)}
+    FROM events
+),
+grid AS (
+    SELECT * FROM (VALUES {", ".join(f"({a}, {q!r})" for a in _APCT_ACCS
+                                     for q in _APCT_QS)}) AS v(accuracy, q)
+)
+SELECT g.accuracy,
+       CAST(g.q AS DOUBLE) AS q,
+       CASE {" ".join(f"WHEN g.q = {q!r} THEN e.e{int(q * 100)}"
+                      for q in _APCT_QS)} END AS exact_value,
+       TRUE AS within_rank_bound
+FROM grid g, e
+ORDER BY g.accuracy, g.q
+"""
+
+
+@query("approx_percentile_accuracy_sweep", oracle=_APCT_ORACLE)
+def approx_percentile_accuracy_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-sketch accuracy/memory tuning curve (see the comment
+    block): exact quantiles of events.value with a per-accuracy rank
+    certificate for the approx_percentile sketch."""
+    ev = Catalog(spark, sf_dir).events.select("value")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for q in _APCT_QS:
+        aggs.append(
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+                f"e{int(q * 100)}"
+            )
+        )
+        for a in _APCT_ACCS:
+            aggs.append(
+                F.expr(f"approx_percentile(value, {q}, {a})").alias(
+                    f"a{a}_{int(q * 100)}"
+                )
+            )
+    st = ev.agg(*aggs)
+    # second scan: the true rank of every approx value (9 conditional
+    # sums in ONE pass over the broadcast 1-row stats)
+    ranked = ev.crossJoin(F.broadcast(st)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("value") <= F.col(f"a{a}_{int(q * 100)}"), 1
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"r{a}_{int(q * 100)}")
+            for a in _APCT_ACCS
+            for q in _APCT_QS
+        ],
+        F.max("n").alias("n"),
+        *[
+            F.max(f"e{int(q * 100)}").alias(f"e{int(q * 100)}")
+            for q in _APCT_QS
+        ],
+    )
+    rows = ranked.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).cast("int").alias("accuracy"),
+                        F.lit(q).alias("q"),
+                        F.col(f"e{int(q * 100)}").alias("exact_value"),
+                        (
+                            F.abs(
+                                F.col(f"r{a}_{int(q * 100)}")
+                                - F.lit(q) * F.col("n")
+                            )
+                            <= F.col("n") / F.lit(float(a)) + F.lit(1.0)
+                        ).alias("within_rank_bound"),
+                    )
+                    for a in _APCT_ACCS
+                    for q in _APCT_QS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("accuracy", "q")

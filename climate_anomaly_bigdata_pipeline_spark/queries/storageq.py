@@ -506,3 +506,312 @@ def encoding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits(F.col("ndv") - 1).alias("dict_index_bits"),
         "delta_bits",
     ).orderBy("col")
+
+
+# ---- Bloom-filter semi-join reduction report -----------------------------------
+
+# The runtime-filter technique a 100 TB join lives on (Spark ships it
+# as spark.sql.optimizer.runtime.bloomFilter.*): build a Bloom filter
+# over the dimension-side join keys (urgent orders), push it to the
+# fact-side scan (lineitem), and drop non-matching rows BEFORE the
+# shuffle. This row certifies the mechanics with exact numbers: a
+# deterministic md5 triple-hash Bloom (k = 3, m = 16 bits/key — fill
+# fraction ≤ 3/16 so the analytic FPR stays ~0.5%) simulated as a
+# broadcast (hash, position) set join, reporting build/probe
+# inventories, rows the filter passes, true semi-join matches, false
+# positives, the OBSERVED fpr, and the shuffle-reduction fraction.
+# Bloom filters admit no false negatives, so pass ⊇ match is an
+# invariant the integer columns prove. All counts are exact integers;
+# the two ratios divide identical integers on both engines (round(6)
+# guard only for display stability). The md5 position recipe is the
+# portable 32-bit hash every dedup operator uses.
+_BLOOM_K = 3  # hash functions
+_BLOOM_BITS_PER_KEY = 16
+
+_BLOOM_ORACLE = f"""
+WITH bk AS (
+    SELECT DISTINCT o_orderkey AS k FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+mm AS (
+    SELECT CAST({_BLOOM_BITS_PER_KEY} * count(*) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS nb
+    FROM bk
+),
+bits AS (
+    SELECT DISTINCT t, p FROM (
+        SELECT 0 AS t, CAST(concat('0x', substr(md5(concat('0:',
+            CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % mm.m AS p
+        FROM bk, mm
+        UNION ALL
+        SELECT 1, CAST(concat('0x', substr(md5(concat('1:',
+            CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % mm.m
+        FROM bk, mm
+        UNION ALL
+        SELECT 2, CAST(concat('0x', substr(md5(concat('2:',
+            CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % mm.m
+        FROM bk, mm
+    )
+),
+lk AS (
+    SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
+    FROM lineitem GROUP BY 1
+),
+pp AS (
+    SELECT lk.k, lk.nr, 0 AS t, CAST(concat('0x', substr(md5(concat('0:',
+        CAST(lk.k AS VARCHAR))), 1, 8)) AS BIGINT) % mm.m AS p
+    FROM lk, mm
+    UNION ALL
+    SELECT lk.k, lk.nr, 1, CAST(concat('0x', substr(md5(concat('1:',
+        CAST(lk.k AS VARCHAR))), 1, 8)) AS BIGINT) % mm.m
+    FROM lk, mm
+    UNION ALL
+    SELECT lk.k, lk.nr, 2, CAST(concat('0x', substr(md5(concat('2:',
+        CAST(lk.k AS VARCHAR))), 1, 8)) AS BIGINT) % mm.m
+    FROM lk, mm
+),
+passk AS (
+    SELECT pp.k, max(pp.nr) AS nr
+    FROM pp JOIN bits ON bits.t = pp.t AND bits.p = pp.p
+    GROUP BY pp.k
+    HAVING count(*) = {_BLOOM_K}
+),
+truek AS (
+    SELECT lk.k, lk.nr FROM lk WHERE lk.k IN (SELECT k FROM bk)
+),
+agg AS (
+    SELECT (SELECT nb FROM mm) AS build_keys,
+           (SELECT m FROM mm) AS m_bits,
+           (SELECT CAST(COALESCE(sum(nr), 0) AS BIGINT) FROM lk)
+               AS probe_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lk) AS probe_keys,
+           (SELECT CAST(COALESCE(sum(nr), 0) AS BIGINT) FROM passk)
+               AS bloom_pass_rows,
+           (SELECT CAST(COALESCE(sum(nr), 0) AS BIGINT) FROM truek)
+               AS true_match_rows
+)
+SELECT build_keys, m_bits, probe_rows, probe_keys, bloom_pass_rows,
+       true_match_rows,
+       bloom_pass_rows - true_match_rows AS false_positive_rows,
+       CASE WHEN probe_rows = true_match_rows THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(bloom_pass_rows - true_match_rows AS DOUBLE)
+                       / CAST(probe_rows - true_match_rows AS DOUBLE), 6)
+       END AS observed_fpr,
+       round(1.0 - CAST(bloom_pass_rows AS DOUBLE)
+                   / CAST(probe_rows AS DOUBLE), 6) AS reduction_frac
+FROM agg
+"""
+
+
+@query("bloom_semijoin_reduction", oracle=_BLOOM_ORACLE)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact simulation of a runtime Bloom semi-join filter on the
+    urgent-orders → lineitem join (see the comment block): build/probe
+    inventories, filter pass and true-match row counts, false
+    positives, observed FPR, and the shuffle-reduction fraction."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    c = Catalog(spark, sf_dir)
+    bk = (
+        c.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nb = bk.count()  # bounded scalar: sizes the filter, trained-codebook posture
+    m = _BLOOM_BITS_PER_KEY * nb
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            (DD.md5_hash32(F.col("k"), seed=t) % m).alias("p"),
+                        )
+                        for t in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("tp"),
+        ).select(*df.columns, "tp.t", "tp.p")
+
+    bits = positions(bk).select("t", "p").distinct().localCheckpoint()
+    lk = c.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("nr")
+    ).localCheckpoint()
+    passk = (
+        positions(lk)
+        .join(F.broadcast(bits), ["t", "p"])
+        .groupBy("k")
+        .agg(F.max("nr").alias("nr"), F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == _BLOOM_K)
+    )
+    truek = lk.join(F.broadcast(bk), "k", "left_semi")
+    probe = lk.agg(
+        F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("probe_rows"),
+        F.count(F.lit(1)).cast("long").alias("probe_keys"),
+    )
+    bp = passk.agg(
+        F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("bloom_pass_rows")
+    )
+    tm = truek.agg(
+        F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("true_match_rows")
+    )
+    fp = F.col("bloom_pass_rows") - F.col("true_match_rows")
+    fpr = F.when(
+        F.col("probe_rows") == F.col("true_match_rows"), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            fp.cast("double")
+            / (F.col("probe_rows") - F.col("true_match_rows")).cast("double"),
+            6,
+        )
+    )
+    return (
+        probe.crossJoin(F.broadcast(bp))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            F.lit(nb).cast("long").alias("build_keys"),
+            F.lit(m).cast("long").alias("m_bits"),
+            "probe_rows",
+            "probe_keys",
+            "bloom_pass_rows",
+            "true_match_rows",
+            fp.alias("false_positive_rows"),
+            fpr.alias("observed_fpr"),
+            F.round(
+                F.lit(1.0)
+                - F.col("bloom_pass_rows").cast("double")
+                / F.col("probe_rows").cast("double"),
+                6,
+            ).alias("reduction_frac"),
+        )
+    )
+
+
+# ---- shuffle-key skew report ---------------------------------------------------
+
+# The salting-decision gate: before a 100 TB join you read ONE number
+# — how hot is the hottest key relative to the mean — and pick plain
+# hash partitioning, AQE skew-join, or explicit salting. This row
+# computes that diagnosis for the four join keys the star schema
+# actually shuffles on (lineitem: orderkey / partkey / suppkey;
+# events: user_id): key cardinality, total rows, mean and max per-key
+# row counts, the imbalance factor max/mean, the counts of keys past
+# 2x and 10x the mean, and the salt flag (imbalance > 8 — one task
+# ~an-order-of-magnitude longer than the average is where AQE's
+# skew split stops saving you on a sorted shuffle). Everything is a
+# keyed count + scale-safe aggregates — no global sort, no quantile
+# funnel; the imbalance ratio divides exact integers identically on
+# both engines under the round(6) guard.
+_SKEW_SALT_THRESHOLD = 8.0
+
+
+def _skew_oracle() -> str:
+    keys = (
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+    )
+    ctes = ",\n".join(
+        f"cnt{i} AS (SELECT {col} AS k, count(*) AS c"
+        f" FROM {table} GROUP BY 1)"
+        for i, (table, col) in enumerate(keys)
+    )
+    branches = []
+    for i, (table, col) in enumerate(keys):
+        mean = (
+            f"(SELECT CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            f" FROM cnt{i})"
+        )
+        imb = (
+            "round(CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)), 6)"
+        )
+        branches.append(f"""SELECT '{table}.{col}' AS key_col,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS total_rows,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS mean_rows,
+       CAST(max(c) AS BIGINT) AS max_rows,
+       {imb} AS imbalance,
+       CAST(count(*) FILTER (WHERE h2) AS BIGINT) AS keys_over_2x_mean,
+       CAST(count(*) FILTER (WHERE h10) AS BIGINT) AS keys_over_10x_mean,
+       {imb} > {_SKEW_SALT_THRESHOLD} AS salt_recommended
+FROM (
+    SELECT c,
+           CAST(c AS DOUBLE) > 2.0 * {mean} AS h2,
+           CAST(c AS DOUBLE) > 10.0 * {mean} AS h10
+    FROM cnt{i}
+)""")
+    return (
+        "WITH " + ctes + "\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY key_col"
+    )
+
+
+@query("shuffle_skew_report", oracle=_skew_oracle())
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew diagnosis for the star schema's four shuffle
+    keys (see the comment block): cardinality, mean/max per-key rows,
+    the imbalance factor, hot-key counts, and the salt flag."""
+    from functools import reduce
+
+    c = Catalog(spark, sf_dir)
+    outs = []
+    for df, col, label in (
+        (c.lineitem, "l_orderkey", "lineitem.l_orderkey"),
+        (c.lineitem, "l_partkey", "lineitem.l_partkey"),
+        (c.lineitem, "l_suppkey", "lineitem.l_suppkey"),
+        (c.events, "user_id", "events.user_id"),
+    ):
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).localCheckpoint()
+        # mean as a 1-row broadcast scalar (the documented
+        # broadcast-nested-loop shape), NOT a partitionBy() window —
+        # a global window would funnel every key through one task
+        stats = counts.agg(
+            F.sum("c").cast("double").alias("__tot"),
+            F.count(F.lit(1)).cast("double").alias("__nk"),
+        )
+        mean = F.col("__tot") / F.col("__nk")
+        flagged = counts.crossJoin(F.broadcast(stats)).select(
+            "c",
+            (F.col("c").cast("double") > F.lit(2.0) * mean).alias("h2"),
+            (F.col("c").cast("double") > F.lit(10.0) * mean).alias("h10"),
+        )
+        imb = F.round(
+            F.max("c").cast("double")
+            / (
+                F.sum("c").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        )
+        outs.append(
+            flagged.agg(
+                F.lit(label).alias("key_col"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("c").cast("long").alias("total_rows"),
+                F.round(
+                    F.sum("c").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("mean_rows"),
+                F.max("c").cast("long").alias("max_rows"),
+                imb.alias("imbalance"),
+                F.sum(F.when(F.col("h2"), 1).otherwise(0))
+                .cast("long")
+                .alias("keys_over_2x_mean"),
+                F.sum(F.when(F.col("h10"), 1).otherwise(0))
+                .cast("long")
+                .alias("keys_over_10x_mean"),
+                (imb > _SKEW_SALT_THRESHOLD).alias("salt_recommended"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs).orderBy("key_col")

@@ -880,3 +880,188 @@ def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_STL_ANOM_K)
         .drop("__az")
     )
+
+
+# ---- matrix-profile discords on the daily revenue series -----------------------
+
+# The motif/discord detector of the matrix-profile family (Yeh et al.
+# 2016, public): for every length-7 window of the daily revenue
+# series, the z-normalized Euclidean distance to its nearest
+# NON-OVERLAPPING window (exclusion zone |i−j| ≥ m) — the windows
+# whose nearest neighbor is FARTHEST are the series' discords, the
+# subsequence-level anomaly the pointwise z-score family cannot see
+# (a week that is individually in-range but shaped like nothing else).
+# Scale posture: the calendar-bounded daily pre-aggregation (the acf
+# contract) reduces the data to |days| rows; windows then pair via an
+# EXPLODE of the j index + one equi-join on j — O(n²) day-grain rows
+# through a keyed shuffle, never a cartesian join node and never raw
+# lineitem rows. Exactness: daily revenues are exact 2-decimal
+# doubles; μ/σ/distance all fold in pinned index order on both
+# engines; the nearest-neighbor argmin and the final ordering use the
+# round(6)-guarded distance with index tiebreaks.
+_MP_M = 7  # window length = exclusion-zone radius
+_MP_K = 10  # discords reported
+
+# One pinned calendar year (366-day cap) bounds the pair join: the
+# profile is O(n^2) in the series length by definition, and a
+# multi-year series would put ~6M non-equi pairs through the DuckDB
+# oracle (measured 357 s at sf0.01). A year of days is the analysis
+# window a weekly-shape discord scan actually uses; larger horizons
+# run the same query per year.
+_MP_YEAR = 1996
+
+_MP_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', l_shipdate) AS d,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS x
+    FROM lineitem
+    WHERE date_part('year', l_shipdate) = {_MP_YEAR}
+    GROUP BY 1
+),
+ser AS (
+    SELECT list(x ORDER BY d) AS xs, list(d ORDER BY d) AS ds,
+           CAST(count(*) AS BIGINT) AS n
+    FROM daily
+),
+win AS (
+    SELECT i, s.ds[i] AS d, w,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), w),
+                       (a, b) -> a + b) / {float(_MP_M)!r} AS mu
+    FROM (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               list_slice(s0.xs, t.i, t.i + {_MP_M - 1}) AS w,
+               s0.xs, s0.ds
+        FROM ser s0,
+             unnest(generate_series(1, CAST(s0.n - {_MP_M - 1} AS BIGINT))) AS t(i)
+    ) s
+),
+zwin AS (
+    SELECT i, d,
+           CASE WHEN sig = 0.0 THEN list_transform(w, v -> CAST(0.0 AS DOUBLE))
+                ELSE list_transform(w, v -> (v - mu) / sig) END AS z
+    FROM (
+        SELECT i, d, w, mu,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(w, v -> v * v)), (a, b) -> a + b)
+                    / {float(_MP_M)!r} - mu * mu) AS sig
+        FROM win
+    )
+),
+pairs AS (
+    SELECT a.i, a.d, b.i AS j, b.d AS nn_d,
+           round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {_MP_M}),
+                              k -> (a.z[k] - b.z[k]) * (a.z[k] - b.z[k]))),
+               (acc, t) -> acc + t)), 6) AS dist
+    FROM zwin a JOIN zwin b ON abs(a.i - b.i) >= {_MP_M}
+),
+profile AS (
+    SELECT i, d, nn_d, dist
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY i ORDER BY dist, j) = 1
+)
+SELECT d AS day, nn_d AS nn_day, dist AS mp_dist
+FROM profile
+ORDER BY dist DESC, d
+LIMIT {_MP_K}
+"""
+
+
+@query("matrix_profile_discords_daily", oracle=_MP_ORACLE)
+def matrix_profile_discords_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 matrix-profile discords of the daily revenue series
+    (see the comment block): the 7-day windows farthest from their
+    nearest non-overlapping neighbor, with that neighbor's date."""
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.year("l_shipdate") == _MP_YEAR
+    )
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(F.sum(FN.revenue_expr()), 2).cast("double").alias("x")
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.transform("sd", lambda s: s["x"]).alias("xs"),
+        F.transform("sd", lambda s: s["d"]).alias("ds"),
+        "n",
+    ).filter(
+        # need two non-overlapping windows; also keeps sequence(1, n-6)
+        # ascending (Spark's sequence(1, 0) descends into index 0)
+        F.col("n") >= 2 * _MP_M
+    )
+    md = float(_MP_M)
+    win = ser.select(
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n") - F.lit(_MP_M - 1))
+        ).alias("i"),
+        "xs",
+        "ds",
+    ).select(
+        "i",
+        F.element_at("ds", F.col("i").cast("int")).alias("d"),
+        F.slice("xs", F.col("i").cast("int"), _MP_M).alias("w"),
+    ).withColumn(
+        "mu",
+        F.aggregate("w", F.lit(0.0), lambda a, b: a + b) / F.lit(md),
+    )
+    sig = F.sqrt(
+        F.aggregate(
+            F.transform("w", lambda v: v * v), F.lit(0.0), lambda a, b: a + b
+        )
+        / F.lit(md)
+        - F.col("mu") * F.col("mu")
+    )
+    zwin = win.withColumn("sig", sig).select(
+        "i",
+        "d",
+        F.when(
+            F.col("sig") == 0.0,
+            F.transform("w", lambda v: F.lit(0.0)),
+        )
+        .otherwise(
+            F.transform("w", lambda v: (v - F.col("mu")) / F.col("sig"))
+        )
+        .alias("z"),
+    ).localCheckpoint()
+    # pair generation: explode the j index per i row (row-local fanout,
+    # no cartesian node), then ONE equi-join on j brings z_j in
+    nwin = zwin.count()
+    a = zwin.select(
+        "i",
+        F.col("d"),
+        F.col("z").alias("za"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(nwin).cast("long"))
+        ).alias("j"),
+    ).filter(F.abs(F.col("i") - F.col("j")) >= _MP_M)
+    b = zwin.select(
+        F.col("i").alias("j"), F.col("d").alias("nn_d"), F.col("z").alias("zb")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("za", "zb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ),
+        6,
+    )
+    pairs = a.join(b, "j").select("i", "d", "j", "nn_d", dist.alias("dist"))
+    w_nn = Window.partitionBy("i").orderBy("dist", "j")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("day"),
+            F.col("nn_d").alias("nn_day"),
+            F.col("dist").alias("mp_dist"),
+        )
+        .orderBy(F.desc("mp_dist"), "day")
+        .limit(_MP_K)
+    )
