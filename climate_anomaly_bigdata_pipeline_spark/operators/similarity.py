@@ -243,6 +243,130 @@ def ivf_assignment(
     )
 
 
+
+
+def ivf_knn_candidates(
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-rescored IVF KNN candidates tagged with the PROBE RANK of
+    the cell each neighbor came from — the shared pass a tuning sweep
+    runs ONCE at its deepest nprobe. For any p ≤ ``nprobe``, filtering
+    ``probe_rank <= p`` and taking the per-query top-k by
+    (cosine desc, neighbor_id) is bit-identical to
+    :func:`ivf_knn_join` at nprobe = p over the same ``assigned``:
+    a corpus vector is a candidate via exactly ONE cell (its home
+    cell), the per-cell margin rule keeps a superset of every query's
+    in-cell top-k independently of which other queries share the task,
+    and the rescore is the same sequential fold. So the sweep pays ONE
+    in-cell GEMM pass instead of one per setting (at sf10 that is the
+    difference between 3x32 s and 32 s of scoring).
+
+    Same task shape as :func:`ivf_knn_join`: whole-cell corpus blobs x
+    2048-query chunks, float64 GEMM per task, margin-superset then
+    exact fold rescoring.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qchunk_rows = 2048
+    queries = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("__cells"), 1, nprobe),
+                lambda s: s.getField("i"),
+            )
+        ).alias("pr0", "cell"),
+    ).select(
+        "query_id", "qv", "cell", (F.col("pr0") + 1).cast("int").alias("pr")
+    )
+    cblob = (
+        assigned.select(F.col(id_col).alias("nid"), "v", "cell")
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("nid", "v")).alias("cb"))
+    )
+    wq = Window.partitionBy("cell").orderBy("query_id")
+    qblob = (
+        queries.withColumn(
+            "qc", F.floor((F.row_number().over(wq) - 1) / F.lit(qchunk_rows))
+        )
+        .groupBy("cell", "qc")
+        .agg(F.collect_list(F.struct("query_id", "pr", "qv")).alias("qb"))
+    )
+    tasks = cblob.join(qblob, "cell").repartition(F.col("cell"), F.col("qc"))
+    kk = int(k)
+    mg = 1e-6
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ci = np.fromiter((r["nid"] for r in row["cb"]), dtype=np.int64)
+                cm = np.array([r["v"] for r in row["cb"]], dtype=np.float64)
+                qi = np.fromiter(
+                    (r["query_id"] for r in row["qb"]), dtype=np.int64
+                )
+                qpr = np.fromiter((r["pr"] for r in row["qb"]), dtype=np.int32)
+                qm = np.array([r["qv"] for r in row["qb"]], dtype=np.float64)
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                qn = np.sqrt((qm * qm).sum(axis=1))
+                cs = (cm @ qm.T) / np.outer(cn, qn)
+                self_mask = ci[:, None] == qi[None, :]
+                cs[self_mask] = -np.inf
+                take = min(kk, cs.shape[0])
+                kth = (
+                    np.partition(cs, -take, axis=0)[-take, :]
+                    if cs.shape[0] > take
+                    else cs.min(axis=0)
+                )
+                keep = (cs >= (kth[None, :] - mg)) & ~self_mask
+                i, j = np.nonzero(keep)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[j],
+                            "probe_rank": qpr[j],
+                            "neighbor_id": ci[i],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    cands = tasks.mapInPandas(
+        score, "query_id long, probe_rank int, neighbor_id long"
+    )
+    qv = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    nv = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+    )
+    return (
+        cands.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            (
+                dot_expr(F.col("nv"), F.col("qv"))
+                / (F.col("nnorm") * F.col("qnorm"))
+            ).alias("cosine"),
+        )
+    )
+
+
 def ivf_knn_join(
     df: DataFrame,
     k: int = 5,

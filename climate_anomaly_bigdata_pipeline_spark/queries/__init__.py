@@ -629,6 +629,7 @@ _WINDOW_R12_SEED: list[str] = [
     "bloom_semijoin_reduction",  # runtime-filter mechanics, exact numbers
     "shuffle_skew_report",  # the salting-decision gate
     "approx_percentile_accuracy_sweep",  # quantile-sketch tuning curve
+    "textrank_keywords",  # weighted-PageRank keyword extraction
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify

@@ -2509,21 +2509,36 @@ def ivf_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = knn_join_exact(spark, sf_dir).select(
         "query_id", "neighbor_id"
     ).localCheckpoint()  # ground truth shared by all three settings
-    # ONE cell assignment shared by every nprobe setting (VERDICT r11
-    # #4): the assignment scan is nprobe-independent, and the first p
-    # entries of the deepest probe list are bit-identical to assigning
-    # at topn=p (ivf_assignment docstring) — so the three settings
-    # differ only in the probe-set slice, not in corpus scans.
+    # ONE cell assignment AND ONE in-cell GEMM scoring pass shared by
+    # every nprobe setting (VERDICT r11 #4): the assignment scan is
+    # nprobe-independent, the first p entries of the deepest probe
+    # list are bit-identical to assigning at topn=p (ivf_assignment
+    # docstring), and filtering the probe-rank-tagged candidates to
+    # rank <= p then taking the per-query top-k reproduces
+    # ivf_knn_join at nprobe=p bit-for-bit (ivf_knn_candidates
+    # docstring) — so the three settings differ only in a filter +
+    # window over the same scored candidate set.
+    from pyspark.sql import Window
+
     assigned = SIM.ivf_assignment(
         SIM._normed(emb, "vec_id", "embedding").localCheckpoint(),
         book,
         topn=max(_TUNE_NPROBES),
     )
+    cands = SIM.ivf_knn_candidates(
+        assigned, k=_KNN_K, nprobe=max(_TUNE_NPROBES)
+    ).localCheckpoint()
     outs = []
     for p in _TUNE_NPROBES:
-        i = SIM.ivf_knn_join(
-            emb, k=_KNN_K, nprobe=p, codebook=book, assigned=assigned
-        ).select("query_id", "neighbor_id")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        i = (
+            cands.filter(F.col("probe_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _KNN_K)
+            .select("query_id", "neighbor_id")
+        )
         matched = b.join(i, ["query_id", "neighbor_id"], "left_semi")
         hits = (
             b.select("query_id")

@@ -641,14 +641,17 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk = c.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("nr")
     ).localCheckpoint()
+    # no forced broadcast on bits/bk: at sf10 the simulated position
+    # set is ~9M rows (a REAL deployment broadcasts the 6 MB bitmap,
+    # not rows) — AQE picks broadcast when the stats allow it
     passk = (
         positions(lk)
-        .join(F.broadcast(bits), ["t", "p"])
+        .join(bits, ["t", "p"])
         .groupBy("k")
         .agg(F.max("nr").alias("nr"), F.count(F.lit(1)).alias("nhit"))
         .filter(F.col("nhit") == _BLOOM_K)
     )
-    truek = lk.join(F.broadcast(bk), "k", "left_semi")
+    truek = lk.join(bk, "k", "left_semi")
     probe = lk.agg(
         F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("probe_rows"),
         F.count(F.lit(1)).cast("long").alias("probe_keys"),

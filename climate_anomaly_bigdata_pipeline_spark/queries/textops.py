@@ -1729,3 +1729,183 @@ def retrieval_scorer_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scorer")
     )
+
+
+# ---- TextRank keyword extraction -----------------------------------------------
+
+# Graph-based keyword extraction (Mihalcea & Tarau 2004, public):
+# content words (lowercase alpha, length >= 4, corpus frequency >= 5)
+# are nodes; adjacent-token co-occurrences are undirected weighted
+# edges; the WEIGHTED PageRank s_i = (1-d) + d * SUM_j (w_ji / wdeg_j)
+# * s_j (classic TextRank form: constant teleport, init 1.0) ranks
+# the corpus keywords. The iteration is the pagerank recipe verbatim:
+# DECIMAL(30,18) contribution sums (order-independent), double
+# damping arithmetic, unrolled bit-identical in the oracle, round(10)
+# output guard, top-20 by (score desc, term). Scale shape: bigrams
+# are built IN-ROW (transform over the token array, no self-join on
+# position), the vocab filter broadcasts, and each iteration is one
+# equi-join + keyed sum on the word graph — vocabulary-sized, tiny
+# relative to the corpus at any scale.
+_TR_DAMPING = 0.85
+_TR_ITERS = 6
+_TR_TOPK = 20
+_TR_MIN_FREQ = 5
+
+
+def _textrank_oracle() -> str:
+    d = _TR_DAMPING
+    ctes = [
+        rf"""toks AS (
+    SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS ts
+    FROM documents
+),
+uni AS (
+    SELECT unnest(ts) AS term, doc_id FROM toks
+),
+vocab AS (
+    SELECT term FROM uni
+    WHERE regexp_full_match(term, '[a-z]{{4,}}')
+    GROUP BY term HAVING count(*) >= {_TR_MIN_FREQ}
+),
+big AS (
+    SELECT t.a, t.b FROM (
+        SELECT unnest(list_transform(
+            generate_series(1, len(ts) - 1),
+            i -> struct_pack(a := ts[i], b := ts[i + 1])
+        )) AS t
+        FROM toks WHERE len(ts) >= 2
+    )
+    WHERE t.a <> t.b
+),
+we AS (
+    SELECT least(a, b) AS u, greatest(a, b) AS v,
+           CAST(count(*) AS BIGINT) AS w
+    FROM big
+    WHERE a IN (SELECT term FROM vocab) AND b IN (SELECT term FROM vocab)
+    GROUP BY 1, 2
+),
+ed AS (
+    SELECT u AS src, v AS dst, w FROM we
+    UNION ALL SELECT v, u, w FROM we
+),
+wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM ed GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM ed),
+s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"""s{i} AS (
+    SELECT nodes.node,
+           (1 - {d}) + {d} * COALESCE(CAST(s.s AS DOUBLE), 0.0) AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS node,
+               sum(CAST(r.rank * e.w / wd.wd AS DECIMAL(30,18))) AS s
+        FROM ed e
+        JOIN s{i - 1} r ON r.node = e.src
+        JOIN wdeg wd ON wd.src = e.src
+        GROUP BY e.dst
+    ) s ON s.node = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS term,
+       CAST(round(CAST(CAST(rank AS VARCHAR) AS DECIMAL(38,18)), 10)
+            AS DOUBLE) AS score
+FROM s{_TR_ITERS}
+ORDER BY score DESC, term
+LIMIT {_TR_TOPK}"""
+    )
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by weighted TextRank over the
+    adjacent-token co-occurrence graph (see the comment block)."""
+    docs = Catalog(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ts"),
+    )
+    vocab = (
+        toks.select(F.explode("ts").alias("term"))
+        .filter(F.col("term").rlike(r"^[a-z]{4,}$"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TR_MIN_FREQ)
+        .select("term")
+        .localCheckpoint()
+    )
+    big = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i.cast("int")).alias("a"),
+                        F.element_at("ts", (i + 1).cast("int")).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    we = (
+        big.join(F.broadcast(vocab.withColumnRenamed("term", "a")), "a")
+        .join(F.broadcast(vocab.withColumnRenamed("term", "b")), "b")
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ed = (
+        we.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(
+            we.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+    )
+    wdeg = ed.groupBy("src").agg(F.sum("w").cast("long").alias("wd"))
+    ed = ed.join(wdeg, "src").localCheckpoint()
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    base = 1.0 - _TR_DAMPING
+    for _ in range(_TR_ITERS):
+        r = F.broadcast(ranks.withColumnRenamed("node", "src"))
+        contrib = (
+            ed.join(r, "src")
+            .select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("wd"))
+                .cast("decimal(30,18)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(_TR_DAMPING)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("term"),
+            F.round(F.col("rank"), 10).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "term")
+        .limit(_TR_TOPK)
+    )
