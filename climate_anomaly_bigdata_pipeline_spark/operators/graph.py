@@ -690,26 +690,96 @@ def ktruss_decomposition(
         .distinct()
         .localCheckpoint()
     )
-    n = e.count()
+    # Orient ONCE by the initial graph's (degree, id) order and reuse
+    # the orientation for every peel round: any acyclic orientation
+    # enumerates each triangle of any SUBGRAPH exactly once, and the
+    # initial degree order keeps the wedge bound at the first round's
+    # O(m^1.5) (it can only loosen as edges leave). Re-orienting per
+    # round (the triangle_support_per_edge path) re-derives degrees,
+    # re-canonicalizes, and double-checkpoints every round — measured
+    # ~2x the whole peel's cost at sf1.
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    cur = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.d").alias("d"))
+        .localCheckpoint()
+    )
+    n = cur.count()
     out: list[tuple[int, int, int]] = []
     for k in range(3, k_max + 1):
         for _ in range(max_rounds):
             if n == 0:
                 break
+            w1 = cur.select(F.col("s").alias("a"), F.col("d").alias("b"))
+            w2 = cur.select(F.col("s").alias("a"), F.col("d").alias("c"))
+            wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+            closing = cur.select(
+                F.col("s").alias("b"), F.col("d").alias("c")
+            ).union(cur.select(F.col("d").alias("b"), F.col("s").alias("c")))
+            tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+            tri_edges = tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("a", "b").alias("s"),
+                            F.greatest("a", "b").alias("d"),
+                        ),
+                        F.struct(
+                            F.least("a", "c").alias("s"),
+                            F.greatest("a", "c").alias("d"),
+                        ),
+                        F.struct(
+                            F.least("b", "c").alias("s"),
+                            F.greatest("b", "c").alias("d"),
+                        ),
+                    )
+                ).alias("t")
+            ).select("t.s", "t.d")
+            sup = tri_edges.groupBy("s", "d").agg(
+                F.count(F.lit(1)).alias("support")
+            )
+            # an oriented edge (s, d) has s < d OR s > d depending on
+            # the degree rule; canonical support rows are (min, max),
+            # so probe both orders with one keyed join on the
+            # canonical pair
             keep = (
-                triangle_support_per_edge(e)
+                cur.withColumn("cs", F.least("s", "d"))
+                .withColumn("cd", F.greatest("s", "d"))
+                .join(
+                    sup.withColumnRenamed("s", "cs").withColumnRenamed(
+                        "d", "cd"
+                    ),
+                    ["cs", "cd"],
+                )
                 .filter(F.col("support") >= k - 2)
-                .select("u", "v")
+                .select("s", "d")
                 .localCheckpoint()
             )
             n_new = keep.count()
-            e = keep
+            cur = keep
             if n_new == n:
                 break
             n = n_new
         n_nodes = (
-            e.select(F.col("u").alias("nd"))
-            .union(e.select(F.col("v").alias("nd")))
+            cur.select(F.col("s").alias("nd"))
+            .union(cur.select(F.col("d").alias("nd")))
             .distinct()
             .count()
             if n

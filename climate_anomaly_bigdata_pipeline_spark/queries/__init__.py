@@ -630,6 +630,7 @@ _WINDOW_R12_SEED: list[str] = [
     "shuffle_skew_report",  # the salting-decision gate
     "approx_percentile_accuracy_sweep",  # quantile-sketch tuning curve
     "textrank_keywords",  # weighted-PageRank keyword extraction
+    "ivf_assignment_drift_psi",  # quantizer drift gate (PSI over cells)
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify

