@@ -977,3 +977,60 @@ def running_products(
     return part.withColumn(
         out_col, off_expr * F.product(value_col).over(w)
     ).drop("__pid")
+
+
+def running_max_strict(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_max",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``max(value_col) OVER (ORDER BY order_cols ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — the STRICT prefix max —
+    WITHOUT the single-partition global window: the
+    :func:`stable_global_index` recipe with max as the monoid.
+    Range-partition on the order key, collect one max per partition
+    (bounded), fold strict carry-ins driver-side (partition p's
+    carry = max over partitions < p), then ``greatest`` of the
+    carry-in and the partition-LOCAL strict-prefix window max. The
+    first row overall gets NULL, as the window function would
+    (``greatest`` skips NULLs and returns NULL only when both sides
+    are). This is the watermark primitive: the strict prefix max of
+    event time over ARRIVAL order is exactly the high-watermark each
+    row is judged late against."""
+    from pyspark.sql import Window
+
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    maxes = part.groupBy("__pid").agg(F.max(value_col).alias("m")).collect()
+    carry: dict[int, object] = {}
+    best = None
+    for r in sorted(maxes, key=lambda r: r["__pid"]):
+        carry[r["__pid"]] = best
+        if r["m"] is not None and (best is None or r["m"] > best):
+            best = r["m"]
+    vtype = dict(zip(part.schema.names, part.schema.fields))[
+        value_col
+    ].dataType.simpleString()
+    # NULL carries (first non-empty partition) are typed casts so the
+    # map literal resolves to map<int, value-type> even when mixed
+    carry_expr = F.create_map(
+        *[
+            c
+            for pid, v in carry.items()
+            for c in (F.lit(pid), F.lit(v).cast(vtype))
+        ]
+    )[F.col("__pid")]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return part.withColumn(
+        out_col, F.greatest(F.max(value_col).over(w), carry_expr)
+    ).drop("__pid")

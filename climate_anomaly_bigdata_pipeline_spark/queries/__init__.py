@@ -631,6 +631,7 @@ _WINDOW_R12_SEED: list[str] = [
     "approx_percentile_accuracy_sweep",  # quantile-sketch tuning curve
     "textrank_keywords",  # weighted-PageRank keyword extraction
     "ivf_assignment_drift_psi",  # quantizer drift gate (PSI over cells)
+    "watermark_late_audit",  # late-data pricing for withWatermark
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify

@@ -1065,3 +1065,106 @@ def matrix_profile_discords_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("mp_dist"), "day")
         .limit(_MP_K)
     )
+
+
+# ---- watermark late-data audit --------------------------------------------------
+
+# The number a `withWatermark` choice should be based on: given an
+# ARRIVAL order and the event-time column, how many rows would a
+# W-hour watermark drop? A row is late for watermark W iff its event
+# time is more than W behind the high-watermark — the STRICT prefix
+# max of event time over arrival order — at the moment it arrives.
+# The events fixture arrives pre-sorted (zero disorder), so the audit
+# runs against the standing deterministic md5 arrival shuffle
+# (`md5('arr:' || event_id)`, the deterministic_sample recipe) — a
+# pessimistic worst-case-disorder simulation that exercises the real
+# mechanism; on production data the arrival column is the ingest
+# sequence. Scale shape: the strict prefix max is the DISTRIBUTED
+# range-partition recipe (`relational.running_max_strict`), never a
+# single-partition global window; per-watermark tallies are one
+# conditional aggregation over exact integer microseconds.
+_WM_HOURS = (1, 6, 24)
+
+_WM_ORACLE = f"""
+WITH arr AS (
+    SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           CAST(concat('0x', substr(md5(concat('arr:', CAST(event_id
+                AS VARCHAR))), 1, 8)) AS BIGINT) AS ak
+    FROM events
+),
+m AS (
+    SELECT ts_us,
+           max(ts_us) OVER (
+               ORDER BY ak, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS hwm
+    FROM arr
+)
+SELECT w.watermark_hours,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_events,
+       CAST(count(*) FILTER (
+           WHERE m.hwm IS NOT NULL
+             AND m.ts_us < m.hwm - w.watermark_hours * 3600000000
+       ) AS BIGINT) AS n_late,
+       round(CAST(count(*) FILTER (
+           WHERE m.hwm IS NOT NULL
+             AND m.ts_us < m.hwm - w.watermark_hours * 3600000000
+       ) AS DOUBLE) / CAST((SELECT count(*) FROM m) AS DOUBLE), 6)
+           AS late_frac
+FROM m, (VALUES {", ".join(f"({h})" for h in _WM_HOURS)})
+     AS w(watermark_hours)
+GROUP BY w.watermark_hours
+ORDER BY w.watermark_hours
+"""
+
+
+@query("watermark_late_audit", oracle=_WM_ORACLE)
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows a 1/6/24-hour watermark would drop under the simulated
+    worst-case arrival order (see the comment block) — the audit that
+    prices a `withWatermark` setting before it ships."""
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+    from climate_anomaly_bigdata_pipeline_spark.operators import (
+        relational as R,
+    )
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        DD.md5_hash32(F.col("event_id"), seed="arr").alias("ak"),
+    )
+    m = R.running_max_strict(ev, ["ak", "event_id"], "ts_us", out_col="hwm")
+    late = [
+        F.sum(
+            F.when(
+                F.col("hwm").isNotNull()
+                & (F.col("ts_us") < F.col("hwm") - h * 3600000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"late_{h}")
+        for h in _WM_HOURS
+    ]
+    agg = m.agg(F.count(F.lit(1)).cast("long").alias("n_events"), *late)
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).cast("int").alias("watermark_hours"),
+                        F.col("n_events"),
+                        F.col(f"late_{h}").alias("n_late"),
+                        F.round(
+                            F.col(f"late_{h}").cast("double")
+                            / F.col("n_events").cast("double"),
+                            6,
+                        ).alias("late_frac"),
+                    )
+                    for h in _WM_HOURS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("watermark_hours")
