@@ -192,3 +192,31 @@ def test_streaming_dedup_processor_logic_unit(spark, sf_dir):
     )
     out3 = list(p.handleInputRows((7, "click"), iter([batch3]), None))[0]
     assert out3["event_id"].iloc[0] == 2
+
+
+def test_ivf_drift_psi_bounds(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "ivf_assignment_drift_psi")
+    assert r.n_ref > 0 and r.n_target > 0
+    assert r.n_cells > 0
+    assert r.psi >= 0.0  # PSI is a (symmetrized-KL-like) nonneg sum
+    assert r.drift_alert == (r.psi > 0.2)
+    # even/odd split of one population: drift must be small, not huge
+    assert r.psi < 2.0
+
+
+def test_watermark_audit_monotone_in_watermark(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "watermark_late_audit"),
+        key=lambda r: r.watermark_hours,
+    )
+    assert [r.watermark_hours for r in rows] == [1, 6, 24]
+    n = rows[0].n_events
+    assert all(r.n_events == n for r in rows)
+    # a larger watermark can only drop fewer rows
+    lates = [r.n_late for r in rows]
+    assert lates == sorted(lates, reverse=True)
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
+        assert abs(r.late_frac - round(r.n_late / n, 6)) < 1e-9
+    # the md5 arrival shuffle on a month of events MUST surface lateness
+    assert rows[0].n_late > 0
