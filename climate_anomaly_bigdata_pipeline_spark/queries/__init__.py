@@ -632,6 +632,7 @@ _WINDOW_R12_SEED: list[str] = [
     "textrank_keywords",  # weighted-PageRank keyword extraction
     "ivf_assignment_drift_psi",  # quantizer drift gate (PSI over cells)
     "watermark_late_audit",  # late-data pricing for withWatermark
+    "kmv_set_operations",  # deterministic distinct sketch w/ set algebra
 ]
 
 # Queries whose CODE (plan or oracle) changed in round 12 — re-verify

@@ -1061,3 +1061,226 @@ def approx_percentile_accuracy_sweep(
         ).alias("r")
     ).select("r.*")
     return rows.orderBy("accuracy", "q")
+
+
+# ---- KMV sketch set operations --------------------------------------------------
+
+# The distinct sketch HLL cannot be: K-minimum-values (Bar-Yossef et
+# al. 2002; Beyer et al. 2007, public) keeps the k smallest hash
+# values of a set — mergeable like HLL (union = merge + re-truncate)
+# but ALSO supporting intersection/Jaccard estimates, and, because the
+# engine hash is the portable md5 recipe, fully DETERMINISTIC: the
+# estimates themselves are reproducible numbers both engines compute
+# bit-identically (pinned double arithmetic on identical integers), so
+# unlike approx_count_distinct they sit directly in the hashed output
+# next to their exact counterparts and relative errors. Estimator:
+# |S| ≈ (k−1)·2^32 / h_k on the 32-bit md5 space when |S| > k (exact
+# below — the sketch holds the whole set); |A∪B| from the merged
+# sketch; J ≈ |KMV_k(A∪B) ∩ A_sk ∩ B_sk| / k and |A∩B| ≈ J·|A∪B|.
+# Scale shape: each sketch is one distinct-shuffle + an ascending
+# TakeOrdered(k) (per-partition heaps, no global sort); set algebra
+# runs on three k-sized in-row arrays. Exact sides are the usual
+# distinct counts (the certificate cost a production sweep drops).
+_KMV_K = 256
+_KMV_SPACE = 4294967296.0  # 2^32
+
+# Sets are USER-DAY pairs (the "active entity-period" grain a real
+# audience-overlap sketch runs on): the user domain alone sits under
+# k at the test sfs, which would leave the estimator path dead.
+_KMV_ORACLE = f"""
+WITH ua AS (
+    SELECT DISTINCT user_id,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+    FROM events WHERE event_type = 'purchase'
+),
+ub AS (
+    SELECT DISTINCT user_id,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+    FROM events WHERE event_type = 'click'
+),
+ha AS (
+    SELECT CAST(concat('0x', substr(md5(concat('kmv:',
+        concat(CAST(user_id AS VARCHAR), ':', CAST(d AS VARCHAR)))),
+        1, 8)) AS BIGINT) AS h
+    FROM ua
+),
+hb AS (
+    SELECT CAST(concat('0x', substr(md5(concat('kmv:',
+        concat(CAST(user_id AS VARCHAR), ':', CAST(d AS VARCHAR)))),
+        1, 8)) AS BIGINT) AS h
+    FROM ub
+),
+ska AS (SELECT list_sort(list(h)) AS s FROM
+        (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K})),
+skb AS (SELECT list_sort(list(h)) AS s FROM
+        (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K})),
+sku AS (
+    SELECT list_slice(list_sort(list_distinct(list_concat(a.s, b.s))),
+                      1, {_KMV_K}) AS s
+    FROM ska a, skb b
+),
+exact AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ua) AS na,
+           (SELECT CAST(count(*) AS BIGINT) FROM ub) AS nb,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT user_id, d FROM ua UNION SELECT user_id, d FROM ub))
+               AS nu,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT user_id, d FROM ua
+                INTERSECT SELECT user_id, d FROM ub)) AS ni
+),
+est AS (
+    SELECT
+        CASE WHEN e.na <= {_KMV_K} THEN CAST(e.na AS DOUBLE)
+             ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r}
+                  / CAST(a.s[{_KMV_K}] AS DOUBLE) END AS ea,
+        CASE WHEN e.nb <= {_KMV_K} THEN CAST(e.nb AS DOUBLE)
+             ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r}
+                  / CAST(b.s[{_KMV_K}] AS DOUBLE) END AS eb,
+        CASE WHEN e.nu <= {_KMV_K} THEN CAST(e.nu AS DOUBLE)
+             ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r}
+                  / CAST(u.s[{_KMV_K}] AS DOUBLE) END AS eu,
+        CASE WHEN e.nu <= {_KMV_K} THEN CAST(e.ni AS DOUBLE)
+             ELSE (CAST(len(list_intersect(list_intersect(u.s, a.s), b.s))
+                        AS DOUBLE) / {_KMV_K}.0)
+                  * ({_KMV_K - 1}.0 * {_KMV_SPACE!r}
+                     / CAST(u.s[{_KMV_K}] AS DOUBLE)) END AS ei,
+        e.na, e.nb, e.nu, e.ni
+    FROM ska a, skb b, sku u, exact e
+)
+SELECT m.measure,
+       m.exact_count,
+       round(m.kmv_estimate, 6) AS kmv_estimate,
+       CASE WHEN m.exact_count = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(abs(m.kmv_estimate - CAST(m.exact_count AS DOUBLE))
+                       / CAST(m.exact_count AS DOUBLE), 6) END AS rel_err
+FROM (
+    SELECT 'a_purchasers' AS measure, na AS exact_count, ea AS kmv_estimate
+    FROM est
+    UNION ALL SELECT 'b_clickers', nb, eb FROM est
+    UNION ALL SELECT 'union', nu, eu FROM est
+    UNION ALL SELECT 'intersection', ni, ei FROM est
+) m
+ORDER BY m.measure
+"""
+
+
+@query("kmv_set_operations", oracle=_KMV_ORACLE)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-sketch estimates for purchaser/clicker user sets —
+    cardinalities, union, and intersection — next to their exact
+    counts and relative errors (see the comment block)."""
+    ev = Catalog(spark, sf_dir).events
+    from climate_anomaly_bigdata_pipeline_spark.operators import dedup as DD
+
+    def pairs(etype: str):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct()
+        )
+
+    def sketch(u):
+        h = u.select(
+            DD.md5_hash32(
+                F.concat_ws(":", F.col("user_id"), F.col("d")), seed="kmv"
+            ).alias("h")
+        )
+        return (
+            h.orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.array_sort(F.collect_list("h")).alias("s"))
+        )
+
+    ua = pairs("purchase")
+    ub = pairs("click")
+    exact = (
+        ua.agg(F.count(F.lit(1)).cast("long").alias("na"))
+        .crossJoin(ub.agg(F.count(F.lit(1)).cast("long").alias("nb")))
+        .crossJoin(
+            ua.unionByName(ub)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("nu"))
+        )
+        .crossJoin(
+            ua.intersect(ub).agg(F.count(F.lit(1)).cast("long").alias("ni"))
+        )
+    )
+    ska = sketch(ua).select(F.col("s").alias("sa"))
+    skb = sketch(ub).select(F.col("s").alias("sb"))
+    j = (
+        ska.crossJoin(skb)
+        .withColumn(
+            "su",
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.concat(F.col("sa"), F.col("sb")))
+                ),
+                1,
+                _KMV_K,
+            ),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
+    km1 = F.lit(float(_KMV_K - 1))
+    space = F.lit(_KMV_SPACE)
+
+    def est(arr: str, n: str):
+        return F.when(
+            F.col(n) <= _KMV_K, F.col(n).cast("double")
+        ).otherwise(
+            km1 * space / F.element_at(F.col(arr), _KMV_K).cast("double")
+        )
+
+    jacc = (
+        F.size(
+            F.array_intersect(
+                F.array_intersect(F.col("su"), F.col("sa")), F.col("sb")
+            )
+        ).cast("double")
+        / F.lit(float(_KMV_K))
+    )
+    ei = F.when(F.col("nu") <= _KMV_K, F.col("ni").cast("double")).otherwise(
+        jacc * (km1 * space / F.element_at(F.col("su"), _KMV_K).cast("double"))
+    )
+    rows = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a_purchasers").alias("measure"),
+                    F.col("na").alias("exact_count"),
+                    est("sa", "na").alias("kmv_estimate"),
+                ),
+                F.struct(
+                    F.lit("b_clickers").alias("measure"),
+                    F.col("nb").alias("exact_count"),
+                    est("sb", "nb").alias("kmv_estimate"),
+                ),
+                F.struct(
+                    F.lit("union").alias("measure"),
+                    F.col("nu").alias("exact_count"),
+                    est("su", "nu").alias("kmv_estimate"),
+                ),
+                F.struct(
+                    F.lit("intersection").alias("measure"),
+                    F.col("ni").alias("exact_count"),
+                    ei.alias("kmv_estimate"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    rel = F.when(F.col("exact_count") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.abs(
+                F.col("kmv_estimate") - F.col("exact_count").cast("double")
+            )
+            / F.col("exact_count").cast("double"),
+            6,
+        )
+    )
+    return rows.select(
+        "measure",
+        "exact_count",
+        F.round("kmv_estimate", 6).alias("kmv_estimate"),
+        rel.alias("rel_err"),
+    ).orderBy("measure")

@@ -220,3 +220,25 @@ def test_watermark_audit_monotone_in_watermark(spark, sf_dir):
         assert abs(r.late_frac - round(r.n_late / n, 6)) < 1e-9
     # the md5 arrival shuffle on a month of events MUST surface lateness
     assert rows[0].n_late > 0
+
+
+def test_kmv_estimates_within_sketch_error(spark, sf_dir):
+    rows = {r.measure: r for r in _rows(spark, sf_dir, "kmv_set_operations")}
+    assert set(rows) == {"a_purchasers", "b_clickers", "union", "intersection"}
+    for r in rows.values():
+        assert r.exact_count >= 0 and r.kmv_estimate >= 0.0
+    # union >= max(parts), intersection <= min(parts) — exact sides
+    assert rows["union"].exact_count >= max(
+        rows["a_purchasers"].exact_count, rows["b_clickers"].exact_count
+    )
+    assert rows["intersection"].exact_count <= min(
+        rows["a_purchasers"].exact_count, rows["b_clickers"].exact_count
+    )
+    # cardinality estimates: ~1/sqrt(k) rsd -> 10 sigma tolerance when
+    # the estimator path engaged; exact (rel_err 0) below k
+    for m in ("a_purchasers", "b_clickers", "union"):
+        r = rows[m]
+        if r.exact_count > 256:
+            assert r.rel_err < 10.0 / (256 ** 0.5)
+        else:
+            assert r.rel_err == 0.0
