@@ -106,11 +106,26 @@ def main() -> None:
             "phash_image_dedup",
             "audio_fingerprint_dedup",
             "video_scene_cuts",
+            "video_frame_sample_profile",
         )
         if n in queries
     ]
     if not only and codec_names:
         queries = {n: f for n, f in queries.items() if n not in codec_names}
+    # Subset-JVM warm-up (VERDICT r12 #3): the codec-family subprocess
+    # starts a COLD JVM with only ~10 queries and few passes to
+    # amortize it — its sub-3 s members were paying 2.3-2.6x
+    # python-worker spin-up / Arrow JIT / codegen tax on the timed
+    # pass (video_scene_cuts 1.09 -> 2.82 s in r12). One untimed pass
+    # of every subset query first, so every timed pass is warm;
+    # failures are ignored here because the timed loop below records
+    # the real error.
+    if only:
+        for _name, fn in queries.items():
+            try:
+                force(fn(spark, SF_DIR))
+            except Exception:  # noqa: BLE001
+                pass
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
@@ -160,25 +175,32 @@ def main() -> None:
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(codec_names)
         env["SPARK_GRAFT_BENCH_OUT"] = ""  # merged below, never clobber
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=3600,
-        )
-        sub = None
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith("{"):
-                sub = json.loads(line)
-                break
-        if sub is None:
-            errors["__codec_family__"] = (
-                f"rc={proc.returncode}: {proc.stderr[-300:]}"
+        # A hung/failed codec subprocess must never discard the main
+        # suite's timings (ADVICE r12): record it as a family error.
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=3600,
             )
-        else:
-            timings.update(sub.get("queries", {}))
-            errors.update(sub.get("errors", {}))
+        except (subprocess.TimeoutExpired, OSError) as exc:
+            proc = None
+            errors["__codec_family__"] = f"{type(exc).__name__}: {exc}"[:300]
+        if proc is not None:
+            sub = None
+            for line in reversed(proc.stdout.splitlines()):
+                if line.startswith("{"):
+                    sub = json.loads(line)
+                    break
+            if sub is None:
+                errors["__codec_family__"] = (
+                    f"rc={proc.returncode}: {proc.stderr[-300:]}"
+                )
+            else:
+                timings.update(sub.get("queries", {}))
+                errors.update(sub.get("errors", {}))
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

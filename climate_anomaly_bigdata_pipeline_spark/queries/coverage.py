@@ -1111,9 +1111,9 @@ hb AS (
     FROM ub
 ),
 ska AS (SELECT list_sort(list(h)) AS s FROM
-        (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K})),
+        (SELECT DISTINCT h FROM ha ORDER BY h LIMIT {_KMV_K})),
 skb AS (SELECT list_sort(list(h)) AS s FROM
-        (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K})),
+        (SELECT DISTINCT h FROM hb ORDER BY h LIMIT {_KMV_K})),
 sku AS (
     SELECT list_slice(list_sort(list_distinct(list_concat(a.s, b.s))),
                       1, {_KMV_K}) AS s
@@ -1181,11 +1181,16 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def sketch(u):
+        # KMV is defined over DISTINCT hash values (ADVICE r12): a
+        # 32-bit collision inside the bottom-k would bias the
+        # estimator and could shrink the merged union sketch below k
+        # (NULL element_at). distinct → TakeOrdered(k), same as the
+        # union sketch's list_distinct.
         h = u.select(
             DD.md5_hash32(
                 F.concat_ws(":", F.col("user_id"), F.col("d")), seed="kmv"
             ).alias("h")
-        )
+        ).distinct()
         return (
             h.orderBy("h")
             .limit(_KMV_K)

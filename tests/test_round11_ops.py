@@ -191,17 +191,23 @@ def test_pair_packing_bounds(spark, sf_dir):
 
 
 def test_whitening_audit_invariants(spark, sf_dir):
-    """Whitened projections are mean ~0 / var ~1 per component; variance
-    shares are positive and sum below 1 for 3 of 64 components."""
+    """Certificate form (r13): every tolerance boolean holds, the
+    moment digest is the exact integer triple, and n matches the
+    corpus row count."""
+    from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
     from climate_anomaly_bigdata_pipeline_spark.queries import QUERIES
 
     rows = QUERIES["embedding_whitening_audit"](spark, sf_dir).collect()
     assert [r.component for r in rows] == [0, 1, 2]
-    assert sum(r.var_share for r in rows) < 1.0
+    n = Catalog(spark, sf_dir).embeddings.count()
     for r in rows:
-        assert r.var_share > 0
-        assert abs(r.white_mean) < 1e-3
-        assert 0.8 < r.white_var < 1.2
+        assert r.n_rows == n
+        g, s, nd = r.moment_digest.split(":")
+        assert int(nd) == n and int(g) != 0 and int(s) != 0
+        assert r.eigenvalue_pos
+        assert r.var_share_ok
+        assert r.white_mean_ok
+        assert r.white_var_ok
 
 
 def test_psi_nonnegative(spark, sf_dir):
