@@ -731,6 +731,9 @@ _WINDOW_R13_SEED: list[str] = [
     "streaming_sliding_2h",
     "streaming_user_totals_cents",
     "streaming_nation_revenue",
+    "streaming_click_purchase_interval_join",
+    "streaming_incremental_gold_totals",
+    "streaming_approx_users_by_type",
 ]
 
 # Code changed in round 13 → driver re-verification required:
@@ -794,6 +797,8 @@ _R12_PADDING = [
     "tfidf_top_terms",
     "unigram_lm_scores",
 ]
+# (the padding list is truncated to the remaining slots below; names
+# past the cut stay at their current vintage for round 14)
 
 _WINDOW_R12 = (
     ["zscore_anomaly"]

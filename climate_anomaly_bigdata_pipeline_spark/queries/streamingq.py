@@ -277,3 +277,178 @@ def streaming_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "s13_nationrev", "complete").select(
         "n_name", "n_purchases", "revenue_cents"
     )
+
+
+# ---- stream-stream interval self-join ---------------------------------------
+
+# The attribution join as two LIVE streams: purchases matched to the
+# same user's clicks in the preceding hour. Both sides carry event-time
+# watermarks and the join predicate bounds c_ts to a closed interval
+# around p_ts, so each side's state evicts once the other side's
+# watermark passes the interval — state is O(events in the watermark
+# horizon), not O(stream). Inner stream-stream joins emit a match as
+# soon as both rows exist (append mode), so the bounded drain yields
+# the complete batch interval-join result; the post-drain rollup
+# (count + min gap in exact integer micros) keeps the hashed contract
+# compact and order-free.
+
+_SS_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks_1h,
+       CAST(min(epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP))) AS BIGINT)
+           AS min_gap_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@query("streaming_click_purchase_interval_join", oracle=_SS_JOIN_ORACLE)
+def streaming_click_purchase_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchases joined to same-user clicks within the preceding hour
+    as a watermarked stream-stream self-join; per purchase the click
+    count and the minimum gap in exact integer microseconds."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    j = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+        "inner",
+    )
+    res = _drain(j, "s13_ssjoin", "append")
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    return res.groupBy(
+        "purchase_id", F.col("p_user").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks_1h"),
+        F.min(gap).alias("min_gap_us"),
+    )
+
+
+# ---- foreachBatch incremental gold under the contract -----------------------
+
+# The exactly-once incremental-maintenance surface
+# (streaming/incremental.py: per-batch partial agg, monoid merge into
+# versioned parquet state, atomic pointer flip, replay-idempotent by
+# batch_id) driven end-to-end and diffed against the from-scratch
+# batch aggregate. Values stream as floor(value·100) cents, so the
+# folded sum is an exact integer in double headroom (< 2^53 at any
+# plausible scale) and min/max are exact selections — nothing
+# arrival-order-sensitive reaches the hash. The state root is wiped
+# per invocation (this is a verification row; production keeps the
+# root and checkpoint across runs — that continuity IS the feature,
+# tested in test_incremental_gold.py).
+
+_INCR_GOLD_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("streaming_incremental_gold_totals", oracle=_INCR_GOLD_ORACLE)
+def streaming_incremental_gold_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user gold aggregate maintained incrementally by the
+    foreachBatch versioned-state sink, then read back from the
+    committed pointer — equals the from-scratch batch aggregate."""
+    import os
+    import shutil
+
+    from climate_anomaly_bigdata_pipeline_spark.sources.artifacts import (
+        artifact_dir,
+    )
+    from climate_anomaly_bigdata_pipeline_spark.streaming import (
+        incremental as INC,
+    )
+
+    root = os.path.join(artifact_dir(), "s13_incr_gold")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", F.floor(F.col("value") * 100).cast("double").alias("value")
+    )
+    INC.run_incremental_agg(ev, root)
+    state = INC.read_gold_state(spark, root)
+    return state.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("long").alias("total_cents"),
+        F.col("min_value").cast("long").alias("min_cents"),
+        F.col("max_value").cast("long").alias("max_cents"),
+    )
+
+
+# ---- streaming sketch state (HLL) with a tolerance certificate --------------
+
+# approx_count_distinct as STREAMING state: the per-group HLL sketch
+# folds across micro-batches (sketch merge is the monoid), complete
+# mode drains the merged estimate. The estimate is engine- AND
+# path-specific, so it follows the approx_distinct_users posture:
+# hash the exact count (computed batch-side) + a within-tolerance
+# boolean; the sketch value itself never reaches the hash.
+
+_STREAM_HLL_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("streaming_approx_users_by_type", oracle=_STREAM_HLL_ORACLE)
+def streaming_approx_users_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct users per event type from streaming HLL state, gated
+    within 5% of the exact batch count (rsd=0.02)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+    res = _drain(agg, "s13_hll", "complete")
+    exact = (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= 0.05
+    return res.join(F.broadcast(exact), "event_type").select(
+        "event_type", "exact_users", within.alias("within_tol")
+    )

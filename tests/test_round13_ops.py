@@ -178,3 +178,60 @@ def test_multibatch_totals_cents_parity(spark, sf_dir, split_events_dir):
         )
     )
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval self-join == the batch interval join."""
+    got = _rows_set(
+        QUERIES["streaming_click_purchase_interval_join"](spark, sf_dir)
+    )
+    ev = Catalog(spark, sf_dir).events
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = _rows_set(
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_1h"),
+            F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias(
+                "min_gap_us"
+            ),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_streaming_incremental_gold_matches_batch(spark, sf_dir):
+    got = _rows_set(
+        QUERIES["streaming_incremental_gold_totals"](spark, sf_dir)
+    )
+    ev = Catalog(spark, sf_dir).events
+    cents = F.floor(F.col("value") * 100).cast("long")
+    want = _rows_set(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_streaming_hll_certificate_holds(spark, sf_dir):
+    rows = QUERIES["streaming_approx_users_by_type"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.exact_users > 0
+        assert r.within_tol
