@@ -746,12 +746,29 @@ _R13_CODE_CHANGED = [
     "kmv_set_operations",
 ]
 
-# RE-VERIFICATION padding: the registry names whose latest green
-# driver row is the OLDEST (r04 vintage first, then r05), alphabetical
-# within a vintage — computed from the committed CORRECTNESS_r*.json
-# union (whose cross-round invariant is: every registry name keeps at
-# least one green row, refreshed stalest-first).
+# RE-VERIFICATION padding: family keepers first (one representative
+# per judge-graded family not already covered by flagship/seed/changed
+# — the standing convention since r9, so no family's driver row goes
+# stale unobserved), then the registry names whose latest green driver
+# row is the OLDEST (r04 vintage first, then r05), alphabetical within
+# a vintage — computed from the committed CORRECTNESS_r*.json union
+# (whose cross-round invariant is: every registry name keeps at least
+# one green row, refreshed stalest-first).
 _R12_PADDING = [
+    # family keepers
+    "approx_distinct_users",      # sketches
+    "groupby_kpis",               # relational coverage
+    "deterministic_sample",       # sampling
+    "merge_upsert_users",         # incremental / history
+    "rolling_daily_mean",         # window / time series
+    "mann_kendall_trend_daily",   # stats
+    "term_frequency_top50",       # text analysis
+    "dedup_first_event",          # dedup
+    "curation_pipeline",          # curation
+    "bm25_topk_docs",             # retrieval
+    "cosine_topk",                # similarity / ANN
+    "multimodal_binary_profile",  # multimodal
+    "triangle_parts_copurchase",  # graph
     # r04 vintage
     "range_join_next_hour",
     "rollup_lineitem",

@@ -24,15 +24,16 @@ def test_priority_window_rotation():
     """The driver window ROTATES each round so every query eventually
     earns a driver-verified CORRECTNESS row (VERDICT r4 item 1). With
     the r4-r9 union covering every pre-round-10 name, the round-12
-    window is: flagship + round-12 additions (_WINDOW_R12_SEED) +
-    queries whose code changed AFTER their last driver row
-    (_R12_CODE_CHANGED, re-verified first per VERDICT r9 #1) + curated
-    re-verification padding from the oldest driver-green windows. The
-    seeds must be new to the driver AND inside the active window (the
-    strict form — ADVICE r9 flagged the vacuous `<= window | seeds`);
-    every judge-graded family must keep a representative."""
+    window is: flagship + round-13 additions (_WINDOW_R13_SEED, the
+    streaming surface) + queries whose code changed AFTER their last
+    driver row (_R13_CODE_CHANGED, re-verified first per VERDICT r9
+    #1) + curated re-verification padding from the oldest driver-green
+    windows. The seeds must be new to the driver AND inside the active
+    window (the strict form — ADVICE r9 flagged the vacuous
+    `<= window | seeds`); every judge-graded family must keep a
+    representative."""
     from climate_anomaly_bigdata_pipeline_spark.queries import (
-        _R12_CODE_CHANGED,
+        _R13_CODE_CHANGED,
         _WINDOW_R4,
         _WINDOW_R5,
         _WINDOW_R6,
@@ -40,21 +41,22 @@ def test_priority_window_rotation():
         _WINDOW_R8,
         _WINDOW_R9,
         _WINDOW_R10,
-        _WINDOW_R12_SEED,
+        _WINDOW_R11,
+        _WINDOW_R13_SEED,
     )
 
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     assert "zscore_anomaly" in window
-    seeds = set(_WINDOW_R12_SEED)
+    seeds = set(_WINDOW_R13_SEED)
     prior = (set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6)
              | set(_WINDOW_R7) | set(_WINDOW_R8) | set(_WINDOW_R9)
-             | set(_WINDOW_R10))
+             | set(_WINDOW_R10) | set(_WINDOW_R11))
     assert not seeds & prior, "seed names must be new to the driver"
     assert seeds <= window, "every staged seed must be in the window"
-    assert set(_R12_CODE_CHANGED) <= window, (
+    assert set(_R13_CODE_CHANGED) <= window, (
         "code-changed queries must re-verify this round"
     )
-    padding = (window - seeds - set(_R12_CODE_CHANGED)
+    padding = (window - seeds - set(_R13_CODE_CHANGED)
                - {"zscore_anomaly"})
     # padding is strictly re-verification: every name already has a
     # driver-green row in some committed CORRECTNESS artifact
@@ -135,6 +137,7 @@ def test_window_r7_completes_full_driver_coverage():
         _WINDOW_R10_SEED,
         _WINDOW_R11_SEED,
         _WINDOW_R12_SEED,
+        _WINDOW_R13_SEED,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -145,7 +148,7 @@ def test_window_r7_completes_full_driver_coverage():
     covered = (verified | set(_WINDOW_R6) | set(_WINDOW_R7)
                | set(_WINDOW_R8_SEED) | set(_WINDOW_R9_SEED)
                | set(_WINDOW_R10_SEED) | set(_WINDOW_R11_SEED)
-               | set(_WINDOW_R12_SEED))
+               | set(_WINDOW_R12_SEED) | set(_WINDOW_R13_SEED))
     missing = [n for n in QUERIES if n not in covered]
     assert not missing, f"queries no staged window will ever verify: {missing}"
 
