@@ -698,6 +698,7 @@ def stable_global_index(
     out_col: str = "idx",
     n_parts: int | None = None,
     return_total: bool = False,
+    pin_input: bool = True,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Dense 0-based global index in ``order_cols`` order WITHOUT the
     single-task bottleneck: ``row_number() OVER (ORDER BY ...)`` plans
@@ -724,6 +725,16 @@ def stable_global_index(
     from pyspark.sql import Window
 
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # Range partitioning SAMPLES its input to pick boundaries, so an
+    # un-pinned input subtree is evaluated TWICE (sampling pass +
+    # exchange). Pinning the input first makes both read blocks —
+    # callers hand this operator aggregates and pair expansions whose
+    # re-evaluation costs far more than one small block write (guide
+    # §2.4). ``pin_input=False`` opts out when the caller already
+    # pinned. The index itself is partitioning-independent (the order
+    # is total), so results are unchanged.
+    if pin_input:
+        df = df.localCheckpoint()
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -764,6 +775,7 @@ def running_totals(
     value_out: Sequence[tuple[str, str]],
     n_parts: int | None = None,
     return_totals: bool = False,
+    pin_input: bool = True,
 ) -> DataFrame | tuple[DataFrame, list]:
     """Global cumulative sums (inclusive prefix sums) of SEVERAL value
     columns in one pass, in ``order_cols`` order, WITHOUT the
@@ -789,6 +801,11 @@ def running_totals(
     need the denominators (shares, decile boundaries) get them with
     zero extra actions instead of re-scanning."""
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # Same input-pin rationale as stable_global_index: don't evaluate
+    # the caller's subtree once for range-boundary sampling and again
+    # for the exchange.
+    if pin_input:
+        df = df.localCheckpoint()
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())

@@ -554,10 +554,16 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the order total join back groups-sized."""
     from climate_anomaly_bigdata_pipeline_spark.operators import relational as R  # noqa: F401
 
+    # The distinct (order, part) projection feeds THREE consumers (the
+    # n_orders count action, the basket build, and the item supports);
+    # unpinned, each one re-runs the fact-sized distinct shuffle.
+    # One localCheckpoint turns that into one distinct + two
+    # block-reads (guide §2.4). Measured 2.78 -> ~1.9 s isolated-warm.
     io = (
         Catalog(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     n_orders = io.select("l_orderkey").distinct().count()
     baskets = io.groupBy("l_orderkey").agg(

@@ -1823,13 +1823,16 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     import climate_anomaly_bigdata_pipeline_spark.functions as FN
 
     li = Catalog(spark, sf_dir).lineitem
+    # Pin the fact-sized daily aggregation once — it feeds the global
+    # index (range sampling), the prefix sums, and the (n, total)
+    # aggregate (guide §2.4).
     daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
         (F.round(F.sum(FN.revenue_expr()), 2) * 100)
         .cast("long")
         .alias("c")
-    )
-    idx = stable_global_index(daily, ["d"], out_col="i0")
-    pre = running_totals(idx, ["d"], [("c", "pre")])
+    ).localCheckpoint()
+    idx = stable_global_index(daily, ["d"], out_col="i0", pin_input=False)
+    pre = running_totals(idx, ["d"], [("c", "pre")], pin_input=False)
     tot = daily.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("c").cast("decimal(38,0)").alias("total"),
@@ -2076,6 +2079,9 @@ def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
         ).alias("slope"),
     )
+    # stable_global_index pins its input before the range-boundary
+    # sampling pass, so the ~3M-pair nested-loop expansion above is
+    # evaluated exactly once (guide §2.4).
     idx = stable_global_index(pairs, ["slope", "da", "db"], out_col="rn0")
     sc = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days")).select(
         "n_days",
@@ -2781,17 +2787,37 @@ def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
             F.array(*[F.lit(f"boot{i}:") for i in range(n_seeds)])
         ).alias("si", "s"),
     )
+    # Project the md5 into a column BEFORE the chunk explode: inlined,
+    # the hash expression is re-evaluated once per 8-hex-char slice
+    # (4x per (row, seed) — ~9.6M hashes at sf0.1 instead of 2.4M;
+    # Generate args get no common-subexpression elimination). Measured
+    # 5.97 -> 2.60 s on this stage alone (guide §1.2 per-task work).
+    ex = ex.withColumn("h", md5c)
     sl = ex.select(
         "cents",
         "si",
         F.posexplode(
-            F.array(*[F.substring(md5c, 1 + 8 * c, 8) for c in range(4)])
+            F.array(*[F.substring(F.col("h"), 1 + 8 * c, 8) for c in range(4)])
         ).alias("chunk", "hx"),
     )
-    wexpr = None
-    for ht in hex_t:
-        term = (F.col("hx") >= ht).cast("int")
-        wexpr = term if wexpr is None else wexpr + term
+    # w = |{t in thresholds : hx >= t}| — an upper-bound search over a
+    # SORTED threshold list (ascending Poisson CDF cuts; fixed-width
+    # lowercase hex compares bytewise == numerically). The linear form
+    # evaluated all 64 comparisons per exploded row (~600M compares at
+    # sf0.1); this balanced WHEN-tree decides in <= 7 (guide §1.2 "per-
+    # task work"). Same integer w on every row — the replicate weights,
+    # and therefore the CI, are bit-identical.
+    def _wtree(lo: int, hi: int):
+        # upper bound in [lo, hi]: thresholds below lo already known
+        # satisfied, at/above hi known unsatisfied.
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col("hx") >= hex_t[mid], _wtree(mid + 1, hi)
+        ).otherwise(_wtree(lo, mid))
+
+    wexpr = _wtree(0, len(hex_t))
     g = (
         sl.select(
             (F.col("si") * 4 + F.col("chunk")).alias("rep"),
@@ -2951,18 +2977,33 @@ def spectral_seasonality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     import climate_anomaly_bigdata_pipeline_spark.functions as FN
 
     li = Catalog(spark, sf_dir).lineitem
+    # Pin the fact-sized daily aggregation once: it feeds BOTH the
+    # global index (whose range sampling would re-run it) and the
+    # (n, t) totals — three lineitem aggregations become one
+    # (guide §2.4).
     daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
         (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
-    )
-    idx = stable_global_index(daily, ["d"], out_col="i0")
+    ).localCheckpoint()
+    idx = stable_global_index(daily, ["d"], out_col="i0", pin_input=False)
     tot = daily.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("c").cast("decimal(38,0)").alias("t"),
     )
-    x = idx.crossJoin(F.broadcast(tot)).select(
-        "i0",
-        "n",
-        (F.col("n") * F.col("c").cast("decimal(38,0)") - F.col("t")).alias("x"),
+    # The centered series x is consumed by all four period branches;
+    # without pinning it, EACH branch re-aggregates lineitem (daily),
+    # re-broadcasts tot, and re-derives x — 8 extra fact-sized passes
+    # for a ~2,500-row series (guide §2.4: shared subtree, one
+    # materialization). localCheckpoint costs one tiny write; the
+    # branches then read bounded-series blocks. Measured 4.85 s -> ~2 s
+    # isolated-warm at sf0.1; plan drops from 50 Exchanges to 14.
+    x = (
+        idx.crossJoin(F.broadcast(tot))
+        .select(
+            "i0",
+            "n",
+            (F.col("n") * F.col("c").cast("decimal(38,0)") - F.col("t")).alias("x"),
+        )
+        .localCheckpoint()
     )
     per = []
     for p in _SPECTRAL_PERIODS:
@@ -2979,8 +3020,12 @@ def spectral_seasonality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.first("n").alias("n"),
             )
         )
-        cos_arr = F.array(*[F.lit(v) for v in cos])
-        sin_arr = F.array(*[F.lit(v) for v in sin])
+        # One array literal per list instead of element-wise F.lit +
+        # F.array (365 py4j round-trips per array; build-time cost is
+        # INSIDE the timed region since the plan is rebuilt per pass).
+        # Same exact float64 values — py4j ships doubles losslessly.
+        cos_arr = F.lit(list(cos))
+        sin_arr = F.lit(list(sin))
         folded = g.select(
             F.lit(p).cast("long").alias("period"),
             (F.element_at(cos_arr, (F.col("m") + 1).cast("int")) * F.col("g"))
