@@ -1195,20 +1195,36 @@ def train_pq_codebooks(
 def _pq_code_cols(books: PQCodebooks, d_sub: int) -> list[Column]:
     """Per-subspace code assignment columns over a vector column ``v``:
     row-local ``array_max`` over (dot, code) structs, ties toward the
-    larger code — zero shuffle of the corpus."""
+    larger code — zero shuffle of the corpus.
+
+    Built as ONE ``transform`` per subspace against two array literals
+    (subspace codebook matrix, code ids) — the
+    :func:`_cell_assign_structs` construction. The per-code
+    comprehension built m×k ``dot_expr`` lambda trees through py4j
+    (~20 ms each — measured 2.7-3.8 s of pure DRIVER time per build at
+    m=8, k=16, paid by every PQ serving query, every bench pass);
+    this form builds m lambdas (~0.3 s). Evaluation is unchanged:
+    ``element_at`` yields the same literal vectors, the dot fold runs
+    the same IEEE sequence, so codes are bit-identical."""
     cols = []
     for sub, cents in books:
         lo = sub * d_sub
         sv = F.slice("v", lo + 1, d_sub)
-        structs = F.array(
-            *[
-                F.struct(
-                    dot_expr(sv, _lit_vec(cv)).alias("c"),
-                    F.lit(code).cast("long").alias("i"),
-                )
-                for code, cv in cents
-            ]
-        )
+        codes = [int(code) for code, _ in cents]
+        vecs = [[float(x) for x in cv] for _, cv in cents]
+        try:
+            cb = F.lit(vecs)  # one nested-array literal node
+        except Exception:  # older Spark without nested container literals
+            cb = F.array(*[_lit_vec(cv) for cv in vecs])
+        ci = F.lit(codes)
+        idx = F.sequence(F.lit(1), F.lit(len(cents)))
+        def _mk(sv, cb, ci):
+            return lambda i: F.struct(
+                dot_expr(sv, F.element_at(cb, i)).alias("c"),
+                F.element_at(ci, i).cast("long").alias("i"),
+            )
+
+        structs = F.transform(idx, _mk(sv, cb, ci))
         cols.append(F.array_max(structs).getField("i").alias(f"code_{sub}"))
     return cols
 
@@ -1402,7 +1418,9 @@ def ivfpq_topk(
     terms = F.array(
         *[
             F.element_at(
-                F.array(*[F.lit(x) for x in luts[sub]]),
+                # one array literal per LUT, not k element-wise F.lit
+                # py4j calls (same doubles — lossless transfer)
+                F.lit(list(luts[sub])),
                 (F.col(f"code_{sub}") + 1).cast("int"),
             )
             for sub, _ in pq_books
@@ -1435,18 +1453,32 @@ def pq_reconstruction_err2(
     for sub, cents in books:
         lo = sub * d_sub
         sv = F.slice("v", lo + 1, d_sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    dot_expr(sv, _lit_vec(cv)).alias("c"),
-                    F.lit(code).cast("long").alias("i"),
-                )
-                for code, cv in cents
-            ]
-        )
+        # Same O(m) expression construction as _pq_code_cols (the
+        # per-code comprehension built m×k dot_expr lambda trees of
+        # driver-side py4j time per bench pass); element_at over the
+        # literal codebook yields identical vectors, so the encode and
+        # the error fold are bit-identical.
+        codes = [int(code) for code, _ in cents]
+        vecs = [[float(x) for x in cv] for _, cv in cents]
+        try:
+            cb = F.lit(vecs)
+        except Exception:  # older Spark without nested container literals
+            cb = F.array(*[_lit_vec(cv) for cv in vecs])
+        ci = F.lit(codes)
+        idx = F.sequence(F.lit(1), F.lit(len(cents)))
+        def _mk(sv, cb, ci):
+            return lambda i: F.struct(
+                dot_expr(sv, F.element_at(cb, i)).alias("c"),
+                F.element_at(ci, i).cast("long").alias("i"),
+            )
+
+        cands = F.transform(idx, _mk(sv, cb, ci))
         code = F.array_max(cands).getField("i")
-        by_code = F.array(
-            *[_lit_vec(cv) for _, cv in sorted(cents, key=lambda t: t[0])]
+        by_code = F.lit(
+            [
+                [float(x) for x in cv]
+                for _, cv in sorted(cents, key=lambda t: t[0])
+            ]
         )
         chosen = F.element_at(by_code, (code + 1).cast("int"))
         err2 = F.aggregate(
