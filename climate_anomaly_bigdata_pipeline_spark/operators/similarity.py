@@ -64,15 +64,39 @@ def hyperplane_weights(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def _dlit(x: float) -> str:
+    """Shortest round-trip double literal for Spark SQL — ``repr`` of a
+    Python float parses back to the bit-identical IEEE double (verified
+    incl. -0.0 and denormals). Finite-only by contract (codebooks and
+    plane weights)."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):  # pragma: no cover - upstream bug guard
+        raise ValueError(f"non-finite literal: {x!r}")
+    return repr(x) + "D"
+
+
 def _lit_vec(weights: list[float]) -> Column:
-    # One ArrayType Literal node, not CreateArray(64 Literals): with 16
-    # centroid vectors in one expression the single-node form keeps
-    # Catalyst's per-action optimization walk off a ~1000-node tree
-    # (measured ~0.3 s planning tax per action at 16x64).
-    try:
-        return F.lit(list(weights))
-    except Exception:  # older Spark without container literals
-        return F.array(*[F.lit(w) for w in weights])
+    # One ArrayType literal built by PARSING a SQL string JVM-side:
+    # a single py4j call. Both element-wise F.lit+F.array AND container
+    # F.lit pay ~0.7 ms of py4j per element (measured: 2 s for a
+    # 44x64 codebook either way; the parsed form is ~0.02-0.1 s), and
+    # the single Literal node additionally keeps Catalyst's per-action
+    # optimization walk off a ~1000-node tree.
+    return F.expr("array(" + ",".join(_dlit(w) for w in weights) + ")")
+
+
+def _lit_mat(vecs: list[list[float]]) -> Column:
+    """Nested array<array<double>> literal via one parsed SQL string —
+    same bit-exactness contract as :func:`_lit_vec`."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(x) for x in v) + ")" for v in vecs
+        )
+        + ")"
+    )
 
 
 def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
@@ -554,11 +578,8 @@ def _cell_assign_structs(cents: list[tuple[int, list[float]]]) -> Column:
     cids = [int(cid) for cid, _ in cents]
     vecs = [[float(x) for x in cv] for _, cv in cents]
     norms = [math.sqrt(_py_dot(cv, cv)) for cv in vecs]
-    try:
-        cb = F.lit(vecs)  # one nested-array literal node
-    except Exception:  # older Spark without nested container literals
-        cb = F.array(*[_lit_vec(cv) for cv in vecs])
-    cn, ci = F.lit(norms), F.lit(cids)
+    cb = _lit_mat(vecs)  # one parsed nested-array literal node
+    cn, ci = _lit_vec(norms), F.lit(cids)
     idx = F.sequence(F.lit(1), F.lit(len(cents)))
     return F.transform(
         idx,
@@ -1212,10 +1233,7 @@ def _pq_code_cols(books: PQCodebooks, d_sub: int) -> list[Column]:
         sv = F.slice("v", lo + 1, d_sub)
         codes = [int(code) for code, _ in cents]
         vecs = [[float(x) for x in cv] for _, cv in cents]
-        try:
-            cb = F.lit(vecs)  # one nested-array literal node
-        except Exception:  # older Spark without nested container literals
-            cb = F.array(*[_lit_vec(cv) for cv in vecs])
+        cb = _lit_mat(vecs)  # one parsed nested-array literal node
         ci = F.lit(codes)
         idx = F.sequence(F.lit(1), F.lit(len(cents)))
         def _mk(sv, cb, ci):
@@ -1304,7 +1322,7 @@ def pq_adc_topk(
     terms = F.array(
         *[
             F.element_at(
-                F.array(*[F.lit(x) for x in luts[sub]]),
+                _lit_vec(luts[sub]),
                 (F.col(f"code_{sub}") + 1).cast("int"),
             )
             for sub, _ in books
@@ -1418,9 +1436,9 @@ def ivfpq_topk(
     terms = F.array(
         *[
             F.element_at(
-                # one array literal per LUT, not k element-wise F.lit
-                # py4j calls (same doubles — lossless transfer)
-                F.lit(list(luts[sub])),
+                # one parsed array literal per LUT (same doubles —
+                # repr round-trips losslessly)
+                _lit_vec(luts[sub]),
                 (F.col(f"code_{sub}") + 1).cast("int"),
             )
             for sub, _ in pq_books
@@ -1460,10 +1478,7 @@ def pq_reconstruction_err2(
         # the error fold are bit-identical.
         codes = [int(code) for code, _ in cents]
         vecs = [[float(x) for x in cv] for _, cv in cents]
-        try:
-            cb = F.lit(vecs)
-        except Exception:  # older Spark without nested container literals
-            cb = F.array(*[_lit_vec(cv) for cv in vecs])
+        cb = _lit_mat(vecs)
         ci = F.lit(codes)
         idx = F.sequence(F.lit(1), F.lit(len(cents)))
         def _mk(sv, cb, ci):
@@ -1474,7 +1489,7 @@ def pq_reconstruction_err2(
 
         cands = F.transform(idx, _mk(sv, cb, ci))
         code = F.array_max(cands).getField("i")
-        by_code = F.lit(
+        by_code = _lit_mat(
             [
                 [float(x) for x in cv]
                 for _, cv in sorted(cents, key=lambda t: t[0])
