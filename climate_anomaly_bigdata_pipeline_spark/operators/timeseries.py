@@ -568,7 +568,7 @@ def ewma_by_key(
     value_col: str,
     alpha: float = 0.3,
     scale: int = 4,
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Final exponentially-weighted moving average per key:
     ``y_0 = x_0; y_i = (1-alpha)*y_{i-1} + alpha*x_i`` (pandas
@@ -588,6 +588,18 @@ def ewma_by_key(
     """
     import pandas as pd  # local import: executor-side dependency
 
+    # Scale-adaptive bucket count: each applyInPandas GROUP pays a
+    # fixed pandas/Arrow slice cost (~0.5 ms measured), so buckets
+    # should be "several per core", not a large constant — 1024 cost
+    # 0.96 s vs 0.71 s at 256 on local[32] for the same 100k rows.
+    # 8× parallelism keeps buckets ≫ cores for skew absorption on any
+    # cluster while bounding per-group overhead; results are per-key
+    # and provably bucket-count-independent (same cython kernel per
+    # key whatever the bucket composition).
+    if num_buckets is None:
+        num_buckets = max(
+            64, 8 * df.sparkSession.sparkContext.defaultParallelism
+        )
     keys = list(key_cols)
     out_fields = ", ".join(f"{k} long" for k in keys)
     schema = f"{out_fields}, ewma double, n_obs long"
