@@ -24,6 +24,7 @@ similarity threshold via the standard S-curve.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -691,11 +692,92 @@ def simhash(
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+# Edge-count ceiling for the driver-local CC fastpath (see
+# _cc_local_labels): 8M edges = two 64 MB int64 arrays on the driver —
+# the same order of memory a broadcast-join hash relation is allowed.
+# Override with SPARK_GRAFT_CC_LOCAL_MAX_EDGES (0 disables the
+# fastpath entirely).
+_CC_LOCAL_MAX_EDGES = int(
+    _os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", str(8_000_000))
+)
+
+_CC_LOCAL_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _cc_local_labels(
+    edges: DataFrame, u_col: str, v_col: str
+) -> DataFrame:
+    """(node, cluster_id = component min) for every node incident to an
+    edge, solved ON THE DRIVER with numpy min-label + pointer doubling.
+
+    This is the bounded small-graph endgame of distributed CC — the
+    same posture as a broadcast join: below a size threshold the edge
+    list is a few dozen MB, and one Arrow collect + an O(E·log d)
+    in-memory solve replaces O(log² n) ROUNDS of shuffle jobs whose
+    per-round fixed cost (3 exchanges + job scheduling) dominates at
+    any data size the threshold admits. Exact integer min-label math —
+    the labels are identical to the distributed fixpoint's, and the
+    caller's threshold gate keeps graphs above the ceiling on the
+    distributed loop, so no 100 TB path ever collects here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    node_dt = edges.schema[u_col].dataType.simpleString()
+    pdf = edges.select(
+        F.col(u_col).cast("long").alias("u"),
+        F.col(v_col).cast("long").alias("v"),
+    ).toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
+    v = pdf["v"].to_numpy(dtype=np.int64, copy=False)
+    nodes = np.unique(np.concatenate([u, v]))
+    a = np.searchsorted(nodes, u)
+    b = np.searchsorted(nodes, v)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    # Outer: relax every edge to the min of its endpoints' labels.
+    # Inner: pointer-double the label forest to its roots. A path of
+    # diameter d fully compresses in O(log d) doublings; the outer
+    # loop re-relaxes until no edge changes anything (>=2 passes).
+    while True:
+        m = np.minimum(lab[a], lab[b])
+        before = lab.copy()
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        changed = not np.array_equal(lab, before)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if not changed:
+            break
+    out = pd.DataFrame({"node": nodes, "cluster_id": nodes[lab]})
+    return spark.createDataFrame(
+        out, schema="node bigint, cluster_id bigint"
+    ).select(
+        F.col("node").cast(node_dt).alias("node"),
+        F.col("cluster_id").cast(node_dt).alias("cluster_id"),
+    )
+
+
+def _cc_local_eligible(edges: DataFrame, u_col: str, local_max_edges: int) -> bool:
+    """Gate for the driver-local fastpath: integral node ids and an
+    edge count under the ceiling. The count is one job over the
+    caller's already-checkpointed edge blocks."""
+    if local_max_edges <= 0:
+        return False
+    if edges.schema[u_col].dataType.simpleString() not in _CC_LOCAL_INT_TYPES:
+        return False
+    return edges.limit(local_max_edges + 1).count() <= local_max_edges
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 20,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph — the step that
     turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
@@ -714,14 +796,36 @@ def connected_components(
     DIAMETER is large (chains, meshes — not the near-clique dedup
     case), use :func:`connected_components_star`, which converges in
     O(log^2 n) rounds regardless of diameter.
+
+    ``local_max_edges`` (default $SPARK_GRAFT_CC_LOCAL_MAX_EDGES, 8M)
+    gates a driver-local endgame: when the deduped edge set is under
+    the ceiling, labels come from one Arrow collect + numpy min-label
+    (see :func:`_cc_local_labels`) instead of the shuffle rounds —
+    identical integer labels, broadcast-join-sized driver memory.
     """
-    edges = pairs.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    # Orient + distinct FIRST and checkpoint that half-sized set: the
+    # old bidirectional union referenced the caller's pair subtree
+    # twice inside the one checkpoint job (union branches get no CSE),
+    # so expensive pair generators ran twice (r14, guide §2.4). The
+    # bidirectional set is re-derived from the checkpointed blocks;
+    # duplicate self-loop rows are harmless under the grouped MIN.
+    half = (
+        pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("src"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint()
+
+    if local_max_edges is None:
+        local_max_edges = _CC_LOCAL_MAX_EDGES
+    if _cc_local_eligible(half, "src", local_max_edges):
+        return _cc_local_labels(half, "src", "dst")
+
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -768,6 +872,7 @@ def connected_components_star(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 50,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -807,21 +912,49 @@ def connected_components_star(
     property-tested equal to the propagation variant on random graphs
     and on a 10k-node chain where propagation's default cap truncates
     (``tests/test_round4_ops.py``).
+
+    ``local_max_edges`` (default $SPARK_GRAFT_CC_LOCAL_MAX_EDGES, 8M)
+    gates the driver-local endgame (:func:`_cc_local_labels`): under
+    the ceiling, one Arrow collect + numpy min-label/pointer-doubling
+    replaces the star rounds entirely — the Kiveris-family papers'
+    own "finish in memory once the graph is small" move, with
+    identical integer labels. Above the ceiling the distributed
+    O(log² n)-round loop below runs unchanged.
     """
-    nodes = (
-        pairs.select(F.col(src_col).alias("node"))
-        .union(pairs.select(F.col(dst_col).alias("node")))
-        .distinct()
-    )
-    edges = (
+    # Checkpoint the oriented-distinct pair set BEFORE dropping
+    # self-loops, so the node set can be derived from the checkpointed
+    # blocks instead of re-evaluating the caller's pair subtree a
+    # second time (r14: for entity_resolution the un-pinned nodes
+    # union replayed the whole segment join + DP — ~40% of the query).
+    # Self-loop rows only add their node to the node set; the loop and
+    # the local solver still see the u != v edge set.
+    edges0 = (
         pairs.select(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
             F.least(F.col(src_col), F.col(dst_col)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = (
+        edges0.select(F.col("u").alias("node"))
+        .union(edges0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    edges = edges0.filter(F.col("u") != F.col("v"))
+
+    if local_max_edges is None:
+        local_max_edges = _CC_LOCAL_MAX_EDGES
+    if _cc_local_eligible(edges, "u", local_max_edges):
+        labels = _cc_local_labels(edges, "u", "v").withColumnRenamed(
+            "node", "__cc_node"
+        )
+        return nodes.join(
+            labels, nodes["node"] == labels["__cc_node"], "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
 
     from pyspark.sql import Window
 

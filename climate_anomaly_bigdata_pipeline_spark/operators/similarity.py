@@ -84,12 +84,18 @@ def _lit_vec(weights: list[float]) -> Column:
     # 44x64 codebook either way; the parsed form is ~0.02-0.1 s), and
     # the single Literal node additionally keeps Catalyst's per-action
     # optimization walk off a ~1000-node tree.
+    if not weights:
+        # array() types as array<void> and fails dot folds cryptically
+        # at resolution time (ADVICE r13) — fail fast instead.
+        raise ValueError("empty vector literal")
     return F.expr("array(" + ",".join(_dlit(w) for w in weights) + ")")
 
 
 def _lit_mat(vecs: list[list[float]]) -> Column:
     """Nested array<array<double>> literal via one parsed SQL string —
     same bit-exactness contract as :func:`_lit_vec`."""
+    if not vecs or any(not v for v in vecs):
+        raise ValueError("empty matrix literal")  # ADVICE r13 fail-fast
     return F.expr(
         "array("
         + ",".join(
@@ -579,7 +585,8 @@ def _cell_assign_structs(cents: list[tuple[int, list[float]]]) -> Column:
     vecs = [[float(x) for x in cv] for _, cv in cents]
     norms = [math.sqrt(_py_dot(cv, cv)) for cv in vecs]
     cb = _lit_mat(vecs)  # one parsed nested-array literal node
-    cn, ci = _lit_vec(norms), F.lit(cids)
+    cn = _lit_vec(norms)
+    ci = F.expr("array(" + ",".join(f"{c}L" for c in cids) + ")")
     idx = F.sequence(F.lit(1), F.lit(len(cents)))
     return F.transform(
         idx,
@@ -669,11 +676,14 @@ def _cand_cell_structs(
     cids = [int(cid) for cid, _ in cents]
     vecs = [[float(x) for x in cv] for _, cv in cents]
     norms = [math.sqrt(_py_dot(cv, cv)) for cv in vecs]
-    try:
-        cb = F.lit(vecs)
-    except Exception:  # older Spark without nested container literals
-        cb = F.array(*[_lit_vec(cv) for cv in vecs])
-    cn, ci = F.lit(norms), F.lit(cids)
+    # Parsed-SQL literals, not container F.lit: the py4j element
+    # transfer cost ~0.7 ms/element — ~1-2 s of DRIVER time per build
+    # for a 22-44 cell codebook, paid by every IVF serving query on
+    # every bench pass (r14; the r13 fix covered _cell_assign_structs
+    # but missed this twin). Values round-trip bit-exactly via repr.
+    cb = _lit_mat(vecs)
+    cn = _lit_vec(norms)
+    ci = F.expr("array(" + ",".join(f"{c}L" for c in cids) + ")")
     return F.transform(
         F.col(cand_col),
         lambda i: F.struct(
@@ -1302,7 +1312,12 @@ def pq_adc_topk(
     Exactness: LUT entries are driver-side ``_py_dot`` folds (identical
     IEEE sequence to the engine/oracle), and the final sum folds in
     fixed subspace order — bit-identical in any engine following the
-    recipe."""
+    recipe.
+
+    Finite-only contract (ADVICE r13): the query vector (and codebooks)
+    must be finite — LUT values become SQL literals via ``_dlit``,
+    which raises ``ValueError`` on NaN/Inf at plan-build time rather
+    than propagating NaN distances."""
     assert books is not None
     d_sub = dim // len(books)
     e = df.select(
@@ -1402,7 +1417,11 @@ def ivfpq_topk(
     nprobe/n_cells) and the pruned scan reads the 64×-smaller code
     columns. (FAISS additionally PQ-encodes residuals against the cell
     centroid for fidelity; this serves raw-vector codes to keep the
-    recipe oracle-mirrorable — the documented deviation.)"""
+    recipe oracle-mirrorable — the documented deviation.)
+
+    Finite-only contract (ADVICE r13): query vector and codebooks must
+    be finite — LUT/centroid values become SQL literals via ``_dlit``,
+    which raises ``ValueError`` on NaN/Inf at plan-build time."""
     import math
 
     assert ivf_codebook is not None and pq_books is not None

@@ -585,6 +585,12 @@ def ewma_by_key(
     ~``num_buckets``/|keys| of the per-group overhead. One shuffle
     (by bucket), memory bounded by the bucket — size ``num_buckets``
     to the cluster (buckets ≫ cores); the output is one row per key.
+
+    The default bucket count derives from ``defaultParallelism``, so
+    the PHYSICAL plan (group count) is environment-dependent while the
+    per-key RESULTS are bucket-independent (ADVICE r13); pass
+    ``num_buckets`` explicitly in any plan-reproducibility-sensitive
+    harness.
     """
     import pandas as pd  # local import: executor-side dependency
 

@@ -832,7 +832,89 @@ assert not set(_WINDOW_R13_SEED) & (
     | set(_WINDOW_R11)
 )
 
-_PRIORITY = _WINDOW_R12  # ACTIVE for round 13's driver correctness check
+_WINDOW_R12  # noqa: B018 — kept (with its asserts) as the r13 record
+
+# Code changed in rounds 13+14 → driver re-verification required
+# (VERDICT r13 item 1: the optimizer-touched queries were frozen out
+# of the r13 window; every one of them must earn a driver row now).
+# No new queries this round — optimization only — so there is no
+# _WINDOW_R14_SEED; the whole non-flagship window is re-verification.
+_R14_CODE_CHANGED = [
+    # r13 batch 2/3 — PQ/IVF serving-path literal construction
+    # (operators/similarity.py; r14 additionally fixed the
+    # _cand_cell_structs twin and added empty/non-finite guards):
+    "pq_ann_topk",
+    "pq_code_histogram",
+    "pq_rescore_topk",
+    "pq_reconstruction_error",
+    "ivfpq_ann_topk",
+    "ivf_train_codebook",
+    "knn_join_ivf",
+    "ivf_ann_topk",
+    "ann_serve_external",
+    "ivf_recall_vs_nprobe",
+    "ann_recall_at_k",
+    # r13 batch 1 — statsq surgery + stable_global_index/running_totals
+    # input pin (operators/relational.py), including every inheritor;
+    # r14 added the hex_t sortedness assert (poisson) and pin_input
+    # call-site opt-outs (spearman, isotonic):
+    "poisson_bootstrap_order_value",
+    "spectral_seasonality_daily",
+    "theil_sen_slope_daily",
+    "cusum_changepoint_daily",
+    "ks_test_purchase_click",
+    "cvm_test_purchase_click",
+    "wasserstein_purchase_click",
+    "lorenz_curve_order_value",
+    "kruskal_wallis_event_values",
+    "page_hinkley_drift_daily",
+    "isotonic_regression_daily",
+    "runs_test_daily_revenue",
+    "conformal_interval_coverage",
+    "spearman_parts_rev_vs_qty",
+    # r13 — other
+    "market_basket_lift",
+    "ewma_user_value",
+    # sgi inheritors outside statsq (r14 pin_input call-site changes
+    # in coverage.py; curation/textops inherit the r13 operator pin):
+    "stable_global_index_events",
+    "ntile_deciles_orders",
+    "time_embargo_split_events",
+    "zipf_fit_terms",
+    # r14 — star-CC surgery (operators/dedup.py: driver-local endgame
+    # + single pair-subtree evaluation):
+    "dedup_clusters_embedding",
+    "dedup_keep_representatives",
+    "entity_resolution_customers",
+    "chain_components_star",
+    # r14 — bucketed-layout builder split out for the cold bench row:
+    "bucketed_join_revenue",
+    # r14 — VERDICT items 6/8/9 targets (verify-skew, regression
+    # triage, one-off re-measure):
+    "prefix_jaccard_pairs",
+    "dedup_threshold_sweep",
+    "cross_split_semantic_leakage",
+    "funnel_view_click_purchase",
+]
+assert len(set(_R14_CODE_CHANGED)) == len(_R14_CODE_CHANGED)
+
+# Padding: the standing stalest-first convention — the names of
+# _R12_PADDING past round 13's cut (their latest green driver row is
+# the oldest on record), minus any already re-verified above.
+_R13_CUT = 50 - 1 - len(_WINDOW_R13_SEED) - len(_R13_CODE_CHANGED)
+_R14_PADDING = [
+    n for n in _R12_PADDING[_R13_CUT:] if n not in _R14_CODE_CHANGED
+]
+
+_WINDOW_R13 = (
+    ["zscore_anomaly"]
+    + _R14_CODE_CHANGED
+    + _R14_PADDING[: 50 - 1 - len(_R14_CODE_CHANGED)]
+)
+assert len(_WINDOW_R13) == 50
+assert len(set(_WINDOW_R13)) == 50
+
+_PRIORITY = _WINDOW_R13  # ACTIVE for round 14's driver correctness check
 
 
 def _reorder() -> None:

@@ -457,7 +457,12 @@ def stable_global_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
 
     ev = Catalog(spark, sf_dir).events.select("event_id")
-    return R.stable_global_index(ev, ["event_id"], out_col="idx")
+    # pin_input=False: the input is a bare one-column fact scan —
+    # pinning would materialize a fact-sized copy to save re-reading
+    # a columnar scan that costs less than the copy (ADVICE r13).
+    return R.stable_global_index(
+        ev, ["event_id"], out_col="idx", pin_input=False
+    )
 
 
 # ---- mergeable HLL sketch rollup (Apache DataSketches) ----------------------
@@ -747,10 +752,16 @@ def ntile_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from climate_anomaly_bigdata_pipeline_spark.operators import relational as R
 
     orders = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
-    idx = R.stable_global_index(
-        orders, ["o_totalprice", "o_orderkey"], out_col="idx"
+    # pin_input=False: bare two-column fact scan (ADVICE r13), and
+    # return_total=True reuses the operator's per-partition counts for
+    # N — one fewer full scan than a separate orders.count().
+    idx, n = R.stable_global_index(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        out_col="idx",
+        pin_input=False,
+        return_total=True,
     )
-    n = orders.count()
     k = 10
     q, r = n // k, n % k
     big = q + 1

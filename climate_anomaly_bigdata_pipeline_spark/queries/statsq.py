@@ -425,11 +425,15 @@ def spearman_parts_rev_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a distributed stable_global_index (range exchange + bounded
     # per-partition count collect + local row_number), joined back on
     # the part key — the plan that survives an arbitrary part count.
+    # pin_input=False: pv is already checkpointed above — a second pin
+    # per rank would copy the parts table twice more (ADVICE r13).
     r1 = R.stable_global_index(
-        pv.select("l_partkey", "rev"), ["rev", "l_partkey"], out_col="i"
+        pv.select("l_partkey", "rev"), ["rev", "l_partkey"], out_col="i",
+        pin_input=False,
     ).select("l_partkey", (F.col("i") + 1).alias("r_rev"))
     r2 = R.stable_global_index(
-        pv.select("l_partkey", "qty"), ["qty", "l_partkey"], out_col="i"
+        pv.select("l_partkey", "qty"), ["qty", "l_partkey"], out_col="i",
+        pin_input=False,
     ).select("l_partkey", (F.col("i") + 1).alias("r_qty"))
     ranked = r1.join(r2, "l_partkey")
     n = F.count(F.lit(1))
@@ -2778,6 +2782,11 @@ def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey",
     )
     hex_t = [format(t, "08x") for t in _BOOT_T]
+    # The WHEN-tree below is an upper-bound binary search: it is only
+    # equivalent to the linear threshold count when hex_t is sorted
+    # ascending. True for the Poisson CDF cuts today — assert the
+    # precondition so a reordered _BOOT_T fails loudly, not wrongly.
+    assert hex_t == sorted(hex_t), "_BOOT_T must be ascending"
     n_seeds = _BOOT_B // 4
     md5c = F.md5(F.concat(F.col("s"), F.col("o_orderkey").cast("string")))
     ex = base.select(
@@ -3139,7 +3148,10 @@ def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(FN.revenue_expr()), 2) * 100).cast("long").alias("c")
     )
     idx = stable_global_index(daily, ["d"], out_col="i0")
-    pre = running_totals(idx, ["d"], [("c", "pre")])
+    # pin_input=False: idx is a cheap window over stable_global_index's
+    # own checkpointed range partitioning — a second pin would copy it
+    # (ADVICE r13 chained-site note).
+    pre = running_totals(idx, ["d"], [("c", "pre")], pin_input=False)
     a = pre.select(
         (F.col("i0") + 1).alias("j"),
         (F.col("pre") - F.col("c")).alias("pj"),

@@ -38,6 +38,9 @@ def _cc_oracle(edges):
 
 
 def test_star_cc_matches_propagation_and_oracle_on_random_graphs(spark):
+    """Both the driver-local fastpath (default, graphs this small) and
+    the forced-distributed loops (local_max_edges=0) must agree with
+    union-find ground truth."""
     rng = random.Random(42)
     for trial in range(4):
         n = 60 + trial * 40
@@ -49,19 +52,30 @@ def test_star_cc_matches_propagation_and_oracle_on_random_graphs(spark):
         want = _cc_oracle(edges)
         got_star = _labels(D.connected_components_star(df))
         got_prop = _labels(D.connected_components(df, max_iter=100))
-        assert got_star == want, f"trial {trial}: star != union-find"
-        assert got_prop == want, f"trial {trial}: propagation != union-find"
+        assert got_star == want, f"trial {trial}: star(local) != union-find"
+        assert got_prop == want, f"trial {trial}: prop(local) != union-find"
+        got_star_d = _labels(
+            D.connected_components_star(df, local_max_edges=0)
+        )
+        got_prop_d = _labels(
+            D.connected_components(df, max_iter=100, local_max_edges=0)
+        )
+        assert got_star_d == want, f"trial {trial}: star(dist) != union-find"
+        assert got_prop_d == want, f"trial {trial}: prop(dist) != union-find"
 
 
 def test_star_cc_converges_on_10k_chain_where_propagation_truncates(spark):
     """A 10k-node path graph has diameter 9999: min-label propagation at
     its default max_iter=20 CANNOT finish (labels move <=1 hop per
-    round), while the star algorithm needs only O(log^2 n) rounds."""
+    round), while the star algorithm needs only O(log^2 n) rounds.
+    local_max_edges=0 forces the DISTRIBUTED loops — the property under
+    test is the round behavior, which the driver-local fastpath would
+    short-circuit."""
     n = 10_000
     chain = spark.range(n - 1).select(
         F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
     )
-    out = D.connected_components_star(chain, max_iter=50)
+    out = D.connected_components_star(chain, max_iter=50, local_max_edges=0)
     agg = out.agg(
         F.count("*").alias("n"),
         F.countDistinct("cluster_id").alias("k"),
@@ -71,9 +85,44 @@ def test_star_cc_converges_on_10k_chain_where_propagation_truncates(spark):
 
     # and the truncation it replaces is real: propagation at the default
     # cap leaves the chain split into many labels
-    trunc = D.connected_components(chain)  # max_iter=20
+    trunc = D.connected_components(chain, local_max_edges=0)  # max_iter=20
     k_trunc = trunc.agg(F.countDistinct("cluster_id")).collect()[0][0]
     assert k_trunc > 1
+
+
+def test_local_cc_fastpath_matches_distributed_on_chain_and_types(spark):
+    """Round-14 optimization: the driver-local numpy CC endgame must be
+    label-identical to the distributed star loop on the adversarial
+    chain shape, preserve the node column's dtype, and stay OFF for
+    non-integral ids."""
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    local = D.connected_components_star(chain, max_iter=50)
+    dist = D.connected_components_star(chain, max_iter=50, local_max_edges=0)
+    assert _labels(local) == _labels(dist)
+    assert local.schema == dist.schema
+
+    # int ids keep their narrower type through the fastpath
+    df_int = spark.createDataFrame([(1, 2), (2, 3)], "id1 int, id2 int")
+    out_int = D.connected_components_star(df_int)
+    assert [f.dataType.simpleString() for f in out_int.schema.fields] == [
+        "int",
+        "int",
+    ]
+    assert _labels(out_int) == {1: 1, 2: 1, 3: 1}
+
+    # string ids are ineligible for the numpy path; the distributed
+    # loop must still produce correct labels
+    df_str = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id1 string, id2 string"
+    )
+    assert _labels(D.connected_components_star(df_str)) == {
+        "a": "a",
+        "b": "a",
+        "c": "a",
+    }
 
 
 def test_star_cc_handles_self_pairs_and_isolated_nodes(spark):
@@ -82,6 +131,8 @@ def test_star_cc_handles_self_pairs_and_isolated_nodes(spark):
     )
     got = _labels(D.connected_components_star(df))
     assert got == {5: 5, 1: 1, 2: 1, 3: 1}
+    got_d = _labels(D.connected_components_star(df, local_max_edges=0))
+    assert got_d == got
 
 
 # ---- trained IVF codebook ---------------------------------------------------
