@@ -898,12 +898,23 @@ _R14_CODE_CHANGED = [
 ]
 assert len(set(_R14_CODE_CHANGED)) == len(_R14_CODE_CHANGED)
 
-# Padding: the standing stalest-first convention — the names of
-# _R12_PADDING past round 13's cut (their latest green driver row is
-# the oldest on record), minus any already re-verified above.
-_R13_CUT = 50 - 1 - len(_WINDOW_R13_SEED) - len(_R13_CODE_CHANGED)
+# Padding: the standing convention — family keepers FIRST (the
+# stalest green member of every judge-graded family that has no
+# representative among flagship + _R14_CODE_CHANGED, vintages from the
+# committed CORRECTNESS_r*.json union), then the overall-stalest
+# remaining names (r05 vintage, alphabetical). The code-changed set
+# covers anomaly/stats/similarity/text/dedup/window_ts/curation/
+# relational-coverage/storage by membership, so six keepers remain.
 _R14_PADDING = [
-    n for n in _R12_PADDING[_R13_CUT:] if n not in _R14_CODE_CHANGED
+    "copurchase_degree_assortativity",  # graph keeper (last row r07)
+    "embedding_dim_scale",              # sketches keeper (r08)
+    "idle_rich_customers",              # incremental/history keeper (r08)
+    "jpeg_progressive_profile",         # multimodal keeper (r08)
+    "rbo_bm25_vs_tf",                   # retrieval keeper (r10)
+    "weighted_sample_customers",        # sampling keeper (r10)
+    "locf_gap_fill_events",             # stalest vintage fill (r05)
+    "mix_rebalance_sources",            # stalest vintage fill (r05)
+    "pack_sequences_512",               # stalest vintage fill (r05)
 ]
 
 _WINDOW_R13 = (

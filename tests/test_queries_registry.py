@@ -22,42 +22,23 @@ def test_priority_window_is_the_first_50():
 
 def test_priority_window_rotation():
     """The driver window ROTATES each round so every query eventually
-    earns a driver-verified CORRECTNESS row (VERDICT r4 item 1). With
-    the r4-r9 union covering every pre-round-10 name, the round-12
-    window is: flagship + round-13 additions (_WINDOW_R13_SEED, the
-    streaming surface) + queries whose code changed AFTER their last
-    driver row (_R13_CODE_CHANGED, re-verified first per VERDICT r9
-    #1) + curated re-verification padding from the oldest driver-green
-    windows. The seeds must be new to the driver AND inside the active
-    window (the strict form — ADVICE r9 flagged the vacuous
-    `<= window | seeds`); every judge-graded family must keep a
-    representative."""
+    earns a driver-verified CORRECTNESS row (VERDICT r4 item 1). Round
+    14 is optimization-only, so there is NO seed list: the window is
+    flagship + every query whose computation path changed in rounds
+    13-14 (_R14_CODE_CHANGED — VERDICT r13 item 1: the optimizer's
+    batch-1/2/3 queries were frozen out of the r13 window and must
+    earn driver rows now) + stalest-first re-verification padding.
+    Every judge-graded family must keep a representative."""
     from climate_anomaly_bigdata_pipeline_spark.queries import (
-        _R13_CODE_CHANGED,
-        _WINDOW_R4,
-        _WINDOW_R5,
-        _WINDOW_R6,
-        _WINDOW_R7,
-        _WINDOW_R8,
-        _WINDOW_R9,
-        _WINDOW_R10,
-        _WINDOW_R11,
-        _WINDOW_R13_SEED,
+        _R14_CODE_CHANGED,
     )
 
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     assert "zscore_anomaly" in window
-    seeds = set(_WINDOW_R13_SEED)
-    prior = (set(_WINDOW_R4) | set(_WINDOW_R5) | set(_WINDOW_R6)
-             | set(_WINDOW_R7) | set(_WINDOW_R8) | set(_WINDOW_R9)
-             | set(_WINDOW_R10) | set(_WINDOW_R11))
-    assert not seeds & prior, "seed names must be new to the driver"
-    assert seeds <= window, "every staged seed must be in the window"
-    assert set(_R13_CODE_CHANGED) <= window, (
+    assert set(_R14_CODE_CHANGED) <= window, (
         "code-changed queries must re-verify this round"
     )
-    padding = (window - seeds - set(_R13_CODE_CHANGED)
-               - {"zscore_anomaly"})
+    padding = window - set(_R14_CODE_CHANGED) - {"zscore_anomaly"}
     # padding is strictly re-verification: every name already has a
     # driver-green row in some committed CORRECTNESS artifact
     import glob
@@ -79,7 +60,9 @@ def test_priority_window_rotation():
         "relational_coverage": {"groupby_kpis", "unpivot_lineitem_yearly",
                                 "full_outer_reconcile_customers",
                                 "pct_rank_orders", "q1_pricing_summary",
-                                "q13_customer_distribution"},
+                                "q13_customer_distribution",
+                                "ntile_deciles_orders",
+                                "stable_global_index_events"},
         "sampling": {"deterministic_sample", "weighted_sample_customers", "equidepth_hist_orders",
                      "significant_parts_by_value"},
         "incremental_history": {"merge_upsert_users", "scd2_user_type_history",
@@ -90,7 +73,8 @@ def test_priority_window_rotation():
         "window_ts": {"rolling_daily_mean", "rolling_corr_daily", "acf_daily_revenue",
                       "stl_decompose_daily_revenue",
                       "ccf_purchase_click_daily",
-                      "holt_forecast_daily_revenue"},
+                      "holt_forecast_daily_revenue",
+                      "ewma_user_value", "locf_gap_fill_events"},
         "stats": {"mann_kendall_trend_daily", "cusum_changepoint_daily", "linreg_price_by_qty", "mannwhitney_purchase_click",
                   "gini_order_value_by_nation", "benford_first_digit_orders",
                   "ks_test_purchase_click", "km_survival_session_duration",
@@ -100,10 +84,14 @@ def test_priority_window_rotation():
                           "zipf_fit_terms"},
         "dedup": {"dedup_first_event", "maximal_repeat_spans", "chunk_dedup_docs", "semdedup_prune_embeddings",
                   "exact_substring_dup_stats", "top_duplicated_substrings",
-                  "phash_image_dedup", "audio_fingerprint_dedup"},
+                  "phash_image_dedup", "audio_fingerprint_dedup",
+                  "dedup_clusters_embedding", "dedup_keep_representatives",
+                  "prefix_jaccard_pairs", "dedup_threshold_sweep",
+                  "cross_split_semantic_leakage"},
         "curation": {"curation_pipeline", "temperature_mix_weights", "dsir_importance_weights",
                      "k_anonymity_audit", "referential_integrity_audit",
-                     "loo_target_encoding_orders"},
+                     "loo_target_encoding_orders",
+                     "time_embargo_split_events"},
         "retrieval": {"rbo_bm25_vs_tf", "bm25_topk_docs", "hybrid_rrf_retrieval",
                       "retrieval_eval_ndcg"},
         "similarity": {"cosine_topk", "ivf_train_codebook", "knn_join_exact",
@@ -115,7 +103,8 @@ def test_priority_window_rotation():
                        "flac_lpc_decode_profile"},
         "graph": {"triangle_parts_copurchase", "adamic_adar_linkpred", "bfs_copurchase_distances", "kcore_copurchase",
                   "copurchase_degree_assortativity",
-                  "item_cooccurrence_similarity"},
+                  "item_cooccurrence_similarity",
+                  "chain_components_star"},
     }
     missing = [k for k, alts in families.items() if not (alts & window)]
     assert not missing, f"families fell out of the driver window: {missing}"
